@@ -1,0 +1,48 @@
+"""Engine configuration.
+
+Analog of the reference's pydantic-settings config surface
+(reference: src/nostr_pipeline/config.py:8-78) re-expressed as a plain
+dataclass: batch/epoch knobs, partitioning knobs, lake layout knobs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for the CDC apply pipeline.
+
+    num_partitions: number of hash partitions of the lake. At 100 TB this
+        would be thousands; locally we default to 32 so each partition file
+        stays in the tens of MB at bench scale.
+    turn_bucket: the partition key is hash(conv_id, turn_idx // turn_bucket)
+        — any deterministic function of the upsert key (conv_id, turn_idx)
+        is a valid LWW partitioner, so bucketing by turn range splits a hot
+        conversation across partitions (salted repartitioning for
+        hot-conversation skew) while preserving turn-range locality.
+        Set very large (2**30) for pure conv_id partitioning.
+    epoch_segments: binlog segments applied per commit epoch (micro-batch
+        trigger; reference batches 100 events / 5 s, config.py:44-47 — here
+        the unit is a whole LSN-ordered segment file).
+    batch_size: rows per Arrow batch in map_batches stages.
+    merge_concurrency: actor-pool / task parallelism hint for the merge
+        stage; None lets Ray size it.
+    """
+
+    num_partitions: int = 32
+    turn_bucket: int = 256
+    epoch_segments: int = 8
+    batch_size: int = 65536
+    merge_concurrency: int | None = None
+
+    @staticmethod
+    def from_env() -> "EngineConfig":
+        return EngineConfig(
+            num_partitions=int(os.environ.get("NDP_NUM_PARTITIONS", 32)),
+            turn_bucket=int(os.environ.get("NDP_TURN_BUCKET", 256)),
+            epoch_segments=int(os.environ.get("NDP_EPOCH_SEGMENTS", 8)),
+            batch_size=int(os.environ.get("NDP_BATCH_SIZE", 65536)),
+        )

@@ -1,0 +1,123 @@
+"""Vectorized per-batch stages of the CDC apply pipeline.
+
+All stages are Arrow-in / Arrow-out ``map_batches`` bodies (zero-copy from
+the object store) — no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Deterministic 64-bit string hashing, vectorized (pandas' siphash over the
+# fixed default key). The partition mapping is persisted in the lake
+# manifest, so the hash must be stable across processes — pandas'
+# hash_array with the default hash_key is.
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_conv(conv_id: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    values = np.asarray(conv_id.to_pandas(), dtype=object)
+    return pd.util.hash_array(values)
+
+
+def partition_key(
+    conv_id: pa.ChunkedArray | pa.Array,
+    turn_idx: pa.ChunkedArray | pa.Array,
+    num_partitions: int,
+    turn_bucket: int,
+) -> np.ndarray:
+    """pkey = hash(conv_id, turn_idx // turn_bucket) % P.
+
+    Any deterministic function of the upsert key (conv_id, turn_idx) is a
+    valid LWW partitioner. Folding in the turn-range bucket is the salted
+    repartitioning for hot-conversation skew: a conversation with thousands
+    of hot turns spreads over ~max_turn/turn_bucket partitions instead of
+    landing on one reducer (cf. SURVEY.md §4.2 item 4).
+    """
+    h = hash_conv(conv_id)
+    bucket = (turn_idx.to_numpy(zero_copy_only=False).astype(np.uint64)) // np.uint64(
+        turn_bucket
+    )
+    mixed = h ^ (bucket * _GOLDEN)
+    return (mixed % np.uint64(num_partitions)).astype(np.int32)
+
+
+def add_pkey(batch: pa.Table, *, num_partitions: int, turn_bucket: int) -> pa.Table:
+    pk = partition_key(batch["conv_id"], batch["turn_idx"], num_partitions, turn_bucket)
+    return batch.append_column("pkey", pa.array(pk, pa.int32()))
+
+
+def _key_codes(batch: pa.Table) -> np.ndarray:
+    """int64 codes for (conv_id, turn_idx) within one batch."""
+    conv = batch["conv_id"].combine_chunks() if isinstance(
+        batch["conv_id"], pa.ChunkedArray
+    ) else batch["conv_id"]
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes.astype(np.int64) * np.int64(1 << 32) + turn
+
+
+def precombine(batch: pa.Table) -> pa.Table:
+    """Local LWW combiner: per batch, keep only the max-(lsn, position) row
+    of each (conv_id, turn_idx).
+
+    This is the map-side combine that bounds the shuffle: a hot conversation
+    updated a million times in one epoch ships at most one row per key per
+    input block, not a million (reference analog: per-micro-batch dedup,
+    src/nostr_pipeline/pipeline.py:202-211 — generalized from
+    first-by-event-id to last-by-LSN).
+
+    Ties on lsn (duplicate delivery) are broken by stable input position,
+    giving a deterministic total order (SURVEY.md §7.4).
+    """
+    if batch.num_rows == 0:
+        return batch
+    key = _key_codes(batch)
+    lsn = batch["lsn"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lsn, kind="stable")  # ascending lsn, stable on position
+    rev = order[::-1]  # descending: first hit per key = LWW winner
+    _, first_pos = np.unique(key[rev], return_index=True)
+    keep = rev[first_pos]
+    keep.sort()
+    return batch.take(keep)
+
+
+def conform_schema(batch: pa.Table, *, target: pa.Schema) -> pa.Table:
+    """Project a batch onto the unified target schema (additive evolution).
+
+    Missing columns become typed nulls; present columns are cast if the
+    unified type promoted them (pa.unify_schemas, permissive). Reference
+    analog: JSON escape-hatch columns absorbing new fields
+    (reference: src/nostr_pipeline/models.py:64,117-120; CLAUDE.md:168).
+    """
+    arrays = []
+    for field in target:
+        if field.name in batch.column_names:
+            col = batch[field.name]
+            if col.type != field.type:
+                col = pc.cast(col, field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(batch.num_rows, field.type))
+    return pa.table(arrays, schema=target)
+
+
+def watermark_filter(batch: pa.Table, *, watermarks: dict[int, int]) -> pa.Table:
+    """Drop change rows at or below the committed per-partition watermark.
+
+    Makes replaying an already-committed segment a row-level no-op (the
+    merge is idempotent anyway; this short-circuits the work). ``watermarks``
+    is a small driver-broadcast dict (ray.put'd with the stage closure).
+    """
+    if not watermarks or batch.num_rows == 0:
+        return batch
+    pk = batch["pkey"].to_numpy(zero_copy_only=False)
+    lsn = batch["lsn"].to_numpy(zero_copy_only=False)
+    wm = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
+    for k, v in watermarks.items():
+        if k < len(wm):
+            wm[k] = v
+    return batch.filter(pa.array(lsn > wm[pk]))

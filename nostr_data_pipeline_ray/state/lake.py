@@ -1,0 +1,150 @@
+"""Parquet lake with an idempotent two-phase-commit manifest.
+
+Replaces the reference's PostgreSQL layer (reference:
+src/nostr_pipeline/loaders/database.py:16-119 — engine/session/DDL) and its
+consume-and-ack progress flag (reference: src/nostr_pipeline/models.py:38,
+loaders/event_loader.py:203-224) with an immutable-file lake:
+
+    lake_root/
+      _manifest.json              # atomic pointer {"epoch": n, "path": ...}
+      manifests/epoch-{n}.json    # files, watermarks, applied segments, lineage
+      parts/epoch={n}/part-{pkey:05d}.parquet
+
+Exactly-once protocol:
+  phase 1 (prepare): merge tasks write part files at DETERMINISTIC paths
+      keyed by (epoch, pkey); a retried task overwrites the same path with
+      the same bytes, so partial/duplicate task execution is harmless.
+  phase 2 (commit): the driver writes manifests/epoch-{n}.json, then
+      atomically os.replace()s _manifest.json. Readers resolve files only
+      through _manifest.json, so an uncommitted epoch is invisible and a
+      crash before commit simply re-runs the epoch.
+
+Partitions untouched by an epoch are carried forward by reference in the
+new manifest (metadata-only, no rewrite) — at 100 TB an epoch touching 1%
+of conversations rewrites 1% of the lake, not all of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+
+
+class Lake:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "parts"), exist_ok=True)
+
+    # ---- read side -------------------------------------------------------
+
+    def current_manifest(self) -> dict[str, Any] | None:
+        ptr = os.path.join(self.root, "_manifest.json")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            pointer = json.load(f)
+        with open(os.path.join(self.root, pointer["path"])) as f:
+            return json.load(f)
+
+    def current_epoch(self) -> int:
+        m = self.current_manifest()
+        return -1 if m is None else int(m["epoch"])
+
+    def applied_segments(self) -> set[str]:
+        m = self.current_manifest()
+        return set() if m is None else set(m["applied_segments"])
+
+    def watermarks(self) -> dict[int, int]:
+        """Per-partition max applied LSN."""
+        m = self.current_manifest()
+        if m is None:
+            return {}
+        return {int(k): int(v) for k, v in m["watermarks"].items()}
+
+    def snapshot_files(self, pkeys: list[int] | None = None) -> list[str]:
+        """Absolute paths of current part files (optionally only for pkeys)."""
+        m = self.current_manifest()
+        if m is None:
+            return []
+        files = m["files"]
+        if pkeys is None:
+            rels = files.values()
+        else:
+            rels = [files[str(pk)] for pk in pkeys if str(pk) in files]
+        return [os.path.join(self.root, r) for r in rels]
+
+    def part_path(self, epoch: int, pkey: int) -> str:
+        """Deterministic part path — the idempotence anchor of phase 1."""
+        # NB: no "key=value" path segments — pyarrow would infer them as
+        # hive partition columns on read and pollute the schema
+        return os.path.join("parts", f"epoch-{epoch}", f"part-{pkey:05d}.parquet")
+
+    # ---- commit side -----------------------------------------------------
+
+    def commit_epoch(
+        self,
+        epoch: int,
+        new_files: dict[int, str],
+        new_watermarks: dict[int, int],
+        segments: list[str],
+        lineage: dict[int, dict[str, Any]],
+        schema: pa.Schema,
+        stats: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        prev = self.current_manifest()
+        files = dict(prev["files"]) if prev else {}
+        watermarks = dict(prev["watermarks"]) if prev else {}
+        lin = dict(prev.get("lineage", {})) if prev else {}
+        applied = list(prev["applied_segments"]) if prev else []
+
+        for pk, rel in new_files.items():
+            files[str(pk)] = rel
+        for pk, wm in new_watermarks.items():
+            watermarks[str(pk)] = max(int(wm), int(watermarks.get(str(pk), -1)))
+        for pk, row in lineage.items():
+            lin[str(pk)] = row
+        applied += [s for s in segments if s not in applied]
+
+        manifest = {
+            "epoch": epoch,
+            "committed_at": time.time(),
+            "files": files,
+            "watermarks": watermarks,
+            "applied_segments": applied,
+            "lineage": lin,
+            "schema": [[f.name, str(f.type)] for f in schema],
+            "stats": stats or {},
+        }
+        rel = os.path.join("manifests", f"epoch-{epoch}.json")
+        with open(os.path.join(self.root, rel), "w") as f:
+            json.dump(manifest, f)
+        ptr_tmp = os.path.join(self.root, "_manifest.json.tmp")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"epoch": epoch, "path": rel}, f)
+        # the atomic commit point
+        os.replace(ptr_tmp, os.path.join(self.root, "_manifest.json"))
+        return manifest
+
+    # ---- retention (reference analog: cleanup_old_data,
+    # src/nostr_pipeline/loaders/event_loader.py:268-297 — here a
+    # metadata-driven GC of part files no manifest references) -------------
+
+    def vacuum(self, keep_manifests: int = 2) -> list[str]:
+        m = self.current_manifest()
+        if m is None:
+            return []
+        live = {os.path.join(self.root, r) for r in m["files"].values()}
+        removed = []
+        parts_root = os.path.join(self.root, "parts")
+        for dirpath, _dirs, fnames in os.walk(parts_root):
+            for fn in fnames:
+                p = os.path.join(dirpath, fn)
+                if p not in live:
+                    os.unlink(p)
+                    removed.append(p)
+        return removed
