@@ -1,44 +1,61 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship CDC replay at sf0.001 (binlog tail → LWW upsert →
+  exactly-once Parquet lake), returns the final transcript table Dataset.
+- ``queries()`` — one callable per operator from SURVEY.md §2 (plus the
+  training-data extensions); each takes ``sf_dir`` and returns a Dataset /
+  pandas DataFrame / pyarrow Table.
+- ``oracle_sql()`` — the equivalent DuckDB SQL per query (identical column
+  names; floats rounded identically on both sides).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import nostr_data_pipeline_ray.pipelines.analytics as _an
+from nostr_data_pipeline_ray.pipelines import flagship as _flag
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _flag.q_cdc_apply("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    qs: dict[str, Callable[[str], Any]] = {
+        name: getattr(_an, f"q_{name}") for name in sorted(_an.ORACLE)
+    }
+    qs["cdc_apply"] = _flag.q_cdc_apply
+    # rows-only extras (no SQL oracle) are registered by their modules below
+    try:
+        import nostr_data_pipeline_ray.pipelines.dedup as _dd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        qs.update(_dd.QUERIES)
+    except ImportError:
+        pass
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_an.ORACLE)
+    # the CDC oracle reads the deterministic synthetic binlog straight from
+    # disk; generate it now so the SQL is runnable whenever the driver calls it
+    out["cdc_apply"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
+    try:
+        import nostr_data_pipeline_ray.pipelines.dedup as _dd
+
+        out.update(_dd.ORACLE)
+    except ImportError:
+        pass
+    return out

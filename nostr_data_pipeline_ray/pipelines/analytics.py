@@ -1,0 +1,625 @@
+"""Analytics operators (SURVEY.md §2.2–§2.8) as Ray Data pipelines.
+
+Every public ``q_*`` function takes ``sf_dir`` (a directory of the driver's
+testdata parquet tables) and returns a Dataset / pyarrow Table. The matching
+DuckDB oracle SQL lives in ``ORACLE`` keyed by the same name; computed-column
+names are identical on both sides (the driver hashes values under sorted
+column names).
+
+Float contract: every float column that crosses the oracle boundary is
+rounded half-away-from-zero to a fixed number of decimals on BOTH sides
+(``_round2`` here, ``ROUND(x, n)`` in DuckDB) — this absorbs the
+order-dependence of distributed double summation.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.joins import broadcast_join
+
+JOIN_PARTITIONS = 8  # hash-join fan-out at test scale; thousands at 100 TB
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_away(x, decimals: int = 2) -> np.ndarray:
+    """Half-away-from-zero rounding, matching DuckDB ROUND (positive inputs)."""
+    scale = 10.0**decimals
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+
+def _round_col(batch: pa.Table, col: str, decimals: int = 2) -> pa.Table:
+    vals = _round_away(batch[col].to_numpy(zero_copy_only=False), decimals)
+    return batch.set_column(
+        batch.column_names.index(col), col, pa.array(vals, pa.float64())
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/M2 — per-batch filter + projection + JSON field extraction
+# (reference: transformers/event_processor.py:37-88)
+# ---------------------------------------------------------------------------
+
+
+def q_purchase_events(sf_dir: str):
+    def extract(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        k = pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k"
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "value": batch["value"],
+                "k": pc.cast(k, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(_t(sf_dir, "events")).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M15 — substring search + sort desc + limit + truncating projection
+# (reference: analytics/query.py:326-353)
+# ---------------------------------------------------------------------------
+
+
+def q_search_documents(sf_dir: str):
+    def search(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.match_substring(batch["text"], "merge"))
+        return pa.table(
+            {
+                "doc_id": hit["doc_id"],
+                "lang": hit["lang"],
+                "snippet": pc.utf8_slice_codeunits(hit["text"], 0, 80),
+            }
+        )
+
+    return (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+        .map_batches(search, batch_format="pyarrow")
+        .sort("doc_id", descending=True)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — trending topics: explode terms → grouped count + distinct authors
+# (reference: analytics/aggregator.py:203-274; trend formula
+#  metrics_calculator.py:60-92 with zaps=0, 24 h window)
+# ---------------------------------------------------------------------------
+
+
+def q_trending_words(sf_dir: str):
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(flat)
+        src = batch["source"].take(parents)
+        return pa.table({"word": pc.list_flatten(flat), "source": src})
+
+    pairs = (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "source"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["word", "source"])
+        .aggregate(Count(alias_name="c"))
+    )
+    agg = pairs.groupby("word").aggregate(
+        Count(alias_name="unique_sources"), Sum("c", alias_name="mention_count")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["mention_count"], 3))
+        m = batch["mention_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = batch["unique_sources"].to_numpy(zero_copy_only=False).astype(np.float64)
+        trend = _round_away(m / 24.0 * np.log(1.0 + u), 2)
+        return pa.table(
+            {
+                "word": batch["word"],
+                "mention_count": pc.cast(batch["mention_count"], pa.int64()),
+                "unique_sources": pc.cast(batch["unique_sources"], pa.int64()),
+                "trend_score": pa.array(trend, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A8/K1 — top-k users by grouped sum (reference: dashboard/pages/6:191-203,
+# analytics/query.py:28-57)
+# ---------------------------------------------------------------------------
+
+
+def q_top_users_by_value(sf_dir: str):
+    agg = (
+        rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
+    )
+    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — tumbling-window timeline (reference: analytics/query.py:272-324,
+# dashboard/pages/6:137-147): window = event-time group key, no watermarks
+# ---------------------------------------------------------------------------
+
+
+def q_activity_timeline(sf_dir: str):
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+
+    return (
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — time-of-day histogram (reference: metrics_calculator.py:324-335)
+# ---------------------------------------------------------------------------
+
+
+def q_hour_histogram(sf_dir: str):
+    def hour(batch: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.cast(pc.hour(batch["ts"]), pa.int64())})
+
+    return (
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        .map_batches(hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — exact quantiles via distributed sort + split_at_indices, using the
+# reference's sorted-array index convention (metrics_calculator.py:252-287:
+# median = a[n//2], p95 = a[int(n*.95)]). Scale path would be a t-digest.
+# ---------------------------------------------------------------------------
+
+
+def q_price_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    summary = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_extendedprice", alias_name="total"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+    n = int(summary["n"])
+    # mean derives from the ROUNDED total so oracle and engine divide
+    # bit-identical doubles (the raw distributed sum differs by ulps)
+    total_rounded = _round_away(summary["total"])[()]
+    qidx = {
+        "median": n // 2,
+        "p25": int(n * 0.25),
+        "p75": int(n * 0.75),
+        "p95": int(n * 0.95),
+    }
+    order = sorted(set(qidx.values()))
+    splits = ds.sort("l_extendedprice").split_at_indices(order)
+    # element at sorted index i = first row of the split starting at i
+    at = {}
+    for start, part in zip(order, splits[1:]):
+        at[start] = part.take(1)[0]["l_extendedprice"]
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "total": pa.array([total_rounded], pa.float64()),
+            "mean_price": pa.array([_round_away(total_rounded / n)[()]], pa.float64()),
+            "min_price": pa.array([summary["min_price"]], pa.float64()),
+            "max_price": pa.array([summary["max_price"]], pa.float64()),
+            "median": pa.array([at[qidx["median"]]], pa.float64()),
+            "p25": pa.array([at[qidx["p25"]]], pa.float64()),
+            "p75": pa.array([at[qidx["p75"]]], pa.float64()),
+            "p95": pa.array([at[qidx["p95"]]], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5/A3 — grouped distinct counts without a distinct shuffle per row:
+# two-level pre-aggregation (reference: aggregator.py:287-299)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    pairs = (
+        rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="c"))
+    )
+    return pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users"), Sum("c", alias_name="n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/D2 — groupwise-latest (argmax by ts) (reference: analytics/query.py:198-215)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(sf_dir: str):
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+
+    return (
+        rd.read_parquet(_t(sf_dir, "events"))
+        .groupby("user_id")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K3 — global latest (reference: analytics/query.py:88-94)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event(sf_dir: str):
+    return (
+        rd.read_parquet(_t(sf_dir, "events"))
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — fact⋈fact hash join: per-order revenue (reference:
+# analytics/aggregator.py:112-139). Grouped pre-aggregate BEFORE the join so
+# the join input is one row per key, then Dataset.join (hash-partitioned).
+# ---------------------------------------------------------------------------
+
+
+def q_order_revenue(sf_dir: str):
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+
+    per_order = (
+        rd.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        # price and discount are 2-decimal, so the products (and their sums)
+        # are EXACT at 4 decimals — rounding there has no boundary ties,
+        # while rounding at 2 decimals would sit exactly on .xx5 for ~0.1%
+        # of orders and flip between duckdb's and numpy's computed doubles
+        .map_batches(
+            partial(_round_col, col="revenue", decimals=4), batch_format="pyarrow"
+        )
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    joined = orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=JOIN_PARTITIONS,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "revenue", "n_items"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J5 — grouped fan-in + small-side broadcast join (reference:
+# analytics/query.py:125-193; dashboard/pages/4:33-43)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    stats = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent")
+        )
+        .map_batches(partial(_round_col, col="total_spent"), batch_format="pyarrow")
+    )
+    customers = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    joined = broadcast_join(stats, customers, left_on="o_custkey", right_on="c_custkey")
+    return joined.select_columns(["o_custkey", "c_name", "n_orders", "total_spent"])
+
+
+# ---------------------------------------------------------------------------
+# K4 — per-group top-k (reference: analytics/query.py:157-163)
+# ---------------------------------------------------------------------------
+
+
+def q_top3_orders_per_customer(sf_dir: str):
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    return (
+        rd.read_parquet(
+            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
+        )
+        .groupby("o_custkey")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — tiny dimension broadcast lookup (reference: dashboard/pages/4:48,110)
+# ---------------------------------------------------------------------------
+
+
+def q_nation_region(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    regions = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    nations = rd.read_parquet(_t(sf_dir, "nation"))
+    joined = broadcast_join(nations, regions, left_on="n_regionkey", right_on="r_regionkey")
+    return joined.select_columns(["n_nationkey", "n_name", "r_name"])
+
+
+# ---------------------------------------------------------------------------
+# D1/D2 — exact dedup: first-writer-wins by content key (reference:
+# pipeline.py:202-211 + event_loader.py:35-38)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_documents_exact(sf_dir: str):
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    return (
+        rd.read_parquet(_t(sf_dir, "documents"))
+        .groupby("text")
+        .map_groups(first, batch_format="pandas")
+        .select_columns(["doc_id", "lang", "source", "n_chars", "text"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis — token counting (M7-ish regex over text)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"].astype("int64"),
+                "word_count": batch["text"].str.count(r"\w+").astype("int64"),
+            }
+        )
+
+    return rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "n_chars", "text"]
+    ).map_batches(tokens, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# F5 through the oracle — piecewise length-quality score over documents
+# (metrics_calculator.py:181-226 with media/hashtag/engagement inputs zeroed)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality(sf_dir: str):
+    def quality(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        length_score = np.where(
+            n < 50,
+            n / 50.0 * 50.0,
+            np.where(
+                n <= 500,
+                50.0 + (n - 50.0) / 450.0 * 50.0,
+                100.0 - np.minimum(50.0, (n - 500.0) / 100.0),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "quality_score": pa.array(
+                    _round_away(length_score * 0.3), pa.float64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    ).map_batches(quality, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search — brute-force cosine top-k against a broadcast query
+# vector (the ANN baseline; the scale path is LSH bucketing, see dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    qrow = emb.filter(pc.equal(emb["vec_id"], 0))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    qnorm = np.linalg.norm(qvec)
+
+    import ray
+
+    qref = ray.put((qvec, qnorm))
+
+    class Scorer:
+        def __init__(self):
+            self.qvec, self.qnorm = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
+            col = batch["embedding"].combine_chunks()
+            dim = len(self.qvec)
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+            mat = mat.astype(np.float64)
+            score = (mat @ self.qvec) / (np.linalg.norm(mat, axis=1) * self.qnorm)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "score": pa.array(_round_away(score, 6), pa.float64()),
+                }
+            )
+
+    return (
+        rd.read_parquet(_t(sf_dir, "embeddings"))
+        .map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — same names, same columns, same rounding
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "purchase_events": """
+        SELECT event_id, ts, user_id, value,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "search_documents": """
+        SELECT doc_id, lang, substr(text, 1, 80) AS snippet
+        FROM documents WHERE text LIKE '%merge%'
+        ORDER BY doc_id DESC LIMIT 20
+    """,
+    "trending_words": """
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS word, source FROM documents
+        ), agg AS (
+            SELECT word, count(*) AS mention_count,
+                   count(DISTINCT source) AS unique_sources
+            FROM words GROUP BY word HAVING count(*) >= 3
+        )
+        SELECT word, mention_count, unique_sources,
+               round(mention_count / 24.0 * ln(1.0 + unique_sources), 2) AS trend_score
+        FROM agg
+    """,
+    "top_users_by_value": """
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    "activity_timeline": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "hour_histogram": """
+        SELECT CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "price_stats": """
+        WITH s AS (
+            SELECT list_sort(list(l_extendedprice)) AS a, count(*) AS n,
+                   sum(l_extendedprice) AS total,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+        )
+        SELECT n, round(total, 2) AS total, round(round(total, 2) / n, 2) AS mean_price,
+               min_price, max_price,
+               a[n // 2 + 1] AS median,
+               a[CAST(n * 0.25 AS INT) + 1] AS p25,
+               a[CAST(n * 0.75 AS INT) + 1] AS p75,
+               a[CAST(n * 0.95 AS INT) + 1] AS p95
+        FROM s
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "latest_event_per_user": """
+        SELECT * FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "latest_event": """
+        SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    "order_revenue": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3
+    """,
+    "customer_order_stats": """
+        SELECT o_custkey, c_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """,
+    "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    "nation_region": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "dedup_documents_exact": """
+        SELECT doc_id, lang, source, n_chars, text FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    "doc_token_stats": """
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS word_count
+        FROM documents
+    """,
+    "doc_quality": """
+        SELECT doc_id,
+               round(0.3 * (CASE
+                   WHEN n_chars < 50 THEN n_chars / 50.0 * 50.0
+                   WHEN n_chars <= 500 THEN 50.0 + (n_chars - 50.0) / 450.0 * 50.0
+                   ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
+               END), 2) AS quality_score
+        FROM documents
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]), 6) AS score
+        FROM embeddings WHERE vec_id != 0
+        ORDER BY score DESC, vec_id LIMIT 10
+    """,
+}

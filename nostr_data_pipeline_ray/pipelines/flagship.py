@@ -1,0 +1,61 @@
+"""Flagship CDC-apply pipeline wired to the driver contract.
+
+Synthesizes a deterministic changelog sized to the testdata scale point,
+replays it through the engine into a /tmp lake, and exposes the final state
+plus the DuckDB LWW oracle SQL over the very same binlog files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import EngineConfig
+from ..synth import ChangelogSpec, expected_final_state_sql, generate_changelog
+from .cdc import apply_changelog, read_final
+
+# scale points keyed by testdata dir basename (seed fixed → byte-identical
+# regeneration; lake dir includes the spec hash so spec changes can't reuse
+# a stale lake)
+SPECS: dict[str, ChangelogSpec] = {
+    "sf0.001": ChangelogSpec(n_events=20_000, n_convs=600, n_segments=8, seed=42),
+    "sf0.01": ChangelogSpec(n_events=120_000, n_convs=4_000, n_segments=10, seed=42),
+    "sf0.1": ChangelogSpec(n_events=1_500_000, n_convs=50_000, n_segments=16, seed=42),
+}
+
+CONFIG = EngineConfig(num_partitions=32, turn_bucket=256, epoch_segments=4)
+
+_SYNTH_ROOT = "/tmp/ndp_synth"
+_LAKE_ROOT = "/tmp/ndp_lake"
+
+
+def spec_for(sf_dir: str) -> ChangelogSpec:
+    return SPECS.get(os.path.basename(os.path.normpath(sf_dir)), SPECS["sf0.01"])
+
+
+def binlog_dir_for(sf_dir: str) -> str:
+    spec = spec_for(sf_dir)
+    out = os.path.join(_SYNTH_ROOT, f"{os.path.basename(os.path.normpath(sf_dir))}-{spec.cache_key()}")
+    return generate_changelog(out, spec)
+
+
+def lake_dir_for(sf_dir: str) -> str:
+    spec = spec_for(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_LAKE_ROOT, f"{name}-{spec.cache_key()}")
+
+
+def q_cdc_apply(sf_dir: str):
+    """Replay the binlog for this scale point and return the final lake state.
+
+    Idempotent: already-committed segments are skipped via the manifest, so a
+    second call is a metadata-only no-op returning the same state.
+    """
+    binlog = binlog_dir_for(sf_dir)
+    lake = lake_dir_for(sf_dir)
+    apply_changelog(lake, binlog, CONFIG)
+    return read_final(lake, sort=False)
+
+
+def cdc_oracle_sql(sf_dir: str) -> str:
+    binlog = binlog_dir_for(sf_dir)
+    return expected_final_state_sql(binlog)

@@ -1,0 +1,81 @@
+"""Simulate the driver's correctness gate: run every queries() entry at
+sf0.01 and compare to oracle_sql() via DuckDB (row count + sorted-column
+order-insensitive value equality). Owns its Ray session (do not run under
+an existing one)."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+import ray
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    t0 = time.time()
+    res = e.entry()
+    n = res.count() if hasattr(res, "count") and not isinstance(res, pd.DataFrame) else len(res)
+    print(f"entry(): {n} rows in {time.time()-t0:.1f}s | schema: "
+          f"{sorted(res.schema().names) if hasattr(res, 'schema') else sorted(res.columns)}")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            got = fn(SF_DIR)
+            got = got.to_pandas() if hasattr(got, "to_pandas") else got
+            status, detail = "ROWS_ONLY", f"{len(got)} rows"
+            if name in oracles:
+                want = con.execute(oracles[name]).df()
+                g, w = normalize(got), normalize(want)
+                if list(g.columns) != list(w.columns):
+                    status, detail = "FAIL", f"columns {list(g.columns)} != {list(w.columns)}"
+                elif len(g) != len(w):
+                    status, detail = "FAIL", f"rows {len(g)} != {len(w)}"
+                else:
+                    try:
+                        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+                        status, detail = "OK", f"{len(g)} rows"
+                    except AssertionError as ex:
+                        status, detail = "FAIL", str(ex).splitlines()[0]
+        except Exception as ex:  # noqa: BLE001
+            status, detail = "ERROR", f"{type(ex).__name__}: {ex}"
+        if status in ("FAIL", "ERROR"):
+            failures.append(name)
+        print(f"{status:9s} {name:28s} {time.time()-t0:6.1f}s  {detail}")
+
+    con.close()
+    ray.shutdown()
+    print(json.dumps({"failures": failures, "total": len(qs)}))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
