@@ -26,6 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.joins import broadcast_join
+from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count
 
 JOIN_PARTITIONS = 8  # hash-join fan-out at test scale; thousands at 100 TB
 
@@ -114,14 +115,28 @@ def q_trending_words(sf_dir: str):
         src = batch["source"].take(parents)
         return pa.table({"word": pc.list_flatten(flat), "source": src})
 
-    pairs = (
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "source"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["word", "source"])
-        .aggregate(Count(alias_name="c"))
-    )
-    agg = pairs.groupby("word").aggregate(
-        Count(alias_name="unique_sources"), Sum("c", alias_name="mention_count")
+    # two-phase: per-batch (word, source) partial counts map-side, then one
+    # bucketed shuffle keyed on word computes total mentions + distinct
+    # sources vectorized (pandas) per bucket
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["word", "source"], sort=False).size().reset_index(name="c")
+        )
+
+    def per_word(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("word", sort=False)
+        out = g.agg(
+            mention_count=("c", "sum"), unique_sources=("source", "nunique")
+        ).reset_index()
+        return out
+
+    agg = bucketed_map_groups(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "source"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        keys=["word"],
+        fn=per_word,
+        pre=partial,
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -268,13 +283,14 @@ def q_distinct_users_by_type(sf_dir: str):
 
 
 def q_latest_event_per_user(sf_dir: str):
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+    def latest(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per bucket: one sort, then first row per user
+        return bucket.sort_values(
+            ["ts", "event_id"], ascending=[False, False]
+        ).drop_duplicates("user_id", keep="first")
 
-    return (
-        rd.read_parquet(_t(sf_dir, "events"))
-        .groupby("user_id")
-        .map_groups(latest, batch_format="pandas")
+    return bucketed_map_groups(
+        rd.read_parquet(_t(sf_dir, "events")), keys=["user_id"], fn=latest
     )
 
 
@@ -303,22 +319,19 @@ def q_order_revenue(sf_dir: str):
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
         return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
 
-    per_order = (
+    per_order = bucketed_sum_count(
         rd.read_parquet(
             _t(sf_dir, "lineitem"),
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(revenue, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        ).map_batches(revenue, batch_format="pyarrow"),
+        keys=["l_orderkey"],
+        sums={"rev": "revenue"},
+        count_as="n_items",
         # price and discount are 2-decimal, so the products (and their sums)
         # are EXACT at 4 decimals — rounding there has no boundary ties,
         # while rounding at 2 decimals would sit exactly on .xx5 for ~0.1%
         # of orders and flip between duckdb's and numpy's computed doubles
-        .map_batches(
-            partial(_round_col, col="revenue", decimals=4), batch_format="pyarrow"
-        )
-    )
+    ).map_batches(partial(_round_col, col="revenue", decimals=4), batch_format="pyarrow")
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
@@ -343,14 +356,12 @@ def q_order_revenue(sf_dir: str):
 def q_customer_order_stats(sf_dir: str):
     import pyarrow.parquet as pq
 
-    stats = (
-        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .aggregate(
-            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent")
-        )
-        .map_batches(partial(_round_col, col="total_spent"), batch_format="pyarrow")
-    )
+    stats = bucketed_sum_count(
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]),
+        keys=["o_custkey"],
+        sums={"o_totalprice": "total_spent"},
+        count_as="n_orders",
+    ).map_batches(partial(_round_col, col="total_spent"), batch_format="pyarrow")
     customers = pq.read_table(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
     ).to_pandas()
@@ -364,17 +375,25 @@ def q_customer_order_stats(sf_dir: str):
 
 
 def q_top3_orders_per_customer(sf_dir: str):
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(3)
+    def top3(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-group top-k: one sort + grouped head
+        ordered = bucket.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return ordered.groupby("o_custkey", sort=False).head(3)
 
-    return (
+    return bucketed_map_groups(
         rd.read_parquet(
             _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
-        )
-        .groupby("o_custkey")
-        .map_groups(top3, batch_format="pandas")
+        ),
+        keys=["o_custkey"],
+        fn=top3,
+        # map-side partial top-k: a group's global top-3 is within the union
+        # of its per-batch top-3s, so prune before the shuffle
+        pre=lambda b: b.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        ).groupby("o_custkey", sort=False).head(3),
     )
 
 
@@ -399,15 +418,16 @@ def q_nation_region(sf_dir: str):
 
 
 def q_dedup_documents_exact(sf_dir: str):
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+    def first(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values("doc_id").drop_duplicates("text", keep="first")
 
-    return (
-        rd.read_parquet(_t(sf_dir, "documents"))
-        .groupby("text")
-        .map_groups(first, batch_format="pandas")
-        .select_columns(["doc_id", "lang", "source", "n_chars", "text"])
-    )
+    return bucketed_map_groups(
+        rd.read_parquet(_t(sf_dir, "documents")),
+        keys=["text"],
+        fn=first,
+        # local pre-dedup bounds shuffle volume when duplicates are common
+        pre=lambda b: b.sort_values("doc_id").drop_duplicates("text", keep="first"),
+    ).select_columns(["doc_id", "lang", "source", "n_chars", "text"])
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,399 @@
+"""Deduplication / similarity pipelines (training-data ops).
+
+Exact word-set Jaccard and embedding near-dup carry DuckDB oracles;
+MinHash-LSH / SimHash / LSH-ANN are the approximate scale paths
+(rows-only driver check — their outputs are candidate-based by design).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
+from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round6(x) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram (word-set) Jaccard via inverted index — the oracle-checkable
+# baseline. Plan: explode distinct (word, doc) → self-pair within each word
+# group → count co-occurrences → jaccard from broadcast doc sizes → top-50.
+# The per-word pair fan-out is the scale risk; stopword-ish hot words would
+# be dropped/salted at 100 TB (here the vocab is tiny and bounded).
+# ---------------------------------------------------------------------------
+
+
+def q_word_jaccard_pairs(sf_dir: str):
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(flat)
+        t = pa.table(
+            {"doc_id": batch["doc_id"].take(parents), "word": pc.list_flatten(flat)}
+        )
+        # distinct within batch (cheap local pre-dedup; global distinct below)
+        return t.group_by(["doc_id", "word"]).aggregate([])
+
+    dw = bucketed_map_groups(
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+            explode_distinct, batch_format="pyarrow"
+        ),
+        keys=["doc_id"],
+        fn=lambda g: g.drop_duplicates(["doc_id", "word"]),
+        pre=lambda b: b.drop_duplicates(["doc_id", "word"]),
+    )
+    dw = dw.materialize()  # reused twice (sizes + pairing); bounded: |docs|·|vocab|
+
+    sizes_df = bucketed_sum_count(dw, ["doc_id"], sums={}, count_as="n").to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
+
+    def pair_docs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    # NB: materialize between consecutive all-to-alls — in this Ray version
+    # chaining a second shuffle directly onto a map_groups output stalls the
+    # fused streaming plan (observed >2 min on 2.3M rows vs seconds split)
+    pairs = (
+        dw.groupby("word").map_groups(pair_docs, batch_format="pandas").materialize()
+    )
+    # co-occurrence counts: bucketed two-phase aggregate (Ray's built-in
+    # groupby().aggregate() combine is per-key Python — 16x slower here)
+    co = bucketed_sum_count(pairs, ["doc_a", "doc_b"], sums={}, count_as="c")
+
+    def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(sizes_ref)
+        na = batch["doc_a"].map(sizes).to_numpy(dtype=np.float64)
+        nb = batch["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        c = batch["c"].to_numpy(dtype=np.float64)
+        batch["jaccard"] = _round6(c * 1.0 / (na + nb - c))
+        return batch[["doc_a", "doc_b", "jaccard"]]
+
+    return (
+        co.map_batches(jaccard, batch_format="pandas")
+        .sort(["jaccard", "doc_a", "doc_b"], descending=[True, False, False])
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path): shingle→minhash→band→bucket
+# groupby→candidate pairs→exact-Jaccard verify on the (small) candidate set.
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    buckets = docs.map_batches(MinHashLSH, batch_format="pandas", concurrency=2)
+
+    def emit_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            pairs_from_group(g)
+            for _, g in bucket.groupby(["band", "band_hash"], sort=False)
+        ]
+        out = pd.concat(outs, ignore_index=True) if outs else pairs_from_group(bucket.iloc[:0])
+        return out.drop(columns=["truncated"]).drop_duplicates(["doc_a", "doc_b"])
+
+    candidates = bucketed_map_groups(buckets, ["band", "band_hash"], emit_pairs)
+    # candidate set is small by construction; final cross-bucket dedup driver-side
+    cand_df = candidates.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    if cand_df.empty:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+
+    # exact verify: fetch shingle sets for candidate docs only (small subset)
+    cand_ids = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    ids_ref = ray.put(cand_ids)
+
+    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(ids_ref)
+        hit = batch[batch["doc_id"].isin(wanted)]
+        return pd.DataFrame(
+            {
+                "doc_id": hit["doc_id"],
+                "shingles": [sorted(word_shingles(t)) for t in hit["text"]],
+            }
+        )
+
+    sets = {}
+    for row in docs.map_batches(shingle_sets, batch_format="pandas").iter_rows():
+        sets[row["doc_id"]] = frozenset(row["shingles"])
+
+    a = cand_df["doc_a"].to_numpy()
+    b = cand_df["doc_b"].to_numpy()
+    jac = np.array(
+        [
+            len(sets[x] & sets[y]) / max(1, len(sets[x] | sets[y]))
+            for x, y in zip(a, b)
+        ]
+    )
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(_round6(jac[keep]), pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + hamming-LSH band keys
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_documents(sf_dir: str):
+    return rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(SimHasher, batch_format="pandas", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: top-50 cosine pairs. Each batch scores its rows
+# against the broadcast full matrix (block × all), keeps a local top-50,
+# then one tiny global sort+limit merges them — correct because any pair
+# beaten 50× within its own block is beaten globally.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_near_dup(sf_dir: str):
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    dim = len(emb["embedding"][0])
+    mat = (
+        emb["embedding"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(-1, dim)
+        .astype(np.float64)
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    ref = ray.put((ids, mat, norms))
+
+    class BlockScorer:
+        def __init__(self):
+            self.ids, self.mat, self.norms = ray.get(ref)
+            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = [self.pos[int(v)] for v in batch["vec_id"].to_pylist()]
+            block = self.mat[rows]
+            scores = (block @ self.mat.T) / np.outer(
+                self.norms[rows], self.norms
+            )
+            ai = np.repeat(self.ids[rows], len(self.ids))
+            bi = np.tile(self.ids, len(rows))
+            s = scores.ravel()
+            mask = ai < bi
+            ai, bi, s = ai[mask], bi[mask], _round6(s[mask])
+            top = np.lexsort((bi, ai, -s))[:50]  # local top-50, ties by ids
+            return pa.table(
+                {
+                    "vec_a": pa.array(ai[top], pa.int64()),
+                    "vec_b": pa.array(bi[top], pa.int64()),
+                    "score": pa.array(s[top], pa.float64()),
+                }
+            )
+
+    return (
+        rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id"])
+        .map_batches(BlockScorer, batch_format="pyarrow", concurrency=2)
+        .sort(["score", "vec_a", "vec_b"], descending=[True, False, False])
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the approximate scale path for q_ann_topk): random
+# hyperplane signs bucket the vectors; only the query's bucket (and 1-bit
+# neighbors) are scored.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk_lsh(
+    sf_dir: str, n_tables: int = 8, n_planes: int = 6, k: int = 10
+):
+    """Multi-table random-hyperplane LSH: a vector is scored only if its
+    sign-signature matches the query's in at least one of ``n_tables``
+    independent tables (plus 1-bit multi-probe per table). Recall depends on
+    the angular gap — near-duplicates (cosine ≳0.9) are found with
+    probability ≈1; on uniform-random data recall is inherently low (that is
+    the LSH trade-off, not a bug — see test_ann_lsh_recall_on_planted)."""
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"][0])
+    rng = np.random.default_rng(11)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pow2 = 1 << np.arange(n_planes)
+    qrow = emb.filter(pc.equal(emb["vec_id"], 0))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    qsig = ((planes @ qvec) > 0) @ pow2  # (n_tables,)
+    # 1-bit multi-probe neighborhood per table
+    probe = [{int(s)} | {int(s) ^ (1 << i) for i in range(n_planes)} for s in qsig]
+    ref = ray.put((planes, pow2, qvec, np.linalg.norm(qvec), probe))
+
+    class BucketScorer:
+        def __init__(self):
+            self.planes, self.pow2, self.qvec, self.qnorm, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
+            col = batch["embedding"].combine_chunks()
+            mat = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, len(self.qvec))
+                .astype(np.float64)
+            )
+            # (n, T) signatures; candidate = any-table probe-set hit
+            sigs = ((mat @ self.planes.transpose(0, 2, 1)) > 0) @ self.pow2  # (T, n)
+            keep = np.zeros(mat.shape[0], dtype=bool)
+            for t, pr in enumerate(self.probe):
+                keep |= np.isin(sigs[t], list(pr))
+            mat = mat[keep]
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+            if len(ids) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+                )
+            score = (mat @ self.qvec) / (np.linalg.norm(mat, axis=1) * self.qnorm)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "score": pa.array(_round6(score), pa.float64()),
+                }
+            )
+
+    return (
+        rd.read_parquet(_t(sf_dir, "embeddings"))
+        .map_batches(BucketScorer, batch_format="pyarrow", concurrency=2)
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: opaque binary column + typed metadata through an
+# actor-pool decode/feature stage. Real codecs aren't in this container —
+# decode_image() raises NotImplementedError by contract; the deterministic
+# fake feature keeps schema/batching/actor plumbing real and tested.
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """STUB: real image decode needs PIL/cv2 (not installed here)."""
+    raise NotImplementedError(
+        "image decode requires an image codec library not present in this "
+        "container; wire PIL/cv2 here in production"
+    )
+
+
+class BinaryFeatures:
+    """binary payload → (n_bytes, crc32, fake 4-dim feature).
+
+    Small batch_size is the knob that matters for real image/audio payloads
+    (batch bytes × concurrency must fit the worker heap)."""
+
+    def __init__(self):
+        import zlib
+
+        self.crc32 = zlib.crc32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [v.as_py() for v in batch["payload"]]
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        crc = np.array([self.crc32(p) for p in payloads], dtype=np.int64)
+        # deterministic fake "embedding" of the payload (stands in for the
+        # model forward pass)
+        feat = np.stack(
+            [
+                np.frombuffer(p[:4].ljust(4, b"\0"), dtype=np.uint8).astype(np.float64)
+                for p in payloads
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_bytes),
+                "crc32": pa.array(crc),
+                "feat": pa.array(list(feat)),
+            }
+        )
+
+
+def q_multimodal_features(sf_dir: str):
+    def to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pc.cast(batch["text"], pa.binary()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(BinaryFeatures, batch_format="pyarrow", concurrency=2, batch_size=256)
+    )
+
+
+QUERIES = {
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_documents": q_simhash_documents,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE = {
+    "word_jaccard_pairs": """
+        WITH dw AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM dw a JOIN dw b USING (word)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY score DESC, vec_a, vec_b LIMIT 50
+    """,
+}

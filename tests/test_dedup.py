@@ -1,0 +1,133 @@
+"""Dedup/similarity pipelines: oracle checks for the exact variants,
+behavioral checks for the approximate (LSH) scale paths."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import nostr_data_pipeline_ray.pipelines.dedup as dd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(dd.ORACLE))
+def test_exact_pair_queries_match_oracle(name):
+    got = dd.QUERIES[name](SF_DIR)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = _oracle(dd.ORACLE[name])
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+@pytest.fixture()
+def neardup_dir(tmp_path):
+    """A documents table with a planted near-duplicate pair and noise."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the merge job "
+        "streams arrow batches through the object store with backpressure "
+        "and spills to disk when memory runs low in the cluster"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # one shingle region differs
+    rng = np.random.default_rng(5)
+    vocab = base.split()
+    noise = [
+        " ".join(rng.choice(vocab, size=40, replace=True)) for _ in range(30)
+    ]
+    texts = [base, near, *noise]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_minhash_finds_planted_neardup(neardup_dir):
+    out = dd.q_minhash_near_dup(neardup_dir, threshold=0.5)
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert (0, 1) in pairs
+    jac = dict(zip(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()),
+                   out["jaccard"].to_pylist()))
+    assert 0.5 <= jac[(0, 1)] < 1.0
+
+
+def test_simhash_determinism_and_similarity(neardup_dir):
+    out = dd.q_simhash_documents(neardup_dir).to_pandas().set_index("doc_id")
+    h0 = np.uint64(out.loc[0, "simhash"])
+    h1 = np.uint64(out.loc[1, "simhash"])
+    hamming = bin(int(h0 ^ h1)).count("1")
+    assert hamming <= 12  # near-dup texts agree on most bits
+    # identical text → identical simhash (deterministic across actors)
+    again = dd.q_simhash_documents(neardup_dir).to_pandas().set_index("doc_id")
+    assert np.uint64(again.loc[0, "simhash"]) == h0
+
+
+def test_ann_lsh_mechanics_on_uniform_data():
+    from nostr_data_pipeline_ray.pipelines.analytics import q_ann_topk
+
+    exact = q_ann_topk(SF_DIR).to_pandas()
+    approx = dd.q_ann_topk_lsh(SF_DIR).to_pandas()
+    # every approx score is a true cosine (bounded by the exact max); on
+    # near-uniform vectors LSH recall is inherently low, so only mechanics
+    # are asserted here — recall is asserted on planted data below
+    assert len(approx) <= 10
+    assert approx["score"].max() <= exact["score"].max() + 1e-9
+
+
+def test_ann_lsh_recall_on_planted(tmp_path):
+    import pyarrow.parquet as pqq
+
+    rng = np.random.default_rng(3)
+    dim, n_noise, n_plant = 64, 480, 10
+    q = rng.standard_normal(dim)
+    planted = q[None, :] + 0.05 * rng.standard_normal((n_plant, dim))  # cos≈0.999
+    noise = rng.standard_normal((n_noise, dim))
+    mat = np.vstack([q, planted, noise]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), pa.int32()),
+        }
+    )
+    pqq.write_table(t, tmp_path / "embeddings.parquet")
+    approx = dd.q_ann_topk_lsh(str(tmp_path)).to_pandas()
+    # the planted near-neighbors (ids 1..10) dominate the approximate top-10
+    hits = set(approx["vec_id"]) & set(range(1, n_plant + 1))
+    assert len(hits) >= 8
+
+
+def test_multimodal_plumbing():
+    out = dd.q_multimodal_features(SF_DIR).to_pandas()
+    assert len(out) == 500
+    assert set(out.columns) == {"doc_id", "n_bytes", "crc32", "feat"}
+    assert (out["n_bytes"] > 0).all()
+    assert all(len(f) == 4 for f in out["feat"])
+    with pytest.raises(NotImplementedError):
+        dd.decode_image(b"\x89PNG")
