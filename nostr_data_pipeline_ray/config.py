@@ -37,6 +37,11 @@ class EngineConfig:
     epoch_segments: int = 8
     batch_size: int = 65536
     merge_concurrency: int | None = None
+    # scratch location for the map-side exchange (staged delta files). On a
+    # real cluster this is node-local SSD / shared object storage; locally a
+    # tmpfs path (e.g. /dev/shm/...) models per-node scratch bandwidth.
+    # None → inside the lake directory.
+    scratch_dir: str | None = None
 
     @staticmethod
     def from_env() -> "EngineConfig":

@@ -25,14 +25,23 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..stages.joins import broadcast_join
-from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count
+from ..stages.joins import broadcast_join, bucketed_hash_join
+from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
 
 JOIN_PARTITIONS = 8  # hash-join fan-out at test scale; thousands at 100 TB
 
 
 def _t(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """read_parquet with block count sized to the file (default parallelism
+    splits a 5 MB table into 64 micro-blocks and every downstream shuffle
+    pays per-block overhead; at 100 TB parallelism comes from file count)."""
+    path = _t(sf_dir, table)
+    blocks = min(64, max(2, os.path.getsize(path) >> 20))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def _round_away(x, decimals: int = 2) -> np.ndarray:
@@ -70,7 +79,7 @@ def q_purchase_events(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(_t(sf_dir, "events")).map_batches(
+    return _read(sf_dir, "events").map_batches(
         extract, batch_format="pyarrow"
     )
 
@@ -92,11 +101,13 @@ def q_search_documents(sf_dir: str):
             }
         )
 
-    return (
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
-        .map_batches(search, batch_format="pyarrow")
-        .sort("doc_id", descending=True)
-        .limit(20)
+    return local_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]).map_batches(
+            search, batch_format="pyarrow"
+        ),
+        by=["doc_id"],
+        descending=[True],
+        k=20,
     )
 
 
@@ -131,7 +142,7 @@ def q_trending_words(sf_dir: str):
         return out
 
     agg = bucketed_map_groups(
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "source"]).map_batches(
+        _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
             explode, batch_format="pyarrow"
         ),
         keys=["word"],
@@ -163,13 +174,13 @@ def q_trending_words(sf_dir: str):
 
 
 def q_top_users_by_value(sf_dir: str):
-    agg = (
-        rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
-        .map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
-    )
-    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+    agg = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        keys=["user_id"],
+        sums={"value": "total_value"},
+        count_as="n_events",
+    ).map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
+    return local_topk(agg, by=["total_value", "user_id"], descending=[True, False], k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -188,13 +199,14 @@ def q_activity_timeline(sf_dir: str):
             }
         )
 
-    return (
-        rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
-        .map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
-    )
+    return bucketed_sum_count(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]).map_batches(
+            bucket, batch_format="pyarrow"
+        ),
+        keys=["window_start", "event_type"],
+        sums={"value": "total_value"},
+        count_as="n_events",
+    ).map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +219,7 @@ def q_hour_histogram(sf_dir: str):
         return pa.table({"hour": pc.cast(pc.hour(batch["ts"]), pa.int64())})
 
     return (
-        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        _read(sf_dir, "events", columns=["ts"])
         .map_batches(hour, batch_format="pyarrow")
         .groupby("hour")
         .aggregate(Count(alias_name="n"))
@@ -222,7 +234,7 @@ def q_hour_histogram(sf_dir: str):
 
 
 def q_price_stats(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
     summary = ds.aggregate(
         Count(alias_name="n"),
         Sum("l_extendedprice", alias_name="total"),
@@ -267,13 +279,21 @@ def q_price_stats(sf_dir: str):
 
 
 def q_distinct_users_by_type(sf_dir: str):
-    pairs = (
-        rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="c"))
-    )
-    return pairs.groupby("event_type").aggregate(
-        Count(alias_name="n_users"), Sum("c", alias_name="n_events")
+    def per_type(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("event_type", sort=False)
+            .agg(n_users=("user_id", "nunique"), n_events=("c", "sum"))
+            .reset_index()
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        keys=["event_type"],
+        fn=per_type,
+        # map-side partial: per-batch (type, user) counts shrink the shuffle
+        pre=lambda b: b.groupby(["event_type", "user_id"], sort=False)
+        .size()
+        .reset_index(name="c"),
     )
 
 
@@ -290,7 +310,7 @@ def q_latest_event_per_user(sf_dir: str):
         ).drop_duplicates("user_id", keep="first")
 
     return bucketed_map_groups(
-        rd.read_parquet(_t(sf_dir, "events")), keys=["user_id"], fn=latest
+        _read(sf_dir, "events"), keys=["user_id"], fn=latest
     )
 
 
@@ -300,10 +320,8 @@ def q_latest_event_per_user(sf_dir: str):
 
 
 def q_latest_event(sf_dir: str):
-    return (
-        rd.read_parquet(_t(sf_dir, "events"))
-        .sort(["ts", "event_id"], descending=[True, True])
-        .limit(1)
+    return local_topk(
+        _read(sf_dir, "events"), by=["ts", "event_id"], descending=[True, True], k=1
     )
 
 
@@ -320,10 +338,7 @@ def q_order_revenue(sf_dir: str):
         return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
 
     per_order = bucketed_sum_count(
-        rd.read_parquet(
-            _t(sf_dir, "lineitem"),
-            columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        ).map_batches(revenue, batch_format="pyarrow"),
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(revenue, batch_format="pyarrow"),
         keys=["l_orderkey"],
         sums={"rev": "revenue"},
         count_as="n_items",
@@ -332,15 +347,11 @@ def q_order_revenue(sf_dir: str):
         # while rounding at 2 decimals would sit exactly on .xx5 for ~0.1%
         # of orders and flip between duckdb's and numpy's computed doubles
     ).map_batches(partial(_round_col, col="revenue", decimals=4), batch_format="pyarrow")
-    orders = rd.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
-    )
-    joined = orders.join(
-        per_order,
-        join_type="inner",
-        num_partitions=JOIN_PARTITIONS,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    # bucketed cogroup join — Ray's Dataset.join spins hash-shuffle
+    # aggregator actors with per-row combine, measured ~8x slower here
+    joined = bucketed_hash_join(
+        orders, per_order, left_on=["o_orderkey"], right_on=["l_orderkey"]
     )
     return joined.select_columns(
         ["o_orderkey", "o_custkey", "o_totalprice", "revenue", "n_items"]
@@ -357,7 +368,7 @@ def q_customer_order_stats(sf_dir: str):
     import pyarrow.parquet as pq
 
     stats = bucketed_sum_count(
-        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
         keys=["o_custkey"],
         sums={"o_totalprice": "total_spent"},
         count_as="n_orders",
@@ -384,9 +395,7 @@ def q_top3_orders_per_customer(sf_dir: str):
         return ordered.groupby("o_custkey", sort=False).head(3)
 
     return bucketed_map_groups(
-        rd.read_parquet(
-            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
-        ),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]),
         keys=["o_custkey"],
         fn=top3,
         # map-side partial top-k: a group's global top-3 is within the union
@@ -406,7 +415,7 @@ def q_nation_region(sf_dir: str):
     import pyarrow.parquet as pq
 
     regions = pq.read_table(_t(sf_dir, "region")).to_pandas()
-    nations = rd.read_parquet(_t(sf_dir, "nation"))
+    nations = _read(sf_dir, "nation")
     joined = broadcast_join(nations, regions, left_on="n_regionkey", right_on="r_regionkey")
     return joined.select_columns(["n_nationkey", "n_name", "r_name"])
 
@@ -422,7 +431,7 @@ def q_dedup_documents_exact(sf_dir: str):
         return bucket.sort_values("doc_id").drop_duplicates("text", keep="first")
 
     return bucketed_map_groups(
-        rd.read_parquet(_t(sf_dir, "documents")),
+        _read(sf_dir, "documents"),
         keys=["text"],
         fn=first,
         # local pre-dedup bounds shuffle volume when duplicates are common
@@ -518,12 +527,10 @@ def q_ann_topk(sf_dir: str):
                 }
             )
 
-    return (
-        rd.read_parquet(_t(sf_dir, "embeddings"))
-        .map_batches(Scorer, batch_format="pyarrow", concurrency=2)
-        .sort(["score", "vec_id"], descending=[True, False])
-        .limit(10)
+    scored = _read(sf_dir, "embeddings").map_batches(
+        Scorer, batch_format="pyarrow", concurrency=2
     )
+    return local_topk(scored, by=["score", "vec_id"], descending=[True, False], k=10)
 
 
 # ---------------------------------------------------------------------------

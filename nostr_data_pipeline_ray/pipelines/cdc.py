@@ -1,16 +1,25 @@
 """The CDC apply pipeline: binlog/WAL tail → LWW upsert → exactly-once lake.
 
-Ray shape (SURVEY.md §3.1):
+Ray shape (SURVEY.md §3.1), all stages embarrassingly-parallel maps:
 
-    binlog segments (LSN > watermark)
-      → read_parquet                      (per-segment; schemas may differ)
-      → map_batches(conform_schema)       (additive evolution, Arrow unify)
-      → map_batches(precombine)           (map-side LWW combine — bounds the shuffle)
-      → map_batches(add_pkey)             (hash(conv_id, turn//bucket) % P)
-      → map_batches(watermark_filter)     (row-level idempotence on replay)
-      → union(current snapshot partitions touched by the delta)
-      → groupby("pkey").map_groups(merge+write)   # the ONE all-to-all exchange
+    binlog segments (not yet committed)
+      → read_parquet                  (grouped by file schema)
+      → map_batches(precombine)       (map-side LWW combine — bounds the exchange)
+      → map_batches(add_pkey)         (hash(conv_id, turn//bucket) % P)
+      → map_batches(watermark_filter) (row-level idempotence on replay)
+      → map_batches(SplitStage)       (map-side exchange: write each block's
+                                       rows into per-partition staged files —
+                                       the shuffle-file layout every external
+                                       shuffle uses; returns metadata rows)
+      → per-partition MergeTask fan-out (staged delta + snapshot part →
+                                       LWW reduce → sorted part file)
       → lineage rows → manifest commit (atomic rename)
+
+Why not ``groupby("pkey").map_groups``: profiled on 20M events, Ray's
+sort-shuffle burned 74 s of remote time against ~50 s for ALL map stages
+combined and capped scaling at ~8 cores; the staged exchange is pure map
+fan-out on both sides. On a multi-node cluster the staged files live on
+shared storage (exactly how external/serverless shuffles work).
 
 Reference analog: the micro-batch loop at src/nostr_pipeline/pipeline.py:157-258
 (drain queue → dedup → enrich → upsert in one transaction per batch), with the
@@ -22,10 +31,12 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import time
 from functools import partial
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -34,7 +45,12 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..model import LAKE_SCHEMA
-from ..stages.cdc_stages import add_pkey, conform_schema, precombine, watermark_filter
+from ..stages.cdc_stages import (
+    add_pkey,
+    conform_schema,
+    precombine,
+    watermark_filter,
+)
 from ..state.lake import Lake
 
 
@@ -49,62 +65,143 @@ def _merge_schema(segment_paths: list[str], snapshot_paths: list[str]) -> pa.Sch
         snap = pq.read_schema(p)
         if "op" not in snap.names:
             snap = snap.append(pa.field("op", pa.string()))
-        schemas.append(snap.remove(snap.get_field_index("pkey")) if "pkey" in snap.names else snap)
+        schemas.append(
+            snap.remove(snap.get_field_index("pkey")) if "pkey" in snap.names else snap
+        )
     unified = pa.unify_schemas(schemas, promote_options="permissive")
     if "pkey" in unified.names:
         unified = unified.remove(unified.get_field_index("pkey"))
-    return unified.append(pa.field("pkey", pa.int32()))
+    return unified
 
 
-class MergeWrite:
-    """Per-partition final LWW reduce + part-file write (phase 1 of 2PC).
+def lww_reduce(table: pa.Table) -> tuple[pa.Table, int]:
+    """Keep the max-(lsn, input-position) row per (conv_id, turn_idx).
 
-    Called once per pkey group by ``groupby("pkey").map_groups``. Writes the
-    new snapshot part at a deterministic path (idempotent under task retry)
-    and returns ONE lineage row — per-partition lineage + throughput metrics
-    are first-class output, not logs (north_rule requirement).
+    Ties on lsn (duplicate delivery) break by stable position — the
+    deterministic total order of SURVEY.md §7.4. Returns (winners, max_lsn).
+    """
+    if table.num_rows == 0:
+        return table, -1
+    conv = table["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    codes = pc.dictionary_encode(conv)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    code_np = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = table["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = code_np * np.int64(1 << 32) + turn
+    lsn = table["lsn"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lsn, kind="stable")
+    rev = order[::-1]
+    _, first_pos = np.unique(key[rev], return_index=True)
+    keep = rev[first_pos]
+    keep.sort()
+    return table.take(keep), int(lsn.max())
+
+
+class SplitStage:
+    """Map-side exchange: write each block's rows into per-partition staged
+    delta files and return per-(block, pkey) metadata rows.
+
+    File names are a content fingerprint (lsn range + row count), so a
+    retried task overwrites its own output — and even a true collision is
+    harmless because the downstream LWW reduce collapses duplicate rows.
     """
 
-    def __init__(self, lake_root: str, epoch: int):
+    def __init__(self, staged_root: str, num_partitions: int):
+        self.staged_root = staged_root
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"pkey": pa.array([], pa.int32()), "rows": pa.array([], pa.int64()),
+                 "max_lsn": pa.array([], pa.int64())}
+            )
+        pk = batch["pkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        batch = batch.take(order).drop_columns(["pkey"])
+        pk = pk[order]
+        bounds = np.flatnonzero(np.diff(pk)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pk)]])
+        out_pk, out_rows, out_max = [], [], []
+        for s, e in zip(starts, ends):
+            part = batch.slice(s, e - s)
+            p = int(pk[s])
+            lsn = part["lsn"].to_numpy(zero_copy_only=False)
+            d = os.path.join(self.staged_root, f"pk-{p:05d}")
+            os.makedirs(d, exist_ok=True)
+            name = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}.parquet"
+            pq.write_table(part, os.path.join(d, name))
+            out_pk.append(p)
+            out_rows.append(part.num_rows)
+            out_max.append(int(lsn.max()))
+        return pa.table(
+            {
+                "pkey": pa.array(out_pk, pa.int32()),
+                "rows": pa.array(out_rows, pa.int64()),
+                "max_lsn": pa.array(out_max, pa.int64()),
+            }
+        )
+
+
+class MergeTask:
+    """Per-partition reduce: staged delta files + current snapshot part →
+    LWW → tombstone drop → sorted part file at a deterministic path
+    (phase 1 of the two-phase commit; idempotent under retry).
+
+    Returns one lineage row per partition — per-partition lineage and
+    throughput metrics are first-class output (north_rule requirement).
+    """
+
+    def __init__(
+        self,
+        lake_root: str,
+        epoch: int,
+        staged_root: str,
+        data_schema: pa.Schema,
+    ):
         self.lake = Lake(lake_root)
         self.epoch = epoch
+        self.staged_root = staged_root
+        self.data_schema = data_schema
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, items: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(items.num_rows):
+            pkey = int(items["pkey"][i].as_py())
+            snap = items["snap"][i].as_py()
+            rows.append(self._merge_one(pkey, snap))
+        return pa.concat_tables(rows)
+
+    def _merge_one(self, pkey: int, snap_rel: str | None) -> pa.Table:
         t0 = time.time()
-        pkey = int(group["pkey"][0].as_py())
-        rows_in = group.num_rows
+        tables = []
+        d = os.path.join(self.staged_root, f"pk-{pkey:05d}")
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            tables.append(conform_schema(pq.read_table(f), target=self.data_schema))
+        if snap_rel:
+            snap = pq.read_table(os.path.join(self.lake.root, snap_rel))
+            tables.append(conform_schema(snap, target=self.data_schema))
+        merged = pa.concat_tables(tables)
+        rows_in = merged.num_rows
+        winners, max_lsn = lww_reduce(merged)
 
-        # final LWW: max-lsn row per (conv_id, turn_idx); the snapshot rows
-        # (op == null) compete on their stored lsn.
-        import numpy as np
-
-        conv = group["conv_id"].combine_chunks() if isinstance(
-            group["conv_id"], pa.ChunkedArray
-        ) else group["conv_id"]
-        codes = pc.dictionary_encode(conv)
-        if isinstance(codes, pa.ChunkedArray):
-            codes = codes.combine_chunks()
-        code_np = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        turn = group["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = code_np * np.int64(1 << 32) + turn
-        lsn = group["lsn"].to_numpy(zero_copy_only=False)
-        order = np.argsort(lsn, kind="stable")
-        rev = order[::-1]
-        _, first_pos = np.unique(key[rev], return_index=True)
-        keep = rev[first_pos]
-        winners = group.take(keep)
-        max_lsn = int(lsn.max()) if rows_in else -1
-
-        # drop tombstones (max-lsn op == delete ⇒ key is gone)
+        # drop tombstones (max-lsn op == delete ⇒ key is gone); snapshot rows
+        # carry op == null (= upsert)
         is_del = pc.fill_null(pc.equal(winners["op"], "delete"), False)
-        alive = winners.filter(pc.invert(is_del))
-        alive = alive.drop_columns(["op"])
+        alive = winners.filter(pc.invert(is_del)).drop_columns(["op"])
         # store each part sorted by the invariant order so per-file reads are
         # already (conv_id, turn_idx)-ordered
         idx = pc.sort_indices(
             alive, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
         alive = alive.take(idx)
+        alive = alive.append_column(
+            "pkey", pa.array(np.full(alive.num_rows, pkey, dtype=np.int32))
+        )
 
         rel = self.lake.part_path(self.epoch, pkey)
         abspath = os.path.join(self.lake.root, rel)
@@ -133,23 +230,32 @@ def apply_epoch(
     epoch = lake.current_epoch() + 1
     seg_names = [os.path.basename(p) for p in segment_paths]
     watermarks = lake.watermarks()
-
     snapshot_all = lake.snapshot_files()
-    schema = _merge_schema(segment_paths, snapshot_all)
-    data_schema = schema.remove(schema.get_field_index("pkey"))
+    data_schema = _merge_schema(segment_paths, snapshot_all)
 
-    # --- delta: read (per segment, schemas may differ), conform, precombine,
-    # partition, watermark-filter ------------------------------------------
-    delta = None
+    scratch = config.scratch_dir or os.path.join(lake.root, "parts")
+    staged_root = os.path.join(scratch, f"epoch-{epoch}-delta")
+    shutil.rmtree(staged_root, ignore_errors=True)  # crashed prior attempt
+
+    # --- phase A: delta map + map-side exchange ---------------------------
+    # segments grouped by identical file schema → one read_parquet per group
+    # (a union of single-file reads measured 2x slower); schema conformance
+    # happens inside MergeTask, so heterogeneous groups just flow through
+    groups: list[tuple[pa.Schema, list[str]]] = []
     for p in segment_paths:
-        part = rd.read_parquet(p).map_batches(
-            partial(conform_schema, target=data_schema),
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-        )
+        sch = pq.read_schema(p)
+        if groups and groups[-1][0].equals(sch):
+            groups[-1][1].append(p)
+        else:
+            groups.append((sch, [p]))
+
+    delta = None
+    for _sch, paths in groups:
+        part = rd.read_parquet(paths)
         delta = part if delta is None else delta.union(part)
-    delta = (
-        delta.map_batches(precombine, batch_format="pyarrow", batch_size=config.batch_size)
+    split = SplitStage(staged_root, config.num_partitions)
+    meta_rows = (
+        delta.map_batches(precombine, batch_format="pyarrow", batch_size=None)
         .map_batches(
             partial(
                 add_pkey,
@@ -157,66 +263,71 @@ def apply_epoch(
                 turn_bucket=config.turn_bucket,
             ),
             batch_format="pyarrow",
-            batch_size=config.batch_size,
+            batch_size=None,
         )
         .map_batches(
             partial(watermark_filter, watermarks=watermarks),
             batch_format="pyarrow",
-            batch_size=config.batch_size,
+            batch_size=None,
         )
+        .map_batches(split, batch_format="pyarrow", batch_size=None)
+        .take_all()
     )
-    # the epoch's delta is a bounded micro-batch — materializing it lets us
-    # learn the touched partitions without a second read of the segments
-    delta = delta.materialize()
+    t_delta = time.time() - t0
 
-    touched = sorted(
-        r["pkey"] for r in delta.groupby("pkey").count().take_all()
-    )
+    touched = sorted({int(r["pkey"]) for r in meta_rows})
     if not touched:
         # nothing new (pure replay) — commit only the segment bookkeeping
+        shutil.rmtree(staged_root, ignore_errors=True)
         lake.commit_epoch(epoch, {}, {}, seg_names, {}, data_schema,
                           stats={"rows_applied": 0, "seconds": time.time() - t0})
         return {"epoch": epoch, "rows_applied": 0, "partitions": 0,
-                "seconds": time.time() - t0}
+                "seconds": time.time() - t0, "phases": {}}
 
-    # --- snapshot side: ONLY the touched partitions are read & rewritten ---
-    snap_files = lake.snapshot_files(touched)
-    both = delta
-    if snap_files:
-        snap = rd.read_parquet(snap_files).map_batches(
-            partial(conform_schema, target=schema),
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-        )
-        both = delta.union(snap)
+    # --- phase B: per-partition merge fan-out -----------------------------
+    m = lake.current_manifest()
+    files = m["files"] if m else {}
+    items = [{"pkey": pk, "snap": files.get(str(pk))} for pk in touched]
+    mt = MergeTask(lake.root, epoch, staged_root, data_schema)
 
-    # --- the one shuffle: co-locate each partition, merge, write -----------
-    mw = MergeWrite(lake.root, epoch)
+    def merge_task(batch: pa.Table) -> pa.Table:
+        return mt(batch)
 
-    def merge_write(group: pa.Table) -> pa.Table:
-        return mw(group)
-
-    lineage_ds = both.groupby("pkey").map_groups(merge_write, batch_format="pyarrow")
-    lineage_rows = lineage_ds.take_all()  # ≤ num_partitions rows
+    lineage_rows = (
+        rd.from_items(items, override_num_blocks=len(items))
+        .map_batches(merge_task, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    t_merge = time.time() - t0 - t_delta
 
     new_files = {int(r["pkey"]): r["path"] for r in lineage_rows}
     new_wm = {int(r["pkey"]): int(r["max_lsn"]) for r in lineage_rows}
     lineage = {
-        int(r["pkey"]): {k: (float(v) if k == "seconds" else v) for k, v in r.items() if k != "pkey"}
+        int(r["pkey"]): {
+            k: (float(v) if k == "seconds" else v)
+            for k, v in r.items()
+            if k != "pkey"
+        }
         for r in lineage_rows
     }
-    rows_applied = int(sum(r["rows_in"] for r in lineage_rows))
+    rows_applied = int(sum(r["rows"] for r in meta_rows))
     seconds = time.time() - t0
     lake.commit_epoch(
         epoch, new_files, new_wm, seg_names, lineage, data_schema,
         stats={"rows_applied": rows_applied, "seconds": seconds,
                "events_per_sec": rows_applied / max(seconds, 1e-9)},
     )
+    shutil.rmtree(staged_root, ignore_errors=True)  # post-commit cleanup
     return {
         "epoch": epoch,
         "rows_applied": rows_applied,
         "partitions": len(touched),
         "seconds": seconds,
+        "phases": {
+            "delta": round(t_delta, 3),
+            "merge": round(t_merge, 3),
+            "commit": round(seconds - t_delta - t_merge, 3),
+        },
     }
 
 
@@ -235,6 +346,7 @@ def apply_changelog(
     pending = [p for p in list_segments(binlog_dir) if os.path.basename(p) not in applied]
     t0 = time.time()
     total_rows = 0
+    raw_events = sum(pq.read_metadata(p).num_rows for p in pending)
     epochs = []
     for i in range(0, len(pending), config.epoch_segments):
         out = apply_epoch(lake, pending[i : i + config.epoch_segments], config)
@@ -244,9 +356,10 @@ def apply_changelog(
     return {
         "epochs": epochs,
         "segments_applied": len(pending),
-        "rows_applied": total_rows,
+        "raw_events": raw_events,  # change events replayed (incl. duplicates)
+        "rows_applied": total_rows,  # post-precombine rows reaching the merge
         "seconds": seconds,
-        "events_per_sec": total_rows / max(seconds, 1e-9),
+        "events_per_sec": raw_events / max(seconds, 1e-9),
     }
 
 

@@ -20,11 +20,18 @@ import ray.data as rd
 from ray.data.aggregate import Count
 
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
-from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count
+from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
 
 
 def _t(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Size the block count to the file (see analytics._read)."""
+    path = _t(sf_dir, table)
+    blocks = min(64, max(2, os.path.getsize(path) >> 20))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def _round6(x) -> np.ndarray:
@@ -52,7 +59,7 @@ def q_word_jaccard_pairs(sf_dir: str):
         return t.group_by(["doc_id", "word"]).aggregate([])
 
     dw = bucketed_map_groups(
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
             explode_distinct, batch_format="pyarrow"
         ),
         keys=["doc_id"],
@@ -89,10 +96,11 @@ def q_word_jaccard_pairs(sf_dir: str):
         batch["jaccard"] = _round6(c * 1.0 / (na + nb - c))
         return batch[["doc_a", "doc_b", "jaccard"]]
 
-    return (
-        co.map_batches(jaccard, batch_format="pandas")
-        .sort(["jaccard", "doc_a", "doc_b"], descending=[True, False, False])
-        .limit(50)
+    return local_topk(
+        co.map_batches(jaccard, batch_format="pandas"),
+        by=["jaccard", "doc_a", "doc_b"],
+        descending=[True, False, False],
+        k=50,
     )
 
 
@@ -103,15 +111,25 @@ def q_word_jaccard_pairs(sf_dir: str):
 
 
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     buckets = docs.map_batches(MinHashLSH, batch_format="pandas", concurrency=2)
 
     def emit_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        # almost all LSH buckets are singletons — drop them vectorized before
+        # the per-group pair loop touches only the colliding few
+        sizes = bucket.groupby(["band", "band_hash"], sort=False)["doc_id"].transform(
+            "size"
+        )
+        hits = bucket[sizes >= 2]
         outs = [
             pairs_from_group(g)
-            for _, g in bucket.groupby(["band", "band_hash"], sort=False)
+            for _, g in hits.groupby(["band", "band_hash"], sort=False)
         ]
-        out = pd.concat(outs, ignore_index=True) if outs else pairs_from_group(bucket.iloc[:0])
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pairs_from_group(bucket.iloc[:0])
+        )
         return out.drop(columns=["truncated"]).drop_duplicates(["doc_a", "doc_b"])
 
     candidates = bucketed_map_groups(buckets, ["band", "band_hash"], emit_pairs)
@@ -140,9 +158,8 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    sets = {}
-    for row in docs.map_batches(shingle_sets, batch_format="pandas").iter_rows():
-        sets[row["doc_id"]] = frozenset(row["shingles"])
+    sdf = docs.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+    sets = {i: frozenset(s) for i, s in zip(sdf["doc_id"], sdf["shingles"])}
 
     a = cand_df["doc_a"].to_numpy()
     b = cand_df["doc_b"].to_numpy()
@@ -168,9 +185,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
 
 
 def q_simhash_documents(sf_dir: str):
-    return rd.read_parquet(
-        _t(sf_dir, "documents"), columns=["doc_id", "text"]
-    ).map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(SimHasher, batch_format="pandas", concurrency=2)
 
 
 # ---------------------------------------------------------------------------
@@ -221,11 +236,13 @@ def q_embedding_near_dup(sf_dir: str):
                 }
             )
 
-    return (
-        rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id"])
-        .map_batches(BlockScorer, batch_format="pyarrow", concurrency=2)
-        .sort(["score", "vec_a", "vec_b"], descending=[True, False, False])
-        .limit(50)
+    return local_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+            BlockScorer, batch_format="pyarrow", concurrency=2
+        ),
+        by=["score", "vec_a", "vec_b"],
+        descending=[True, False, False],
+        k=50,
     )
 
 
@@ -289,11 +306,13 @@ def q_ann_topk_lsh(
                 }
             )
 
-    return (
-        rd.read_parquet(_t(sf_dir, "embeddings"))
-        .map_batches(BucketScorer, batch_format="pyarrow", concurrency=2)
-        .sort(["score", "vec_id"], descending=[True, False])
-        .limit(k)
+    return local_topk(
+        _read(sf_dir, "embeddings").map_batches(
+            BucketScorer, batch_format="pyarrow", concurrency=2
+        ),
+        by=["score", "vec_id"],
+        descending=[True, False],
+        k=k,
     )
 
 
@@ -356,7 +375,7 @@ def q_multimodal_features(sf_dir: str):
         )
 
     return (
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(to_binary, batch_format="pyarrow")
         .map_batches(BinaryFeatures, batch_format="pyarrow", concurrency=2, batch_size=256)
     )

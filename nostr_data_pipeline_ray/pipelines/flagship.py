@@ -19,10 +19,17 @@ from .cdc import apply_changelog, read_final
 SPECS: dict[str, ChangelogSpec] = {
     "sf0.001": ChangelogSpec(n_events=20_000, n_convs=600, n_segments=8, seed=42),
     "sf0.01": ChangelogSpec(n_events=120_000, n_convs=4_000, n_segments=10, seed=42),
-    "sf0.1": ChangelogSpec(n_events=1_500_000, n_convs=50_000, n_segments=16, seed=42),
+    # sf0.1 is the bench scale: big enough that the apply is compute-bound
+    # (the fixed driver/plan/sort-sample latency amortized), so parallel
+    # scaling is visible — ~20M change events ≈ 3 GB of binlog
+    "sf0.1": ChangelogSpec(n_events=20_000_000, n_convs=500_000, n_segments=64, seed=42),
 }
 
-CONFIG = EngineConfig(num_partitions=32, turn_bucket=256, epoch_segments=4)
+_SCRATCH = "/dev/shm/ndp_scratch" if os.path.isdir("/dev/shm") else None
+
+CONFIG = EngineConfig(
+    num_partitions=32, turn_bucket=256, epoch_segments=32, scratch_dir=_SCRATCH
+)
 
 _SYNTH_ROOT = "/tmp/ndp_synth"
 _LAKE_ROOT = "/tmp/ndp_lake"

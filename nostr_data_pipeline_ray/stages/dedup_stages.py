@@ -53,21 +53,36 @@ class MinHashLSH:
         return hashed.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text or "")
-            if sig is None:
-                continue
-            banded = sig.reshape(self.bands, self.r)
-            bh = (banded * self.band_mix[None, :]).sum(axis=1, dtype=np.uint64)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bh.tolist())
-            out_doc.extend([doc_id] * self.bands)
+        # fully vectorized across the batch: hash EVERY shingle of every doc
+        # in one call, then per-doc minima via minimum.reduceat over the doc
+        # boundary offsets (no per-doc Python in the hot path)
+        shingle_lists = [word_shingles(t or "", self.ngram) for t in batch["text"]]
+        counts = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        keep = counts > 0
+        doc_ids = batch["doc_id"].to_numpy()[keep]
+        counts = counts[keep]
+        if len(doc_ids) == 0:
+            return pd.DataFrame(
+                {
+                    "band": np.array([], dtype=np.int32),
+                    "band_hash": np.array([], dtype=np.int64),
+                    "doc_id": np.array([], dtype=np.int64),
+                }
+            )
+        flat = [s for lst in shingle_lists if lst for s in lst]
+        base = _hash_strings(flat)  # (total_shingles,)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # (k, total) universal hashes, per-doc min along shingle runs
+        hashed = (self.a[:, None] * base[None, :] + self.b[:, None]) & _M61
+        sigs = np.minimum.reduceat(hashed, offsets, axis=1)  # (k, n_docs)
+        banded = sigs.T.reshape(len(doc_ids), self.bands, self.r)
+        bh = (banded * self.band_mix[None, None, :]).sum(axis=2, dtype=np.uint64)
+        n = len(doc_ids)
         return pd.DataFrame(
             {
-                "band": np.asarray(out_band, dtype=np.int32),
-                "band_hash": np.asarray(out_hash, dtype=np.uint64).astype(np.int64),
-                "doc_id": np.asarray(out_doc, dtype=np.int64),
+                "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(doc_ids, self.bands).astype(np.int64),
             }
         )
 
@@ -89,15 +104,31 @@ class SimHasher:
         h = _hash_strings(words)  # (w,) uint64
         bits = ((h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
         v = (bits * 2 - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.nonzero(v > 0)[0]:
-            out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+        return int(((v > 0).astype(np.uint64) << self.bit_idx).sum(dtype=np.uint64))
+
+    def _simhash_batch(self, texts) -> np.ndarray:
+        # vectorized across the batch: one hash call for all words, bit
+        # matrix once, per-doc sums via add.reduceat at doc offsets
+        word_lists = [(t or "").split() for t in texts]
+        counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nz = counts > 0
+        if not nz.any():
+            return out
+        flat = [w for ws in word_lists if ws for w in ws]
+        h = _hash_strings(flat)
+        bits = ((h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        signed = bits * 2 - 1  # (total_words, 64)
+        offsets = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+        v = np.add.reduceat(signed, offsets, axis=0)  # (n_nonempty, 64)
+        packed = ((v > 0).astype(np.uint64) << self.bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nz] = packed
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = np.fromiter(
-            (self.simhash(t) for t in batch["text"]), dtype=np.uint64, count=len(batch)
-        )
+        sh = self._simhash_batch(batch["text"])
         out = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64")})
         out["simhash"] = sh.astype(np.int64)  # two's-complement view for Arrow
         for i in range(4):

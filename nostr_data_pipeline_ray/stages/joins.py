@@ -49,3 +49,84 @@ def broadcast_join(
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     return ds.map_batches(_Joiner, **kwargs)
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    left_on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 32,
+):
+    """Large⋈large hash join as ONE bucketed shuffle + per-bucket pandas
+    merge (Ray's Dataset.join spins up hash-shuffle aggregator actors with a
+    per-row combine — measured ~8x slower on 600k⋈150k rows).
+
+    Plan: conform both sides to the union schema (missing columns null), tag
+    a side marker, bucket each side by the hash of ITS key columns, union,
+    groupby(bucket), split+merge vectorized inside each bucket.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .shuffle import key_buckets
+
+    right_on = right_on or left_on
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap = set(lcols) & set(rcols)
+    assert not overlap, f"bucketed_hash_join needs disjoint columns, got {overlap}"
+
+    def _na_dtype(t: pa.DataType) -> str:
+        # nullable pandas dtypes so all-NA columns still carry the right
+        # Arrow type (an object column of Nones would become `null` and the
+        # two sides' block schemas wouldn't unify)
+        if pa.types.is_integer(t):
+            return "Int64"
+        if pa.types.is_floating(t):
+            return "Float64"
+        if pa.types.is_timestamp(t):
+            return "datetime64[ns]"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return "string"
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    order = lcols + rcols  # identical column order on both sides
+
+    def tag(side: int, keys: list[str], other_types: dict):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy(deep=False)
+            for c, t in other_types.items():
+                batch[c] = pd.Series(pd.NA, index=batch.index, dtype=_na_dtype(t))
+            batch = batch[order]
+            batch["_bucket"] = key_buckets(batch, keys, num_buckets)
+            batch["_side"] = np.int8(side)
+            return batch
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_on, rtypes), batch_format="pandas")
+    rt = right.map_batches(tag(1, right_on, ltypes), batch_format="pandas")
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket["_side"] == 0][lcols]
+        r = bucket[bucket["_side"] == 1][rcols]
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        # the all-NA padding upcast int columns to nullable/float across the
+        # union; restore exact integer dtypes (inner joins leave no NA)
+        for c, t in {**ltypes, **rtypes}.items():
+            if pa.types.is_integer(t) and c in out and out[c].dtype != "int64":
+                try:
+                    out[c] = out[c].astype("int64")
+                except (TypeError, ValueError):
+                    pass  # outer join NAs stay nullable
+        return out
+
+    return (
+        lt.union(rt)
+        .groupby("_bucket")
+        .map_groups(lambda g: merge(g.drop(columns=["_bucket"])), batch_format="pandas")
+    )

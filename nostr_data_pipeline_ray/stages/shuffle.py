@@ -70,6 +70,20 @@ def bucketed_map_groups(
     )
 
 
+def local_topk(ds, by: list[str], descending: list[bool], k: int):
+    """Global top-k without a full-range sort: per-batch vectorized prune to
+    k rows, then the final sort+limit runs over ≤ k·num_blocks rows.
+    Deterministic given a tie-breaking key in ``by``."""
+    ascending = [not d for d in descending]
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=ascending).head(k)
+
+    return ds.map_batches(prune, batch_format="pandas").sort(
+        by, descending=descending
+    ).limit(k)
+
+
 def bucketed_sum_count(
     ds,
     keys: list[str],

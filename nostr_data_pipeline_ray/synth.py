@@ -112,7 +112,16 @@ def _build_changelog_arrays(spec: ChangelogSpec) -> dict[str, np.ndarray]:
 
 
 def _arrays_to_table(a: dict[str, np.ndarray]) -> pa.Table:
+    # chunked build: a single pa.string() array caps at 2 GiB of payload,
+    # which ~15M transcript texts exceed — build per-chunk and concat
     n = len(a["lsn"])
+    chunk = 2_000_000
+    if n > chunk:
+        parts = [
+            _arrays_to_table({k: v[i : i + chunk] for k, v in a.items()})
+            for i in range(0, n, chunk)
+        ]
+        return pa.concat_tables(parts)
     conv_id = pc.binary_join_element_wise(
         "conv-", pc.cast(pa.array(a["conv"]), pa.string()), ""
     )
@@ -167,17 +176,18 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> str:
         os.unlink(os.path.join(binlog, old))
 
     arrays = _build_changelog_arrays(spec)
-    table = _arrays_to_table(arrays)
 
     # duplicate deliveries: re-append a sample of rows with identical lsn,
     # then stable-sort by lsn so segments remain LSN-ordered (dups adjacent).
+    # Done in numpy index space BEFORE Arrow conversion — a global take() on
+    # a >2 GiB string column overflows 32-bit offsets.
     rng = np.random.default_rng(spec.seed + 1)
-    n = table.num_rows
+    n = len(arrays["lsn"])
     dup_idx = rng.choice(n, size=int(spec.dup_frac * n), replace=False)
-    dup_idx.sort()
-    table = pa.concat_tables([table, table.take(dup_idx)])
-    order = np.argsort(table.column("lsn").to_numpy(), kind="stable")
-    table = table.take(order)
+    combined = np.concatenate([np.arange(n, dtype=np.int64), dup_idx])
+    order = np.argsort(arrays["lsn"][combined], kind="stable")
+    final_idx = combined[order]
+    table = _arrays_to_table({k: v[final_idx] for k, v in arrays.items()})
 
     bounds = np.linspace(0, table.num_rows, spec.n_segments + 1).astype(int)
     for i in range(spec.n_segments):
