@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: getattr(_an, f"q_{name}") for name in sorted(_an.ORACLE)
     }
     qs["cdc_apply"] = _flag.q_cdc_apply
+    qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
     # rows-only extras (no SQL oracle) are registered by their modules below
     try:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd

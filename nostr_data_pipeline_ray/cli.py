@@ -1,0 +1,161 @@
+"""CLI surface — analog of the reference's console script
+(reference: src/nostr_pipeline/cli.py:20-284 — run/init-db/stats/trending/
+top-zapped/user/relays/version).
+
+    python -m nostr_data_pipeline_ray apply  --lake DIR --binlog DIR
+    python -m nostr_data_pipeline_ray synth  --out DIR [--events N ...]
+    python -m nostr_data_pipeline_ray stats  --lake DIR
+    python -m nostr_data_pipeline_ray query  NAME [--sf DIR]
+    python -m nostr_data_pipeline_ray vacuum --lake DIR
+    python -m nostr_data_pipeline_ray version
+
+Owns its Ray session (guarded init, shutdown at exit) — library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_apply(args) -> int:
+    _ray()
+    from .config import EngineConfig
+    from .pipelines.cdc import apply_changelog
+
+    cfg = EngineConfig.from_env()
+    out = apply_changelog(args.lake, args.binlog, cfg)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from .synth import ChangelogSpec, generate_changelog
+
+    spec = ChangelogSpec(
+        n_events=args.events, n_convs=args.convs, n_segments=args.segments,
+        seed=args.seed, evolve=args.evolve,
+    )
+    binlog = generate_changelog(args.out, spec)
+    print(json.dumps({"binlog": binlog, "spec": spec.cache_key()}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .state.lake import Lake
+
+    m = Lake(args.lake).current_manifest()
+    if m is None:
+        print(json.dumps({"epoch": None}))
+        return 0
+    print(
+        json.dumps(
+            {
+                "epoch": m["epoch"],
+                "partitions": len(m["files"]),
+                "segments_applied": len(m["applied_segments"]),
+                "watermark_min": min(m["watermarks"].values(), default=None),
+                "watermark_max": max(m["watermarks"].values(), default=None),
+                "stats": m.get("stats", {}),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ray()
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; available: {sorted(qs)}", file=sys.stderr)
+        return 2
+    res = qs[args.name](args.sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    print(df.head(args.limit).to_string())
+    print(f"... {len(df)} rows")
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .state.lake import Lake
+
+    removed = Lake(args.lake).vacuum()
+    print(json.dumps({"removed": len(removed)}))
+    return 0
+
+
+def cmd_version(_args) -> int:
+    from . import __version__
+
+    print(__version__)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nostr_data_pipeline_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("apply", help="tail a binlog dir into a lake (resumable)")
+    a.add_argument("--lake", required=True)
+    a.add_argument("--binlog", required=True)
+    a.set_defaults(fn=cmd_apply)
+
+    s = sub.add_parser("synth", help="generate a deterministic changelog")
+    s.add_argument("--out", required=True)
+    s.add_argument("--events", type=int, default=100_000)
+    s.add_argument("--convs", type=int, default=3_000)
+    s.add_argument("--segments", type=int, default=16)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--evolve", action="store_true")
+    s.set_defaults(fn=cmd_synth)
+
+    st = sub.add_parser("stats", help="lake manifest summary")
+    st.add_argument("--lake", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    q = sub.add_parser("query", help="run a registered analytics query")
+    q.add_argument("name")
+    q.add_argument("--sf", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("vacuum", help="delete part files no manifest references")
+    v.add_argument("--lake", required=True)
+    v.set_defaults(fn=cmd_vacuum)
+
+    ver = sub.add_parser("version")
+    ver.set_defaults(fn=cmd_version)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -537,7 +537,139 @@ def q_ann_topk(sf_dir: str):
 # DuckDB oracle SQL — same names, same columns, same rounding
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# F1 through the oracle — virality scoring with exponential time decay
+# (metrics_calculator.py:17-58: weights 3.0/0.001 + 6-hour half-life).
+# Age is measured against a FIXED anchor (no wall clock — determinism).
+# ---------------------------------------------------------------------------
+
+_ANCHOR_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z in µs
+
+
+def q_virality_scores(sf_dir: str):
+    def score(batch: pa.Table) -> pa.Table:
+        k = pc.struct_field(pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k")
+        kf = pc.cast(k, pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        value = batch["value"].to_numpy(zero_copy_only=False)
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_h = (_ANCHOR_US - ts_us) / 3600000000.0
+        engagement = 3.0 * kf + 0.001 * value
+        virality = _round_away(engagement * np.exp(-0.1155 * age_h), 2)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "virality": pa.array(virality, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "events", columns=["event_id", "props", "value", "ts"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6/A10 — daily signups + day-over-day growth %
+# (metrics_calculator.py:228-250; driver-side arithmetic on the tiny
+# aggregated series, like the reference's snapshot math)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_signup_growth(sf_dir: str):
+    def day_col(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["event_type"], "signup"))
+        return pa.table({"day": pc.floor_temporal(batch["ts"], unit="day")})
+
+    daily = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["event_type", "ts"]).map_batches(
+            day_col, batch_format="pyarrow"
+        ),
+        keys=["day"],
+        sums={},
+        count_as="n",
+    ).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    prev = daily["n"].shift(1)
+    pct = np.where(prev > 0, (daily["n"] - prev) * 100.0 / prev, 0.0)
+    daily["dod_pct"] = _round_away(np.nan_to_num(pct), 2)
+    daily["n"] = daily["n"].astype("int64")
+    return daily[["day", "n", "dod_pct"]]
+
+
+# ---------------------------------------------------------------------------
+# sessionization — the stateful streaming-window analog (SURVEY.md §2.9):
+# per user, a >30-minute gap starts a new session. Events of one user are
+# co-located by the bucketed shuffle; the window logic is vectorized pandas
+# (sort → gap flags → cumulative session ids → grouped min/max/count).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = pd.Timedelta(minutes=30)
+
+
+def q_user_sessions(sf_dir: str):
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        same_user = b["user_id"].eq(b["user_id"].shift(1))
+        gap_ok = (b["ts"] - b["ts"].shift(1)) <= _SESSION_GAP
+        is_new = ~(same_user & gap_ok)
+        b["session_id"] = is_new.groupby(b["user_id"]).cumsum().astype("int64")
+        g = b.groupby(["user_id", "session_id"], sort=False)
+        out = g.agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        keys=["user_id"],
+        fn=sessions,
+    )
+
+
 ORACLE: dict[str, str] = {
+    "virality_scores": """
+        SELECT event_id,
+               round(
+                   (3.0 * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                    + 0.001 * value)
+                   * exp(-0.1155 * (date_diff('microsecond', ts,
+                         TIMESTAMP '2024-02-01 00:00:00') / 3600000000.0)),
+                   2) AS virality
+        FROM events
+    """,
+    "daily_signup_growth": """
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        )
+        SELECT day, n,
+               round(CASE WHEN lag(n) OVER (ORDER BY day) > 0
+                     THEN (n - lag(n) OVER (ORDER BY day)) * 100.0
+                          / lag(n) OVER (ORDER BY day)
+                     ELSE 0.0 END, 2) AS dod_pct
+        FROM d
+    """,
+    "user_sessions": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, event_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM e
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY 1, 2
+    """,
     "purchase_events": """
         SELECT event_id, ts, user_id, value,
                CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k

@@ -363,6 +363,55 @@ def apply_changelog(
     }
 
 
+def partition_histogram(
+    binlog_dir: str, config: EngineConfig | None = None
+) -> dict[int, int]:
+    """Per-partition change-row counts over a binlog — the skew diagnostic
+    behind the salted partitioner (SURVEY.md §4.2 item 4). Column-pruned
+    read of just the key columns; per-batch bincount; tiny driver-side sum.
+    """
+    from ..stages.cdc_stages import partition_key
+
+    config = config or EngineConfig()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pk = partition_key(
+            batch["conv_id"], batch["turn_idx"],
+            config.num_partitions, config.turn_bucket,
+        )
+        counts = np.bincount(pk, minlength=config.num_partitions)
+        return pa.table(
+            {
+                "pkey": pa.array(np.arange(config.num_partitions), pa.int32()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(list_segments(binlog_dir), columns=["conv_id", "turn_idx"])
+        .map_batches(hist, batch_format="pyarrow")
+        .take_all()
+    )
+    out: dict[int, int] = {}
+    for r in rows:
+        out[int(r["pkey"])] = out.get(int(r["pkey"]), 0) + int(r["n"])
+    return out
+
+
+def lake_lineage(lake_root: str) -> pa.Table:
+    """Per-partition lineage + throughput metrics as a table (north_rule:
+    lineage is first-class output; reference analog: relay/network stats
+    tables, src/nostr_pipeline/models.py:159-230)."""
+    m = Lake(lake_root).current_manifest()
+    if not m:
+        return pa.table({"pkey": pa.array([], pa.int32())})
+    rows = []
+    for pk, lin in sorted(m.get("lineage", {}).items(), key=lambda kv: int(kv[0])):
+        rows.append({"pkey": int(pk), **{k: lin[k] for k in
+                     ("epoch", "rows_in", "rows_out", "max_lsn", "bytes", "seconds")}})
+    return pa.Table.from_pylist(rows)
+
+
 def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
     """The current lake state as a Dataset (transcript columns + lsn)."""
     lake = Lake(lake_root)

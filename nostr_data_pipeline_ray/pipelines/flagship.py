@@ -66,3 +66,12 @@ def q_cdc_apply(sf_dir: str):
 def cdc_oracle_sql(sf_dir: str) -> str:
     binlog = binlog_dir_for(sf_dir)
     return expected_final_state_sql(binlog)
+
+
+def q_lake_stats(sf_dir: str):
+    """Per-partition lineage/throughput of this scale point's lake
+    (rows-only: the values include wall-clock seconds)."""
+    from .cdc import lake_lineage
+
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    return lake_lineage(lake_dir_for(sf_dir))

@@ -1,0 +1,93 @@
+"""Hot-conversation skew handling + lake utilities + CLI smoke."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from nostr_data_pipeline_ray.config import EngineConfig
+from nostr_data_pipeline_ray.pipelines.cdc import (
+    apply_changelog,
+    lake_lineage,
+    partition_histogram,
+)
+from nostr_data_pipeline_ray.state.lake import Lake
+from nostr_data_pipeline_ray.synth import ChangelogSpec, generate_changelog
+
+
+def test_turn_bucket_salting_spreads_hot_conversations(tmp_path):
+    # 3 conversations, up to 4000 turns each, heavy Zipf: without salting one
+    # conversation's whole history lands on a single partition (reducer)
+    spec = ChangelogSpec(
+        n_events=30_000, n_convs=3, max_turns=4_000, zipf_alpha=1.5,
+        n_segments=4, seed=13,
+    )
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+
+    P = 16
+    unsalted = partition_histogram(
+        binlog, EngineConfig(num_partitions=P, turn_bucket=1 << 30)
+    )
+    salted = partition_histogram(
+        binlog, EngineConfig(num_partitions=P, turn_bucket=64)
+    )
+    total = sum(unsalted.values())
+    assert total == sum(salted.values())
+    max_unsalted = max(unsalted.values()) / total
+    max_salted = max(salted.values()) / total
+    # pure conv-hash: ≤3 partitions carry everything (≥1/3 each); turn-range
+    # salting spreads the hot conversation across many partitions
+    assert max_unsalted >= 0.33
+    assert max_salted < max_unsalted / 2
+    assert max_salted < 0.2
+
+
+def test_lake_lineage_and_vacuum(tmp_path):
+    spec = ChangelogSpec(n_events=8_000, n_convs=300, n_segments=4, seed=5)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    lake_root = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=8, epoch_segments=2)
+    apply_changelog(lake_root, binlog, cfg)
+
+    lin = lake_lineage(lake_root)
+    assert lin.num_rows == 8  # one lineage row per partition
+    assert set(lin.column_names) >= {"pkey", "epoch", "rows_in", "rows_out",
+                                     "max_lsn", "bytes", "seconds"}
+    assert all(r >= 0 for r in lin["rows_out"].to_pylist())
+
+    # vacuum removes epoch-1's superseded part files, keeps the live ones
+    removed = Lake(lake_root).vacuum()
+    assert len(removed) == 8
+    import nostr_data_pipeline_ray.pipelines.cdc as cdc
+
+    assert cdc.read_final(lake_root).count() > 0  # still readable
+
+
+def test_cli_smoke(tmp_path):
+    env_repo = "/root/repo"
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "nostr_data_pipeline_ray", *args],
+            capture_output=True, text=True, cwd=env_repo, timeout=300,
+        )
+
+    out = run("version")
+    assert out.returncode == 0 and out.stdout.strip()
+
+    synth_dir = str(tmp_path / "cli_synth")
+    out = run("synth", "--out", synth_dir, "--events", "5000", "--convs", "200",
+              "--segments", "4")
+    assert out.returncode == 0, out.stderr
+    binlog = json.loads(out.stdout)["binlog"]
+
+    lake = str(tmp_path / "cli_lake")
+    out = run("apply", "--lake", lake, "--binlog", binlog)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["segments_applied"] == 4
+
+    out = run("stats", "--lake", lake)
+    assert out.returncode == 0
+    stats = json.loads(out.stdout)
+    assert stats["segments_applied"] == 4 and stats["epoch"] >= 0
