@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: getattr(_an, f"q_{name}") for name in sorted(_an.ORACLE)
     }
     qs["cdc_apply"] = _flag.q_cdc_apply
+    qs["changelog_filter"] = _flag.q_changelog_filter
     qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
     # rows-only extras (no SQL oracle) are registered by their modules below
     try:
@@ -53,6 +54,7 @@ def oracle_sql() -> dict[str, str]:
     # the CDC oracle reads the deterministic synthetic binlog straight from
     # disk; generate it now so the SQL is runnable whenever the driver calls it
     out["cdc_apply"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
+    out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
     try:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd
 

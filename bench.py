@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "dedup_documents_exact",
     "doc_token_stats",
     "doc_quality",
+    "virality_scores",
+    "daily_signup_growth",
+    "user_sessions",
     "ann_topk",
     "minhash_near_dup",
     "simhash_documents",

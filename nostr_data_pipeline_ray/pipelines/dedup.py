@@ -47,20 +47,38 @@ def _round6(x) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def q_word_jaccard_pairs(sf_dir: str):
-    def explode_distinct(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ")
-        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
-        parents = pc.list_parent_indices(flat)
-        t = pa.table(
-            {"doc_id": batch["doc_id"].take(parents), "word": pc.list_flatten(flat)}
-        )
-        # distinct within batch (cheap local pre-dedup; global distinct below)
-        return t.group_by(["doc_id", "word"]).aggregate([])
+def _explode_words(batch: pa.Table) -> pa.Table:
+    words = pc.split_pattern(batch["text"], " ")
+    flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat)
+    t = pa.table(
+        {"doc_id": batch["doc_id"].take(parents), "word": pc.list_flatten(flat)}
+    )
+    # distinct within batch (cheap local pre-dedup; global distinct below)
+    return t.group_by(["doc_id", "word"]).aggregate([])
+
+
+def _explode_bigrams(batch: pa.Table) -> pa.Table:
+    """Distinct word 2-grams per doc (n-gram Jaccard feature set)."""
+    ids, grams = [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        w = (text or "").split()
+        gs = {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+        ids.extend([doc_id] * len(gs))
+        grams.extend(gs)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "word": pa.array(grams, pa.string())}
+    )
+
+
+def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50):
+    """Exact set-Jaccard top-k pairs over any per-doc feature extractor via
+    an inverted index (explode → per-feature pairing → co-occurrence counts
+    → jaccard from broadcast set sizes → pruned top-k)."""
 
     dw = bucketed_map_groups(
         _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-            explode_distinct, batch_format="pyarrow"
+            explode_fn, batch_format="pyarrow"
         ),
         keys=["doc_id"],
         fn=lambda g: g.drop_duplicates(["doc_id", "word"]),
@@ -100,8 +118,18 @@ def q_word_jaccard_pairs(sf_dir: str):
         co.map_batches(jaccard, batch_format="pandas"),
         by=["jaccard", "doc_a", "doc_b"],
         descending=[True, False, False],
-        k=50,
+        k=k,
     )
+
+
+def q_word_jaccard_pairs(sf_dir: str):
+    return _jaccard_topk(sf_dir, _explode_words)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Word-2-gram Jaccard top-50 — order-sensitive near-dup signal (the
+    1-gram variant is bag-of-words; bigrams catch phrase-level copies)."""
+    return _jaccard_topk(sf_dir, _explode_bigrams)
 
 
 # ---------------------------------------------------------------------------
@@ -383,6 +411,7 @@ def q_multimodal_features(sf_dir: str):
 
 QUERIES = {
     "word_jaccard_pairs": q_word_jaccard_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,
     "embedding_near_dup": q_embedding_near_dup,
@@ -391,6 +420,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ngram_jaccard_pairs": """
+        WITH dg AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM dg a JOIN dg b USING (gram)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+    """,
     "word_jaccard_pairs": """
         WITH dw AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word

@@ -68,6 +68,35 @@ def cdc_oracle_sql(sf_dir: str) -> str:
     return expected_final_state_sql(binlog)
 
 
+def q_changelog_filter(sf_dir: str):
+    """Source-side predicate pushdown (S3 analog): roles+op+LSN window pushed
+    into the Parquet scan, whole segments pruned by footer stats."""
+    from ..sources.binlog import ChangeFilter, read_changelog
+
+    spec = spec_for(sf_dir)
+    binlog = binlog_dir_for(sf_dir)
+    flt = ChangeFilter(
+        roles=("assistant", "tool"),
+        ops=("update",),
+        min_lsn=spec.n_events // 4,
+        max_lsn=spec.n_events // 2,
+    )
+    return read_changelog(
+        binlog, flt, columns=["conv_id", "turn_idx", "role", "op", "lsn"]
+    )
+
+
+def changelog_filter_oracle_sql(sf_dir: str) -> str:
+    spec = spec_for(sf_dir)
+    binlog = binlog_dir_for(sf_dir)
+    return f"""
+        SELECT conv_id, turn_idx, role, op, lsn
+        FROM read_parquet('{binlog}/*.parquet', union_by_name=true)
+        WHERE role IN ('assistant', 'tool') AND op = 'update'
+          AND lsn BETWEEN {spec.n_events // 4} AND {spec.n_events // 2}
+    """
+
+
 def q_lake_stats(sf_dir: str):
     """Per-partition lineage/throughput of this scale point's lake
     (rows-only: the values include wall-clock seconds)."""
