@@ -409,7 +409,20 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_doc_enrich(sf_dir: str):
+    """Full text-enrichment pipeline (M1/M3/M13 + quality/spam/fingerprint)
+    through the actor-pool stages — rows-only (list columns + float ratios)."""
+    from ..stages.text import TextAnalyzer, TextEnricher
+
+    return (
+        _read(sf_dir, "documents")
+        .map_batches(TextEnricher, batch_format="pandas", concurrency=2)
+        .map_batches(TextAnalyzer, batch_format="pandas", concurrency=2)
+    )
+
+
 QUERIES = {
+    "doc_enrich": q_doc_enrich,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_near_dup": q_minhash_near_dup,

@@ -129,6 +129,23 @@ def test_schema_evolution(tmp_path):
     assert got_cmp.equals(want)
 
 
+def test_read_final_sorted_dataset(binlog, tmp_path):
+    from nostr_data_pipeline_ray.pipelines.cdc import read_final
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    df = read_final(lake_root, sort=True).to_pandas()
+    # globally ordered by the invariant key
+    assert df["conv_id"].is_monotonic_increasing or (
+        df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
+            ["conv_id", "turn_idx"]
+        ].equals(df[["conv_id", "turn_idx"]].reset_index(drop=True))
+    )
+    assert df.groupby("conv_id")["turn_idx"].apply(
+        lambda s: s.is_monotonic_increasing
+    ).all()
+
+
 def test_delete_drops_keys(binlog, tmp_path):
     lake_root = str(tmp_path / "lake")
     apply_changelog(lake_root, binlog, CFG)
