@@ -42,6 +42,11 @@ class EngineConfig:
     # tmpfs path (e.g. /dev/shm/...) models per-node scratch bandwidth.
     # None → inside the lake directory.
     scratch_dir: str | None = None
+    # exchange file format: "parquet" (snappy) compresses the shuffle — the
+    # right choice when staged bytes cross a network, and the compression is
+    # parallel CPU work so it also scales better; "ipc" (uncompressed Arrow)
+    # is ~35% faster absolute on single-node tmpfs but memory-bandwidth-bound.
+    staged_format: str = "parquet"
 
     @staticmethod
     def from_env() -> "EngineConfig":

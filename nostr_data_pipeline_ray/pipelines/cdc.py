@@ -39,6 +39,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.feather as feather
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -109,9 +110,10 @@ class SplitStage:
     harmless because the downstream LWW reduce collapses duplicate rows.
     """
 
-    def __init__(self, staged_root: str, num_partitions: int):
+    def __init__(self, staged_root: str, num_partitions: int, fmt: str = "parquet"):
         self.staged_root = staged_root
         self.num_partitions = num_partitions
+        self.fmt = fmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -133,8 +135,16 @@ class SplitStage:
             lsn = part["lsn"].to_numpy(zero_copy_only=False)
             d = os.path.join(self.staged_root, f"pk-{p:05d}")
             os.makedirs(d, exist_ok=True)
-            name = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}.parquet"
-            pq.write_table(part, os.path.join(d, name))
+            # content-fingerprint name → retried tasks overwrite themselves
+            stem = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}"
+            if self.fmt == "ipc":
+                # uncompressed Arrow IPC: 5-100x faster encode/decode than
+                # parquet (measured) at ~8x bytes — for tmpfs/local scratch
+                feather.write_feather(
+                    part, os.path.join(d, stem + ".arrow"), compression="uncompressed"
+                )
+            else:
+                pq.write_table(part, os.path.join(d, stem + ".parquet"))
             out_pk.append(p)
             out_rows.append(part.num_rows)
             out_max.append(int(lsn.max()))
@@ -180,8 +190,13 @@ class MergeTask:
         t0 = time.time()
         tables = []
         d = os.path.join(self.staged_root, f"pk-{pkey:05d}")
-        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
-            tables.append(conform_schema(pq.read_table(f), target=self.data_schema))
+        for f in sorted(glob.glob(os.path.join(d, "*"))):
+            staged = (
+                feather.read_table(f, memory_map=True)
+                if f.endswith(".arrow")
+                else pq.read_table(f)
+            )
+            tables.append(conform_schema(staged, target=self.data_schema))
         if snap_rel:
             snap = pq.read_table(os.path.join(self.lake.root, snap_rel))
             tables.append(conform_schema(snap, target=self.data_schema))
@@ -253,7 +268,7 @@ def apply_epoch(
     for _sch, paths in groups:
         part = rd.read_parquet(paths)
         delta = part if delta is None else delta.union(part)
-    split = SplitStage(staged_root, config.num_partitions)
+    split = SplitStage(staged_root, config.num_partitions, config.staged_format)
     meta_rows = (
         delta.map_batches(precombine, batch_format="pyarrow", batch_size=None)
         .map_batches(

@@ -28,7 +28,7 @@ SPECS: dict[str, ChangelogSpec] = {
 _SCRATCH = "/dev/shm/ndp_scratch" if os.path.isdir("/dev/shm") else None
 
 CONFIG = EngineConfig(
-    num_partitions=32, turn_bucket=256, epoch_segments=32, scratch_dir=_SCRATCH
+    num_partitions=32, turn_bucket=256, epoch_segments=64, scratch_dir=_SCRATCH
 )
 
 _SYNTH_ROOT = "/tmp/ndp_synth"
