@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "simhash_documents",
     "embedding_near_dup",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "doc_enrich",
     "multimodal_features",
 ]
 

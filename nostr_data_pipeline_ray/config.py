@@ -55,4 +55,6 @@ class EngineConfig:
             turn_bucket=int(os.environ.get("NDP_TURN_BUCKET", 256)),
             epoch_segments=int(os.environ.get("NDP_EPOCH_SEGMENTS", 8)),
             batch_size=int(os.environ.get("NDP_BATCH_SIZE", 65536)),
+            scratch_dir=os.environ.get("NDP_SCRATCH_DIR") or None,
+            staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
         )

@@ -409,6 +409,73 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_ann_topk_ivf(
+    sf_dir: str, n_lists: int = 16, n_probe: int = 3, k: int = 10, iters: int = 5
+):
+    """IVF ANN (the other scale path besides LSH): k-means coarse quantizer
+    (fixed seed, trained driver-side — at 100 TB you train on a sample),
+    then only vectors whose nearest centroid is among the query's ``n_probe``
+    closest lists are scored, inside a broadcast-centroid map_batches stage.
+    """
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"][0])
+    mat = (
+        emb["embedding"].combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float64)
+    )
+    # tiny deterministic Lloyd's k-means
+    rng = np.random.default_rng(17)
+    centroids = mat[rng.choice(len(mat), size=n_lists, replace=False)]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            pts = mat[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(axis=0)
+
+    qvec = mat[emb["vec_id"].to_numpy(zero_copy_only=False) == 0][0]
+    qd = ((centroids - qvec) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd)[:n_probe].tolist())
+    ref = ray.put((centroids, qvec, np.linalg.norm(qvec), probe))
+
+    class IVFScorer:
+        def __init__(self):
+            self.centroids, self.qvec, self.qnorm, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
+            m = (
+                batch["embedding"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, len(self.qvec)).astype(np.float64)
+            )
+            d2 = ((m[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+            keep = np.isin(d2.argmin(axis=1), list(self.probe))
+            m = m[keep]
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+            if len(ids) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+                )
+            score = (m @ self.qvec) / (np.linalg.norm(m, axis=1) * self.qnorm)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "score": pa.array(_round6(score), pa.float64()),
+                }
+            )
+
+    return local_topk(
+        _read(sf_dir, "embeddings").map_batches(
+            IVFScorer, batch_format="pyarrow", concurrency=2
+        ),
+        by=["score", "vec_id"],
+        descending=[True, False],
+        k=k,
+    )
+
+
 def q_doc_enrich(sf_dir: str):
     """Full text-enrichment pipeline (M1/M3/M13 + quality/spam/fingerprint)
     through the actor-pool stages — rows-only (list columns + float ratios)."""
@@ -429,6 +496,7 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -123,6 +123,30 @@ def test_ann_lsh_recall_on_planted(tmp_path):
     assert len(hits) >= 8
 
 
+def test_ann_ivf_recall_on_planted(tmp_path):
+    import pyarrow.parquet as pqq
+
+    rng = np.random.default_rng(9)
+    dim, n_noise, n_plant = 64, 480, 10
+    q = rng.standard_normal(dim)
+    planted = q[None, :] + 0.05 * rng.standard_normal((n_plant, dim))
+    noise = rng.standard_normal((n_noise, dim))
+    mat = np.vstack([q, planted, noise]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), pa.int32()),
+        }
+    )
+    pqq.write_table(t, tmp_path / "embeddings.parquet")
+    approx = dd.q_ann_topk_ivf(str(tmp_path)).to_pandas()
+    # the planted cluster shares the query's inverted list → near-full recall
+    hits = set(approx["vec_id"]) & set(range(1, n_plant + 1))
+    assert len(hits) >= 8
+
+
 def test_multimodal_plumbing():
     out = dd.q_multimodal_features(SF_DIR).to_pandas()
     assert len(out) == 500
