@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "price_stats",
     "distinct_users_by_type",
     "latest_event_per_user",
+    "user_stats",
     "order_revenue",
     "customer_order_stats",
     "top3_orders_per_customer",

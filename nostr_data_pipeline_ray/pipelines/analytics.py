@@ -628,7 +628,58 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# J5/A-family fan-in — one stitched per-user record from several keyed
+# aggregates in a single bucketed pass (reference: analytics/query.py:125-193
+# runs one SQL query per stat; here one shuffle computes them all)
+# ---------------------------------------------------------------------------
+
+
+def q_user_stats(sf_dir: str):
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", sort=False)
+        out = g.agg(
+            n_events=("event_id", "size"),
+            total_value=("value", "sum"),
+            last_seen=("ts", "max"),
+        ).reset_index()
+        out["n_purchases"] = (
+            batch[batch["event_type"] == "purchase"]
+            .groupby("user_id", sort=False)["event_id"]
+            .size()
+            .reindex(out["user_id"], fill_value=0)
+            .to_numpy()
+        )
+        return out
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)
+        out = g.agg(
+            n_events=("n_events", "sum"),
+            total_value=("total_value", "sum"),
+            n_purchases=("n_purchases", "sum"),
+            last_seen=("last_seen", "max"),
+        ).reset_index()
+        out["total_value"] = _round_away(out["total_value"])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_purchases"] = out["n_purchases"].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "value", "ts"]),
+        keys=["user_id"],
+        fn=final,
+        pre=pre,
+    )
+
+
 ORACLE: dict[str, str] = {
+    "user_stats": """
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    """,
     "virality_scores": """
         SELECT event_id,
                round(
