@@ -265,8 +265,18 @@ def apply_epoch(
             groups.append((sch, [p]))
 
     delta = None
-    for _sch, paths in groups:
+    for sch, paths in groups:
         part = rd.read_parquet(paths)
+        # conform only when this group's schema differs from the unified one
+        # (evolution epochs) — the common no-evolution path pays nothing and
+        # the union below always sees homogeneous blocks
+        if not (sch.names == data_schema.names
+                and all(a.type == b.type for a, b in zip(sch, data_schema))):
+            part = part.map_batches(
+                partial(conform_schema, target=data_schema),
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+            )
         delta = part if delta is None else delta.union(part)
     split = SplitStage(staged_root, config.num_partitions, config.staged_format)
     meta_rows = (
