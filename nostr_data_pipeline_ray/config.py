@@ -8,7 +8,7 @@ dataclass: batch/epoch knobs, partitioning knobs, lake layout knobs.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -28,7 +28,6 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..stages.joins import broadcast_join, bucketed_hash_join
 from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
 
-JOIN_PARTITIONS = 8  # hash-join fan-out at test scale; thousands at 100 TB
 
 
 def _t(sf_dir: str, table: str) -> str:

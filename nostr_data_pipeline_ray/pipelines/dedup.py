@@ -17,7 +17,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
 from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
