@@ -22,6 +22,12 @@ Exactly-once protocol:
 Partitions untouched by an epoch are carried forward by reference in the
 new manifest (metadata-only, no rewrite) — at 100 TB an epoch touching 1%
 of conversations rewrites 1% of the lake, not all of it.
+
+Concurrency model: SINGLE WRITER (one apply job owns a lake), any number of
+readers — readers resolve through the atomic manifest pointer and always see
+a committed snapshot. Multi-writer coordination would need a lock service or
+CAS on the pointer (out of scope, as in the reference's single pipeline
+process, src/nostr_pipeline/pipeline.py:21-48).
 """
 
 from __future__ import annotations
