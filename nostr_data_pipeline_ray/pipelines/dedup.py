@@ -1,8 +1,10 @@
 """Deduplication / similarity pipelines (training-data ops).
 
-Exact word-set Jaccard and embedding near-dup carry DuckDB oracles;
-MinHash-LSH / SimHash / LSH-ANN are the approximate scale paths
-(rows-only driver check — their outputs are candidate-based by design).
+Exact word-set / n-gram Jaccard, embedding near-dup and brute-force ANN
+carry DuckDB oracles; MinHash-LSH / SimHash / LSH-ANN / IVF-ANN are the
+approximate scale paths (rows-only driver check — their outputs are
+candidate-based by design, pinned instead by planted-duplicate and
+planted-neighbor recall tests).
 """
 
 from __future__ import annotations
