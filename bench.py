@@ -99,6 +99,14 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute+shuffle, not first disk read
     for f in sorted(Path(binlog).glob("*.parquet")):
         f.read_bytes()
+    # warm the worker pool: Ray spawns workers lazily at first use, which
+    # would otherwise charge ~2-4 s of process spawn to the first replay
+    # (a long-lived cluster is warm)
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
 
     # best-of-2 fresh replays: run-to-run variance on this shared VM is
     # ±10-20% (first run pays object-store page faults / cold plan caches).
@@ -168,21 +176,31 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best(ncpu: int) -> dict:
-        # best-of-2: the first run after a CPU-count switch pays one-time
-        # costs (object-store page faults, cold plan caches) — run-to-run
-        # variance on this shared VM is ±10-20%
-        a, b = one(ncpu), one(ncpu)
-        return a if a["cdc"]["events_per_sec"] >= b["cdc"]["events_per_sec"] else b
-
-    lo, hi, ref = best(2), best(8), best(32)
+    # INTERLEAVED pairs: host noise on this shared VM comes in multi-minute
+    # windows that can hit one level's whole block of runs; measuring (2, 8)
+    # back-to-back per round and taking the median per-round efficiency
+    # makes each sample see the same noise window. One warm-up pair first.
+    one(2)
+    rounds = []
+    for _ in range(3):
+        lo, hi = one(2), one(8)
+        rounds.append(
+            (
+                (hi["cdc"]["events_per_sec"] / lo["cdc"]["events_per_sec"]) / 4,
+                lo,
+                hi,
+            )
+        )
+    rounds.sort(key=lambda r: r[0])
+    eff, lo, hi = rounds[len(rounds) // 2]  # median round
+    ref = one(32)
     eps_lo = lo["cdc"]["events_per_sec"]
     eps_hi = hi["cdc"]["events_per_sec"]
-    eff = (eps_hi / eps_lo) / (8 / 2)
     return {
         "metric": "cdc_scaling_efficiency_N2_to_4N8_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
+        "efficiency_rounds": [round(r[0], 3) for r in rounds],
         "events_per_sec_2": eps_lo,
         "events_per_sec_8": eps_hi,
         "events_per_sec_32": ref["cdc"]["events_per_sec"],
