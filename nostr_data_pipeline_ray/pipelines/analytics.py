@@ -628,6 +628,45 @@ def q_user_sessions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# approximate grouped distinct via mergeable HyperLogLog sketches — the
+# scale path for D4/D5 (exact variants stay the oracle-checked default):
+# one register vector per (group, batch) map-side, elementwise-max merge in
+# a tiny reduce. Rows-only (approximate by construction; accuracy pinned by
+# test_sketches.py against the exact counts).
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_users(sf_dir: str, p: int = 12):
+    from ..stages.sketches import HyperLogLog
+
+    hll = HyperLogLog(p)
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in batch.groupby("event_type", sort=False):
+            rows.append(
+                {"event_type": etype, "regs": hll.registers(g["user_id"].to_numpy())}
+            )
+        return pd.DataFrame(rows)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, g in group.groupby("event_type", sort=False):
+            regs = np.maximum.reduce(np.stack(g["regs"].to_list()))
+            out.append({"event_type": etype, "n_users_approx": hll.estimate(regs)})
+        df = pd.DataFrame(out)
+        df["n_users_approx"] = df["n_users_approx"].astype("int64")
+        return df
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        keys=["event_type"],
+        fn=merge,
+        pre=sketch,
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5/A-family fan-in — one stitched per-user record from several keyed
 # aggregates in a single bucketed pass (reference: analytics/query.py:125-193
 # runs one SQL query per stat; here one shuffle computes them all)

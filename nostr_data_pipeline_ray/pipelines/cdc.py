@@ -388,6 +388,66 @@ def apply_changelog(
     }
 
 
+def delete_where(
+    lake_root: str, predicate, config: EngineConfig | None = None
+) -> dict[str, Any]:
+    """Row-level retention delete: rewrite partitions dropping rows where
+    ``predicate(table) -> bool mask`` is true, committed as a new epoch.
+
+    The full analog of the reference's cleanup_old_data
+    (src/nostr_pipeline/loaders/event_loader.py:268-297 — delete rows older
+    than N days): partitions with no matching rows are carried forward by
+    reference (metadata-only); only hit partitions are rewritten. One map
+    task per partition, exactly-once via the same manifest commit.
+    """
+    config = config or EngineConfig()
+    lake = Lake(lake_root)
+    m = lake.current_manifest()
+    if m is None:
+        return {"rows_deleted": 0, "partitions_rewritten": 0}
+    epoch = lake.current_epoch() + 1
+    items = [{"pkey": int(pk), "rel": rel} for pk, rel in sorted(m["files"].items(), key=lambda kv: int(kv[0]))]
+    root = lake.root
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(batch.num_rows):
+            pkey = int(batch["pkey"][i].as_py())
+            rel = batch["rel"][i].as_py()
+            t = pq.read_table(os.path.join(root, rel))
+            mask = predicate(t)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            n_hit = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if n_hit == 0:
+                out.append({"pkey": pkey, "rel": rel, "deleted": 0, "rewritten": False})
+                continue
+            kept = t.filter(pc.invert(mask))
+            new_rel = Lake(root).part_path(epoch, pkey)
+            abspath = os.path.join(root, new_rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            pq.write_table(kept, abspath)
+            out.append({"pkey": pkey, "rel": new_rel, "deleted": int(n_hit), "rewritten": True})
+        return pa.Table.from_pylist(out)
+
+    rows = (
+        rd.from_items(items, override_num_blocks=max(1, len(items)))
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    new_files = {int(r["pkey"]): r["rel"] for r in rows if r["rewritten"]}
+    deleted = int(sum(r["deleted"] for r in rows))
+    first = os.path.join(root, next(iter(m["files"].values())))
+    snap_schema = pq.read_schema(first)
+    if "pkey" in snap_schema.names:
+        snap_schema = snap_schema.remove(snap_schema.get_field_index("pkey"))
+    lake.commit_epoch(
+        epoch, new_files, {}, [], {}, snap_schema,
+        stats={"rows_deleted": deleted, "partitions_rewritten": len(new_files)},
+    )
+    return {"rows_deleted": deleted, "partitions_rewritten": len(new_files)}
+
+
 def partition_histogram(
     binlog_dir: str, config: EngineConfig | None = None
 ) -> dict[int, int]:
