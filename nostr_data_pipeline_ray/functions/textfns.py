@@ -3,7 +3,7 @@
 Same semantics as the reference's EventProcessor helpers (reference:
 src/nostr_pipeline/transformers/event_processor.py:210-315), kept pure so
 they can be unit-tested exactly and wrapped in vectorized batch stages
-(stages/extractors.py). Patterns are compiled once at import (the
+(stages/text.py). Patterns are compiled once at import (the
 "compile once per worker" rule — workers import the module once).
 """
 
@@ -103,7 +103,7 @@ def detect_language(text: str) -> str | None:
     """Char-range heuristic language id (zh/ja/ko, default en).
 
     Reference: event_processor.py:299-315. The vectorized twin lives in
-    stages/text_analysis.py.
+    stages/text.py.
     """
     if not text:
         return None

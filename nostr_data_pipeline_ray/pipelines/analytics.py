@@ -244,11 +244,13 @@ def q_price_stats(sf_dir: str):
     # mean derives from the ROUNDED total so oracle and engine divide
     # bit-identical doubles (the raw distributed sum differs by ulps)
     total_rounded = _round_away(summary["total"])[()]
+    # truncating index convention (reference metrics_calculator.py:252-287),
+    # clamped so p95 of a tiny array can't index past the end
     qidx = {
         "median": n // 2,
-        "p25": int(n * 0.25),
-        "p75": int(n * 0.75),
-        "p95": int(n * 0.95),
+        "p25": min(int(n * 0.25), n - 1),
+        "p75": min(int(n * 0.75), n - 1),
+        "p95": min(int(n * 0.95), n - 1),
     }
     order = sorted(set(qidx.values()))
     splits = ds.sort("l_extendedprice").split_at_indices(order)
@@ -680,6 +682,7 @@ def q_user_stats(sf_dir: str):
             n_events=("event_id", "size"),
             total_value=("value", "sum"),
             last_seen=("ts", "max"),
+            first_seen=("ts", "min"),
         ).reset_index()
         out["n_purchases"] = (
             batch[batch["event_type"] == "purchase"]
@@ -697,10 +700,29 @@ def q_user_stats(sf_dir: str):
             total_value=("total_value", "sum"),
             n_purchases=("n_purchases", "sum"),
             last_seen=("last_seen", "max"),
+            first_seen=("first_seen", "min"),
         ).reset_index()
         out["total_value"] = _round_away(out["total_value"])
         out["n_events"] = out["n_events"].astype("int64")
         out["n_purchases"] = out["n_purchases"].astype("int64")
+        # F3 influence / F8 engagement rate (scoring.py:80-97,262-265) over
+        # the per-user aggregates: purchases stand in for zaps, events for
+        # notes, age measured to the fixed 2024-02-01 anchor. Every input to
+        # the float formulas is bit-identical on the oracle side (rounded
+        # total, integer counts, µs-exact age), and ln/exp match DuckDB libm.
+        tv = out["total_value"].to_numpy()
+        ne = out["n_events"].to_numpy().astype(np.float64)
+        npur = out["n_purchases"].to_numpy().astype(np.float64)
+        first_us = out["first_seen"].astype("datetime64[us]").astype("int64").to_numpy()
+        age_days = (_ANCHOR_US - first_us) / 86400000000.0
+        out["influence"] = _round_away(
+            2.0 * np.log(1.0 + npur)
+            + 1.5 * np.log(1.0 + tv)
+            + 10.0 * (tv / ne)
+            + np.minimum(ne / age_days, 10.0)
+            + 0.5 * np.log(1.0 + age_days / 30.0)
+        )
+        out["engagement_rate"] = _round_away(npur * 100.0 / ne)
         return out
 
     return bucketed_map_groups(
@@ -713,10 +735,22 @@ def q_user_stats(sf_dir: str):
 
 ORACLE: dict[str, str] = {
     "user_stats": """
-        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-               max(ts) AS last_seen
-        FROM events GROUP BY user_id
+        WITH s AS (
+            SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                   max(ts) AS last_seen, min(ts) AS first_seen,
+                   date_diff('microsecond', min(ts), TIMESTAMP '2024-02-01 00:00:00')
+                       / 86400000000.0 AS age_days
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events, total_value, n_purchases, last_seen, first_seen,
+               round(2.0 * ln(1.0 + n_purchases)
+                     + 1.5 * ln(1.0 + total_value)
+                     + 10.0 * (total_value / n_events)
+                     + least(n_events / age_days, 10.0)
+                     + 0.5 * ln(1.0 + age_days / 30.0), 2) AS influence,
+               round(n_purchases * 100.0 / n_events, 2) AS engagement_rate
+        FROM s
     """,
     "virality_scores": """
         SELECT event_id,
@@ -806,9 +840,13 @@ ORACLE: dict[str, str] = {
         SELECT n, round(total, 2) AS total, round(round(total, 2) / n, 2) AS mean_price,
                min_price, max_price,
                a[n // 2 + 1] AS median,
-               a[CAST(n * 0.25 AS INT) + 1] AS p25,
-               a[CAST(n * 0.75 AS INT) + 1] AS p75,
-               a[CAST(n * 0.95 AS INT) + 1] AS p95
+               -- floor(), not CAST: CAST rounds half-away (n=10 would probe
+               -- index 3/8/10-ish) while the engine and the reference use
+               -- truncation (metrics_calculator.py:252-287); least() guards
+               -- the p95 == n edge the same way the reference does
+               a[least(CAST(floor(n * 0.25) AS INT), n - 1) + 1] AS p25,
+               a[least(CAST(floor(n * 0.75) AS INT), n - 1) + 1] AS p75,
+               a[least(CAST(floor(n * 0.95) AS INT), n - 1) + 1] AS p95
         FROM s
     """,
     "distinct_users_by_type": """

@@ -30,6 +30,7 @@ replaced by the LSN total order.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 import time
@@ -59,11 +60,28 @@ def list_segments(binlog_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(binlog_dir, "*.parquet")))
 
 
+def _snapshot_schemas(snapshot_paths: list[str]) -> list[pa.Schema]:
+    """Distinct schemas across the current snapshot, one footer read per
+    epoch directory — all parts written within an epoch share that epoch's
+    unified schema, but an epoch that touches only SOME partitions leaves
+    carried-forward parts on their older schema, so the snapshot as a whole
+    can be mixed-schema after partial evolution epochs. O(#epochs alive),
+    not O(#partitions)."""
+    by_dir: dict[str, str] = {}
+    for p in snapshot_paths:
+        by_dir.setdefault(os.path.dirname(p), p)
+    distinct: list[pa.Schema] = []
+    for _, p in sorted(by_dir.items()):
+        s = pq.read_schema(p)
+        if not any(s.equals(o) for o in distinct):
+            distinct.append(s)
+    return distinct
+
+
 def _merge_schema(segment_paths: list[str], snapshot_paths: list[str]) -> pa.Schema:
     """Unified working schema for the merge (additive evolution point)."""
     schemas = [pq.read_schema(p) for p in segment_paths]
-    for p in snapshot_paths[:1]:  # all snapshot parts share one schema
-        snap = pq.read_schema(p)
+    for snap in _snapshot_schemas(snapshot_paths):
         if "op" not in snap.names:
             snap = snap.append(pa.field("op", pa.string()))
         schemas.append(
@@ -249,7 +267,12 @@ def apply_epoch(
     data_schema = _merge_schema(segment_paths, snapshot_all)
 
     scratch = config.scratch_dir or os.path.join(lake.root, "parts")
-    staged_root = os.path.join(scratch, f"epoch-{epoch}-delta")
+    # namespace the staged dir by lake identity: a shared scratch (e.g.
+    # /dev/shm) must not collide when two applies on DIFFERENT lakes hit the
+    # same epoch number — the rmtree below would delete the other job's
+    # staged delta mid-run and surviving files would cross-contaminate lakes
+    lake_id = hashlib.sha1(os.path.realpath(lake.root).encode()).hexdigest()[:12]
+    staged_root = os.path.join(scratch, f"lake-{lake_id}", f"epoch-{epoch}-delta")
     shutil.rmtree(staged_root, ignore_errors=True)  # crashed prior attempt
 
     # --- phase A: delta map + map-side exchange ---------------------------
@@ -498,12 +521,42 @@ def lake_lineage(lake_root: str) -> pa.Table:
 
 
 def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
-    """The current lake state as a Dataset (transcript columns + lsn)."""
+    """The current lake state as a Dataset (transcript columns + lsn).
+
+    A partial schema-evolution epoch leaves the snapshot mixed-schema
+    (rewritten parts carry the new column, carried-forward parts don't) —
+    Ray would infer the schema from the first file and silently drop the
+    evolved column from later blocks. Conform every block to the unified
+    snapshot schema; the common homogeneous case pays nothing.
+    """
     lake = Lake(lake_root)
     files = lake.snapshot_files()
     if not files:
         return rd.from_arrow(LAKE_SCHEMA.empty_table())
-    ds = rd.read_parquet(files).drop_columns(["pkey"])
+    distinct = _snapshot_schemas(files)
+    if len(distinct) == 1:
+        ds = rd.read_parquet(files).drop_columns(["pkey"])
+    else:
+        target = pa.unify_schemas(distinct, promote_options="permissive")
+        if "pkey" in target.names:
+            target = target.remove(target.get_field_index("pkey"))
+        # one read per schema group (a mixed-schema union would warn and
+        # mis-infer); conform_schema projects onto the unified target,
+        # dropping pkey and null-filling evolved columns
+        dir_idx: dict[str, int] = {}
+        by_schema: dict[int, list[str]] = {}
+        for p in files:  # one footer read per epoch dir, not per file
+            d = os.path.dirname(p)
+            if d not in dir_idx:
+                s = pq.read_schema(p)
+                dir_idx[d] = next(j for j, o in enumerate(distinct) if s.equals(o))
+            by_schema.setdefault(dir_idx[d], []).append(p)
+        ds = None
+        for i, paths in sorted(by_schema.items()):
+            part = rd.read_parquet(paths).map_batches(
+                partial(conform_schema, target=target), batch_format="pyarrow"
+            )
+            ds = part if ds is None else ds.union(part)
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
     return ds

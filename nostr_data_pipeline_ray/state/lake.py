@@ -141,16 +141,42 @@ class Lake:
     # metadata-driven GC of part files no manifest references) -------------
 
     def vacuum(self, keep_manifests: int = 2) -> list[str]:
+        """Retain the last ``keep_manifests`` committed epochs (time travel
+        window): parts referenced by ANY retained manifest stay; everything
+        older — part files and manifest JSONs alike — is pruned, so every
+        surviving manifest remains fully readable (no dangling files).
+        Manifests beyond the committed pointer (orphans of a crashed
+        phase-2) are pruned too."""
         m = self.current_manifest()
         if m is None:
             return []
-        live = {os.path.join(self.root, r) for r in m["files"].values()}
+        current = int(m["epoch"])
+        keep_manifests = max(1, keep_manifests)
+        mdir = os.path.join(self.root, "manifests")
+        epochs = sorted(
+            int(f[len("epoch-"):-len(".json")])
+            for f in os.listdir(mdir)
+            if f.startswith("epoch-") and f.endswith(".json")
+        )
+        retained = [e for e in epochs if e <= current][-keep_manifests:]
+        live: set[str] = set()
+        for e in retained:
+            with open(os.path.join(mdir, f"epoch-{e}.json")) as f:
+                man = json.load(f)
+            live |= {os.path.join(self.root, r) for r in man["files"].values()}
         removed = []
+        for e in epochs:
+            if e not in retained:
+                p = os.path.join(mdir, f"epoch-{e}.json")
+                os.unlink(p)
+                removed.append(p)
         parts_root = os.path.join(self.root, "parts")
-        for dirpath, _dirs, fnames in os.walk(parts_root):
+        for dirpath, _dirs, fnames in os.walk(parts_root, topdown=False):
             for fn in fnames:
                 p = os.path.join(dirpath, fn)
                 if p not in live:
                     os.unlink(p)
                     removed.append(p)
+            if not os.listdir(dirpath) and dirpath != parts_root:
+                os.rmdir(dirpath)
         return removed

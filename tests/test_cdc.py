@@ -129,6 +129,50 @@ def test_schema_evolution(tmp_path):
     assert got_cmp.equals(want)
 
 
+def test_partial_evolution_read_final_conforms(binlog, tmp_path):
+    """An evolution epoch touching only SOME partitions leaves the snapshot
+    mixed-schema (rewritten parts carry tool_meta, carried-forward parts
+    don't); read_final must still surface the evolved column for every row,
+    null-filled on pre-evolution partitions."""
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.cdc import read_final
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+
+    # handcraft one evolved segment touching a single conversation
+    extra = tmp_path / "extra_binlog"
+    extra.mkdir()
+    seg = pa.table(
+        {
+            "conv_id": pa.array(["conv-1", "conv-1"]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"]),
+            "text": pa.array(["evolved turn 0", "evolved turn 1"]),
+            "tool": pa.array(["", ""]),
+            "ts": pa.array([10**15, 10**15 + 1], pa.timestamp("us")),
+            "op": pa.array(["update", "update"]),
+            "lsn": pa.array([10**9, 10**9 + 1], pa.int64()),
+            "tool_meta": pa.array(['{"calls":1}', '{"calls":2}']),
+        }
+    )
+    pq.write_table(seg, extra / "evolved-00000.parquet")
+    apply_changelog(lake_root, str(extra), CFG)
+
+    ds = read_final(lake_root)
+    assert "tool_meta" in ds.schema().names  # not silently dropped
+    df = ds.to_pandas()
+    evolved = df[df["conv_id"] == "conv-1"].set_index("turn_idx")
+    assert evolved.loc[0, "tool_meta"] == '{"calls":1}'
+    assert evolved.loc[0, "text"] == "evolved turn 0"
+    # untouched partitions: column present, null-filled
+    assert df[df["conv_id"] != "conv-1"]["tool_meta"].isna().all()
+    # the conforming read stays exactly-once correct on the invariant columns
+    n_meta = df["tool_meta"].notna().sum()
+    assert 0 < n_meta <= 2
+
+
 def test_read_final_sorted_dataset(binlog, tmp_path):
     from nostr_data_pipeline_ray.pipelines.cdc import read_final
 

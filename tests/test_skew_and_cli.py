@@ -56,9 +56,24 @@ def test_lake_lineage_and_vacuum(tmp_path):
                                      "max_lsn", "bytes", "seconds"}
     assert all(r >= 0 for r in lin["rows_out"].to_pylist())
 
-    # vacuum removes epoch-1's superseded part files, keeps the live ones
-    removed = Lake(lake_root).vacuum()
-    assert len(removed) == 8
+    # keep_manifests=2 retains BOTH epochs: every retained manifest stays
+    # fully readable (no dangling part files), nothing is removed here
+    import os
+
+    lake = Lake(lake_root)
+    assert lake.vacuum(keep_manifests=2) == []
+    for e in (0, 1):
+        with open(os.path.join(lake_root, "manifests", f"epoch-{e}.json")) as f:
+            man = json.load(f)
+        assert all(
+            os.path.exists(os.path.join(lake_root, r)) for r in man["files"].values()
+        )
+
+    # keep_manifests=1 collapses history: epoch-0's 8 superseded parts AND
+    # its manifest JSON go; the current epoch stays readable
+    removed = lake.vacuum(keep_manifests=1)
+    assert len(removed) == 9
+    assert not os.path.exists(os.path.join(lake_root, "manifests", "epoch-0.json"))
     import nostr_data_pipeline_ray.pipelines.cdc as cdc
 
     assert cdc.read_final(lake_root).count() > 0  # still readable
