@@ -43,6 +43,12 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
+def _tbytes(sf_dir: str, table: str) -> int:
+    """Source size for bucket-count sizing when the dataset handed to a
+    bucketed helper is already post-map_batches (input_files() is empty)."""
+    return os.path.getsize(_t(sf_dir, table))
+
+
 def _round_away(x, decimals: int = 2) -> np.ndarray:
     """Half-away-from-zero rounding, matching DuckDB ROUND (positive inputs)."""
     scale = 10.0**decimals
@@ -147,6 +153,7 @@ def q_trending_words(sf_dir: str):
         keys=["word"],
         fn=per_word,
         pre=partial,
+        input_bytes=_tbytes(sf_dir, "documents"),
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -205,6 +212,7 @@ def q_activity_timeline(sf_dir: str):
         keys=["window_start", "event_type"],
         sums={"value": "total_value"},
         count_as="n_events",
+        input_bytes=_tbytes(sf_dir, "events"),
     ).map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
 
 
@@ -343,6 +351,7 @@ def q_order_revenue(sf_dir: str):
         keys=["l_orderkey"],
         sums={"rev": "revenue"},
         count_as="n_items",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
         # price and discount are 2-decimal, so the products (and their sums)
         # are EXACT at 4 decimals — rounding there has no boundary ties,
         # while rounding at 2 decimals would sit exactly on .xx5 for ~0.1%
@@ -499,11 +508,10 @@ def q_doc_quality(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    import pyarrow.parquet as pq
+    from .dedup import _point_read_vec
 
-    emb = pq.read_table(_t(sf_dir, "embeddings"))
-    qrow = emb.filter(pc.equal(emb["vec_id"], 0))
-    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    # query vector via filtered point-read (row-group pruning), not a scan
+    qvec = _point_read_vec(_t(sf_dir, "embeddings"), vec_id=0)
     qnorm = np.linalg.norm(qvec)
 
     import ray
@@ -587,6 +595,7 @@ def q_daily_signup_growth(sf_dir: str):
         keys=["day"],
         sums={},
         count_as="n",
+        input_bytes=_tbytes(sf_dir, "events"),
     ).to_pandas()
     daily = daily.sort_values("day").reset_index(drop=True)
     prev = daily["n"].shift(1)

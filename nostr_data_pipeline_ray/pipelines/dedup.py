@@ -39,6 +39,34 @@ def _round6(x) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
+def _point_read_vec(path: str, vec_id: int) -> np.ndarray:
+    """Single-vector lookup with parquet predicate pushdown (row-group
+    stats prune everything else) — never loads the table."""
+    t = pq.read_table(path, columns=["embedding"], filters=[("vec_id", "==", vec_id)])
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {vec_id} not found in {path}")
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def _embedding_sample(path: str, max_rows: int) -> np.ndarray:
+    """Deterministic bounded training sample: stream record batches and stop
+    as soon as ``max_rows`` are in hand — at 100 TB this touches a handful
+    of row groups, not the table."""
+    pf = pq.ParquetFile(path)
+    chunks, have = [], 0
+    for b in pf.iter_batches(batch_size=16384, columns=["embedding"]):
+        chunks.append(b)
+        have += b.num_rows
+        if have >= max_rows:
+            break
+    pf.close()
+    t = pa.Table.from_batches(chunks)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+    return mat[:max_rows].astype(np.float64)
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram (word-set) Jaccard via inverted index — the oracle-checkable
 # baseline. Plan: explode distinct (word, doc) → self-pair within each word
@@ -77,6 +105,7 @@ def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50):
     an inverted index (explode → per-feature pairing → co-occurrence counts
     → jaccard from broadcast set sizes → pruned top-k)."""
 
+    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
     dw = bucketed_map_groups(
         _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
             explode_fn, batch_format="pyarrow"
@@ -84,10 +113,13 @@ def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50):
         keys=["doc_id"],
         fn=lambda g: g.drop_duplicates(["doc_id", "word"]),
         pre=lambda b: b.drop_duplicates(["doc_id", "word"]),
+        input_bytes=doc_bytes,
     )
     dw = dw.materialize()  # reused twice (sizes + pairing); bounded: |docs|·|vocab|
 
-    sizes_df = bucketed_sum_count(dw, ["doc_id"], sums={}, count_as="n").to_pandas()
+    sizes_df = bucketed_sum_count(
+        dw, ["doc_id"], sums={}, count_as="n", input_bytes=doc_bytes
+    ).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
     def pair_docs(g: pd.DataFrame) -> pd.DataFrame:
@@ -105,7 +137,9 @@ def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50):
     )
     # co-occurrence counts: bucketed two-phase aggregate (Ray's built-in
     # groupby().aggregate() combine is per-key Python — 16x slower here)
-    co = bucketed_sum_count(pairs, ["doc_a", "doc_b"], sums={}, count_as="c")
+    co = bucketed_sum_count(
+        pairs, ["doc_a", "doc_b"], sums={}, count_as="c", input_bytes=doc_bytes
+    )
 
     def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
         sizes = ray.get(sizes_ref)
@@ -139,7 +173,19 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_SEP = "\x1f"  # shingle-set wire format: one sorted SEP-joined string column
+
+
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup with DISTRIBUTED exact verification.
+
+    band/band_hash groupby → candidate pairs → two bucketed co-location
+    passes (by doc_a then doc_b) that attach each side's shingle set → exact
+    Jaccard where both sets are local. Nothing data-sized touches the
+    driver: only the distinct candidate-id list (bounded by the LSH
+    collision count — the small side of a broadcast semi-join) does.
+    """
+    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     buckets = docs.map_batches(MinHashLSH, batch_format="pandas", concurrency=2)
 
@@ -161,10 +207,19 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
         )
         return out.drop(columns=["truncated"]).drop_duplicates(["doc_a", "doc_b"])
 
-    candidates = bucketed_map_groups(buckets, ["band", "band_hash"], emit_pairs)
-    # candidate set is small by construction; final cross-bucket dedup driver-side
-    cand_df = candidates.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    if cand_df.empty:
+    # NB: .materialize() between consecutive all-to-alls (chaining a second
+    # shuffle straight onto a map_groups output stalls this Ray's fused plan)
+    candidates = bucketed_map_groups(
+        buckets, ["band", "band_hash"], emit_pairs, input_bytes=doc_bytes
+    ).materialize()
+
+    # distinct candidate ids — the only driver-side artifact (id list, not
+    # pairs, not text); broadcast once for the shingle semi-join
+    cand_ids: set[int] = set()
+    for b in candidates.iter_batches(batch_format="pandas", batch_size=65536):
+        cand_ids.update(b["doc_a"].tolist())
+        cand_ids.update(b["doc_b"].tolist())
+    if not cand_ids:
         return pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
@@ -172,39 +227,102 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
                 "jaccard": pa.array([], pa.float64()),
             }
         )
+    ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
-    # exact verify: fetch shingle sets for candidate docs only (small subset)
-    cand_ids = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    ids_ref = ray.put(cand_ids)
+    class ShingleSets:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
 
-    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(ids_ref)
-        hit = batch[batch["doc_id"].isin(wanted)]
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            hit = batch[batch["doc_id"].isin(self.ids)]
+            return pd.DataFrame(
+                {
+                    "doc_id": hit["doc_id"].astype("int64"),
+                    "sh": [_SEP.join(sorted(word_shingles(t or ""))) for t in hit["text"]],
+                }
+            )
+
+    sets_ds = docs.map_batches(ShingleSets, batch_format="pandas", concurrency=2)
+
+    # pass 1 — co-locate by doc_a: attach sh_a to every pair (cross-band
+    # duplicate pairs of one doc_a land in the same bucket → dedup here)
+    def to_k_a(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": batch["doc_a"].astype("int64"),
+             "doc_b": batch["doc_b"].astype("int64"),
+             "sh": ""}
+        )
+
+    def to_set_a(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": batch["doc_id"], "doc_b": np.int64(-1), "sh": batch["sh"]}
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        is_set = g["doc_b"] == -1
+        m = dict(zip(g.loc[is_set, "k"], g.loc[is_set, "sh"]))
+        p = g[~is_set].drop_duplicates(["k", "doc_b"])
         return pd.DataFrame(
             {
-                "doc_id": hit["doc_id"],
-                "shingles": [sorted(word_shingles(t)) for t in hit["text"]],
+                "doc_a": p["k"],
+                "doc_b": p["doc_b"],
+                "sh_a": p["k"].map(m).fillna(""),
             }
         )
 
-    sdf = docs.map_batches(shingle_sets, batch_format="pandas").to_pandas()
-    sets = {i: frozenset(s) for i, s in zip(sdf["doc_id"], sdf["shingles"])}
+    stage1 = bucketed_map_groups(
+        candidates.map_batches(to_k_a, batch_format="pandas").union(
+            sets_ds.map_batches(to_set_a, batch_format="pandas")
+        ),
+        ["k"],
+        attach_a,
+        input_bytes=doc_bytes,
+    ).materialize()
 
-    a = cand_df["doc_a"].to_numpy()
-    b = cand_df["doc_b"].to_numpy()
-    jac = np.array(
-        [
-            len(sets[x] & sets[y]) / max(1, len(sets[x] | sets[y]))
-            for x, y in zip(a, b)
-        ]
-    )
-    keep = jac >= threshold
-    return pa.table(
-        {
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(_round6(jac[keep]), pa.float64()),
-        }
+    # pass 2 — co-locate by doc_b: attach sh_b, exact Jaccard, threshold
+    def to_k_b(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": batch["doc_b"].astype("int64"),
+             "doc_a": batch["doc_a"].astype("int64"),
+             "sh_a": batch["sh_a"], "sh_b": ""}
+        )
+
+    def to_set_b(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": batch["doc_id"], "doc_a": np.int64(-1),
+             "sh_a": "", "sh_b": batch["sh"]}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        is_set = g["doc_a"] == -1
+        m = dict(zip(g.loc[is_set, "k"], g.loc[is_set, "sh_b"]))
+        p = g[~is_set]
+        out_a, out_b, out_j = [], [], []
+        for a, b_, sa in zip(p["doc_a"], p["k"], p["sh_a"]):
+            A = set(sa.split(_SEP)) if sa else set()
+            sb = m.get(b_, "")
+            B = set(sb.split(_SEP)) if sb else set()
+            union = len(A | B)
+            j = len(A & B) / union if union else 0.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b_)
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "jaccard": _round6(np.array(out_j, dtype=np.float64)),
+            }
+        )
+
+    return bucketed_map_groups(
+        stage1.map_batches(to_k_b, batch_format="pandas").union(
+            sets_ds.map_batches(to_set_b, batch_format="pandas")
+        ),
+        ["k"],
+        verify,
+        input_bytes=doc_bytes,
     )
 
 
@@ -276,6 +394,93 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup, LSH scale path: sign-LSH buckets the vectors, pairwise
+# cosine runs only WITHIN buckets — never a full-matrix broadcast, never an
+# O(N²) scan. The exact all-pairs variant above stays the oracle anchor; this
+# is the 100-TB path (candidates bounded by bucket sizes, recall tied to the
+# angular gap — near-dups at cos ≳0.9 collide in ≥1 of the tables w.h.p.).
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_near_dup_lsh(
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_tables: int = 6,
+    n_planes: int = 10,
+    max_bucket: int = 512,
+):
+    path = _t(sf_dir, "embeddings")
+    emb_bytes = os.path.getsize(path)
+    dim = _embedding_sample(path, max_rows=1).shape[1]
+    rng = np.random.default_rng(23)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    ref = ray.put(planes)
+
+    class SigEmitter:
+        """vector → one (table, sig) bucket row per LSH table, embedding
+        carried through the shuffle for in-bucket scoring."""
+
+        def __init__(self):
+            self.planes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            sigs = ((mat @ self.planes.transpose(0, 2, 1)) > 0) @ pow2  # (T, n)
+            n = len(batch)
+            return pd.DataFrame(
+                {
+                    "t": np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                    "sig": sigs.reshape(-1),
+                    "vec_id": np.tile(batch["vec_id"].to_numpy(), n_tables),
+                    "embedding": np.tile(batch["embedding"].to_numpy(), n_tables),
+                }
+            )
+
+    def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64),
+             "score": np.array([], np.float64)}
+        )
+        outs = [empty]
+        for _, grp in g.groupby(["t", "sig"], sort=False):
+            grp = grp.drop_duplicates("vec_id")
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("vec_id").head(max_bucket)  # hot-bucket cap
+            ids = grp["vec_id"].to_numpy()
+            m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            s = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = s[ia, ib] >= threshold
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+                     "score": _round6(s[ia[keep], ib[keep]])}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cands = bucketed_map_groups(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            SigEmitter, batch_format="pandas", concurrency=2
+        ),
+        keys=["t", "sig"],
+        fn=in_bucket_pairs,
+        input_bytes=emb_bytes * n_tables,
+    ).materialize()  # all-to-all follows (cross-table pair dedup)
+
+    return bucketed_map_groups(
+        cands,
+        keys=["vec_a", "vec_b"],
+        fn=lambda g: g.drop_duplicates(["vec_a", "vec_b"]),
+        pre=lambda b: b.drop_duplicates(["vec_a", "vec_b"]),
+        input_bytes=emb_bytes,
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (the approximate scale path for q_ann_topk): random
 # hyperplane signs bucket the vectors; only the query's bucket (and 1-bit
 # neighbors) are scored.
@@ -290,14 +495,13 @@ def q_ann_topk_lsh(
     independent tables (plus 1-bit multi-probe per table). Recall depends on
     the angular gap — near-duplicates (cosine ≳0.9) are found with
     probability ≈1; on uniform-random data recall is inherently low (that is
-    the LSH trade-off, not a bug — see test_ann_lsh_recall_on_planted)."""
-    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    dim = len(emb["embedding"][0])
+    the LSH trade-off, not a bug — see test_ann_lsh_recall_on_planted).
+    The query vector is a filtered point-read, not a full-table scan."""
+    qvec = _point_read_vec(_t(sf_dir, "embeddings"), vec_id=0)
+    dim = len(qvec)
     rng = np.random.default_rng(11)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     pow2 = 1 << np.arange(n_planes)
-    qrow = emb.filter(pc.equal(emb["vec_id"], 0))
-    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
     qsig = ((planes @ qvec) > 0) @ pow2  # (n_tables,)
     # 1-bit multi-probe neighborhood per table
     probe = [{int(s)} | {int(s) ^ (1 << i) for i in range(n_planes)} for s in qsig]
@@ -414,28 +618,27 @@ def q_ann_topk_ivf(
     sf_dir: str, n_lists: int = 16, n_probe: int = 3, k: int = 10, iters: int = 5
 ):
     """IVF ANN (the other scale path besides LSH): k-means coarse quantizer
-    (fixed seed, trained driver-side — at 100 TB you train on a sample),
-    then only vectors whose nearest centroid is among the query's ``n_probe``
-    closest lists are scored, inside a broadcast-centroid map_batches stage.
+    trained on a BOUNDED deterministic sample (≤100k rows — row groups are
+    read only until the sample is full, never the whole table), then only
+    vectors whose nearest centroid is among the query's ``n_probe`` closest
+    lists are scored, inside a broadcast-centroid map_batches stage. The
+    query vector itself is a filtered point-read (row-group pruning on
+    vec_id), not a full-table scan.
     """
-    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    dim = len(emb["embedding"][0])
-    mat = (
-        emb["embedding"].combine_chunks().flatten()
-        .to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float64)
-    )
-    # tiny deterministic Lloyd's k-means
+    path = _t(sf_dir, "embeddings")
+    mat = _embedding_sample(path, max_rows=100_000)
+    # tiny deterministic Lloyd's k-means on the sample
     rng = np.random.default_rng(17)
-    centroids = mat[rng.choice(len(mat), size=n_lists, replace=False)]
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
     for _ in range(iters):
         d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
-        for c in range(n_lists):
+        for c in range(len(centroids)):
             pts = mat[assign == c]
             if len(pts):
                 centroids[c] = pts.mean(axis=0)
 
-    qvec = mat[emb["vec_id"].to_numpy(zero_copy_only=False) == 0][0]
+    qvec = _point_read_vec(path, vec_id=0)
     qd = ((centroids - qvec) ** 2).sum(axis=1)
     probe = set(np.argsort(qd)[:n_probe].tolist())
     ref = ray.put((centroids, qvec, np.linalg.norm(qvec), probe))
@@ -496,6 +699,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_features": q_multimodal_features,

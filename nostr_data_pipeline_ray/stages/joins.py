@@ -57,7 +57,8 @@ def bucketed_hash_join(
     left_on: list[str],
     right_on: list[str] | None = None,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
+    input_bytes: int | None = None,
 ):
     """Large⋈large hash join as ONE bucketed shuffle + per-bucket pandas
     merge (Ray's Dataset.join spins up hash-shuffle aggregator actors with a
@@ -70,7 +71,14 @@ def bucketed_hash_join(
     import numpy as np
     import pyarrow as pa
 
-    from .shuffle import key_buckets
+    from .shuffle import input_bytes_of, key_buckets, resolve_buckets
+
+    # size the bucket count from BOTH sides (a bucket holds its slice of the
+    # left and the right union'd together)
+    if num_buckets is None and input_bytes is None:
+        known = [b for b in (input_bytes_of(left), input_bytes_of(right)) if b]
+        input_bytes = sum(known) if known else None
+    num_buckets = resolve_buckets(None, num_buckets, input_bytes)
 
     right_on = right_on or left_on
     lschema, rschema = left.schema(), right.schema()

@@ -20,6 +20,7 @@ algebraic aggregates.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -27,6 +28,42 @@ import pandas as pd
 
 _FNV = np.uint64(0xCBF29CE484222325)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+# Each bucket is materialized as ONE pandas DataFrame inside map_groups, so
+# bucket count must scale with input size: ~64 MB of parquet (≈ a few hundred
+# MB in-memory) per bucket. At 100 TB that is ~1.6M buckets — the groupby key
+# stays low-cardinality per block while no single bucket outgrows a worker.
+TARGET_BUCKET_BYTES = 64 << 20
+MAX_BUCKETS = 1 << 20
+
+
+def resolve_buckets(
+    ds=None,
+    num_buckets: int | None = None,
+    input_bytes: int | None = None,
+) -> int:
+    """Pick the bucket count: explicit override > caller-supplied input size
+    > the dataset's own source files > the legacy default of 32.
+
+    ``input_files()`` only survives until the first transform, so call sites
+    that wrap the read in ``map_batches`` must pass ``input_bytes`` (the
+    ``_read`` helpers know the file size anyway)."""
+    if num_buckets is not None:
+        return num_buckets
+    if input_bytes is None and ds is not None:
+        input_bytes = input_bytes_of(ds)
+    if input_bytes is None:
+        return 32
+    return int(min(MAX_BUCKETS, max(32, -(-input_bytes // TARGET_BUCKET_BYTES))))
+
+
+def input_bytes_of(ds) -> int | None:
+    """Source-file bytes of a Dataset, if its plan still exposes them."""
+    try:
+        files = ds.input_files()
+        return sum(os.path.getsize(f) for f in files if os.path.exists(f)) or None
+    except Exception:
+        return None
 
 
 def key_buckets(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
@@ -41,17 +78,20 @@ def bucketed_map_groups(
     ds,
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     pre: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    input_bytes: int | None = None,
 ):
-    """Hash-partition ``ds`` by ``keys`` into ``num_buckets`` buckets and
-    apply ``fn`` once per bucket (all rows of any key co-located).
+    """Hash-partition ``ds`` by ``keys`` into buckets (count sized from the
+    input — see ``resolve_buckets``) and apply ``fn`` once per bucket (all
+    rows of any key co-located).
 
     ``fn`` receives the bucket as a DataFrame (without the bucket column)
     and must do its own per-key logic vectorized (pandas groupby / drop_
     duplicates / sort+head). ``pre`` is an optional per-batch map-side
     partial combiner run BEFORE the shuffle.
     """
+    num_buckets = resolve_buckets(ds, num_buckets, input_bytes)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         if pre is not None:
@@ -89,7 +129,8 @@ def bucketed_sum_count(
     keys: list[str],
     sums: dict[str, str],
     count_as: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
+    input_bytes: int | None = None,
 ):
     """Grouped sum/count with map-side partial combine (the two-phase
     aggregate): per-batch pandas groupby first, bucketed final combine after
@@ -110,4 +151,6 @@ def bucketed_sum_count(
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.groupby(keys, sort=False, observed=True)[agg_cols].sum().reset_index()
 
-    return bucketed_map_groups(ds, keys, final, num_buckets=num_buckets, pre=partial)
+    return bucketed_map_groups(
+        ds, keys, final, num_buckets=num_buckets, pre=partial, input_bytes=input_bytes
+    )

@@ -77,7 +77,10 @@ class TextAnalyzer:
       word_count  whitespace tokens
       stop_ratio  stopword fraction of word tokens
       punct_ratio punctuation chars / chars
-      fingerprint 64-bit FNV-1a rolling hash of the normalized text
+      fingerprint 64-bit stable hash of the whitespace-normalized text
+                  (pandas' siphash — the same process-stable hash used by
+                  the bucketed shuffle and the MinHash stages; one
+                  vectorized call instead of a per-row per-byte loop)
     """
 
     def __init__(self):
@@ -88,17 +91,6 @@ class TextAnalyzer:
         self.ja_re = re.compile("[぀-ゟ゠-ヿ]")
         self.ko_re = re.compile("[가-힯]")
         self.ws_re = re.compile(r"\s+")
-
-    @staticmethod
-    def _fnv1a(values: pd.Series) -> np.ndarray:
-        # vectorized-enough 64-bit FNV-1a over normalized bytes
-        out = np.empty(len(values), dtype=np.uint64)
-        for i, s in enumerate(values):
-            h = 0xCBF29CE484222325
-            for b in s.encode("utf-8"):
-                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            out[i] = h
-        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
@@ -124,5 +116,5 @@ class TextAnalyzer:
             text.str.count(self.punct_re) / text.str.len().clip(lower=1)
         ).astype("float64")
         normalized = text.str.lower().str.replace(self.ws_re, " ", regex=True).str.strip()
-        batch["fingerprint"] = self._fnv1a(normalized).astype("uint64")
+        batch["fingerprint"] = pd.util.hash_array(normalized.to_numpy(dtype=object))
         return batch

@@ -69,11 +69,13 @@ def neardup_dir(tmp_path):
 
 def test_minhash_finds_planted_neardup(neardup_dir):
     out = dd.q_minhash_near_dup(neardup_dir, threshold=0.5)
-    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out.to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 1) in pairs
-    jac = dict(zip(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()),
-                   out["jaccard"].to_pylist()))
+    jac = dict(zip(zip(out["doc_a"], out["doc_b"]), out["jaccard"]))
     assert 0.5 <= jac[(0, 1)] < 1.0
+    # no duplicate pairs survive the distributed dedup
+    assert len(pairs) == len(out)
 
 
 def test_simhash_determinism_and_similarity(neardup_dir):
@@ -121,6 +123,35 @@ def test_ann_lsh_recall_on_planted(tmp_path):
     # the planted near-neighbors (ids 1..10) dominate the approximate top-10
     hits = set(approx["vec_id"]) & set(range(1, n_plant + 1))
     assert len(hits) >= 8
+
+
+def test_embedding_lsh_pair_mining_on_planted(tmp_path):
+    """The 100-TB pair-mining path: finds planted near-dup pairs via sign-LSH
+    buckets without ever broadcasting the full matrix."""
+    import pyarrow.parquet as pqq
+
+    rng = np.random.default_rng(21)
+    dim, n_noise = 64, 400
+    base = rng.standard_normal((5, dim))
+    # 5 planted near-dup pairs: (i, i+5) at cosine ≈ 0.999
+    dups = base + 0.02 * rng.standard_normal((5, dim))
+    noise = rng.standard_normal((n_noise, dim))
+    mat = np.vstack([base, dups, noise]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), pa.int32()),
+        }
+    )
+    pqq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dd.q_embedding_near_dup_lsh(str(tmp_path), threshold=0.9).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    planted = {(i, i + 5) for i in range(5)}
+    assert len(pairs & planted) >= 4  # near-full recall at cos≈0.999
+    assert len(pairs) == len(out)  # cross-table dedup holds
+    assert (out["score"] >= 0.9).all()
 
 
 def test_ann_ivf_recall_on_planted(tmp_path):
