@@ -3,6 +3,7 @@
 top-zapped/user/relays/version).
 
     python -m nostr_data_pipeline_ray apply  --lake DIR --binlog DIR
+                                             [--follow --idle-timeout N]
     python -m nostr_data_pipeline_ray synth  --out DIR [--events N ...]
     python -m nostr_data_pipeline_ray stats  --lake DIR
     python -m nostr_data_pipeline_ray query  NAME [--sf DIR]
@@ -39,10 +40,32 @@ def _ray():
 def cmd_apply(args) -> int:
     _ray()
     from .config import EngineConfig
-    from .pipelines.cdc import apply_changelog
+    from .pipelines.cdc import apply_changelog, follow_changelog
 
     cfg = EngineConfig.from_env()
-    out = apply_changelog(args.lake, args.binlog, cfg)
+    if args.follow:
+        # always-on tail: SIGTERM/SIGINT request a clean stop at the next
+        # epoch boundary (mid-epoch work is re-done idempotently on restart)
+        import signal
+
+        stopping = {"flag": False}
+
+        def _request_stop(_sig, _frame):
+            stopping["flag"] = True
+
+        signal.signal(signal.SIGTERM, _request_stop)
+        signal.signal(signal.SIGINT, _request_stop)
+        out = follow_changelog(
+            args.lake,
+            args.binlog,
+            cfg,
+            poll_interval=args.poll_interval,
+            idle_timeout=args.idle_timeout,
+            stop=lambda: stopping["flag"],
+            on_epoch=lambda r: print(json.dumps(r), flush=True),
+        )
+    else:
+        out = apply_changelog(args.lake, args.binlog, cfg)
     print(json.dumps(out))
     return 0
 
@@ -119,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("apply", help="tail a binlog dir into a lake (resumable)")
     a.add_argument("--lake", required=True)
     a.add_argument("--binlog", required=True)
+    a.add_argument("--follow", action="store_true",
+                   help="keep polling for new segments (SIGTERM stops cleanly)")
+    a.add_argument("--poll-interval", type=float, default=1.0)
+    a.add_argument("--idle-timeout", type=float, default=None,
+                   help="exit after this many idle seconds (default: run forever)")
     a.set_defaults(fn=cmd_apply)
 
     s = sub.add_parser("synth", help="generate a deterministic changelog")

@@ -128,26 +128,48 @@ def q_trending_words(sf_dir: str):
         words = pc.split_pattern(batch["text"], " ")
         flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
         parents = pc.list_parent_indices(flat)
-        src = batch["source"].take(parents)
-        return pa.table({"word": pc.list_flatten(flat), "source": src})
+        return pa.table(
+            {
+                "word": pc.list_flatten(flat),
+                "source": batch["source"].take(parents),
+                "doc_id": batch["doc_id"].take(parents),
+            }
+        )
 
     # two-phase: per-batch (word, source) partial counts map-side, then one
     # bucketed shuffle keyed on word computes total mentions + distinct
-    # sources vectorized (pandas) per bucket
+    # sources + a first-K doc sample (K6: reference aggregator.py:257-258
+    # attaches sample_event_ids to each topic) vectorized per bucket. The
+    # global 5 smallest doc ids of a word are always within the union of its
+    # per-batch 5 smallest, so the sample survives the partial combine.
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.groupby(["word", "source"], sort=False).size().reset_index(name="c")
+        g = batch.groupby(["word", "source"], sort=False)
+        out = g.agg(c=("doc_id", "size")).reset_index()
+        d = batch.drop_duplicates(["word", "source", "doc_id"]).sort_values("doc_id")
+        head = d.groupby(["word", "source"], sort=False).head(5).copy()
+        head["doc_id"] = head["doc_id"].astype(str)
+        cand = (
+            head.groupby(["word", "source"], sort=False)["doc_id"]
+            .agg(",".join)
+            .rename("cand")
         )
+        return out.merge(cand, on=["word", "source"], how="left")
 
     def per_word(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("word", sort=False)
         out = g.agg(
             mention_count=("c", "sum"), unique_sources=("source", "nunique")
         ).reset_index()
+        samp = g["cand"].agg(
+            lambda ss: ",".join(
+                map(str, sorted({int(x) for s in ss for x in s.split(",")})[:5])
+            )
+        )
+        out["sample_doc_ids"] = samp.to_numpy()
         return out
 
     agg = bucketed_map_groups(
-        _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"]).map_batches(
             explode, batch_format="pyarrow"
         ),
         keys=["word"],
@@ -166,6 +188,7 @@ def q_trending_words(sf_dir: str):
                 "word": batch["word"],
                 "mention_count": pc.cast(batch["mention_count"], pa.int64()),
                 "unique_sources": pc.cast(batch["unique_sources"], pa.int64()),
+                "sample_doc_ids": batch["sample_doc_ids"],
                 "trend_score": pa.array(trend, pa.float64()),
             }
         )
@@ -742,7 +765,62 @@ def q_user_stats(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# A3/A11 — the stitched one-row network snapshot (reference:
+# analytics/aggregator.py:276-377 builds get_network_stats from totals +
+# distincts + top-1 sub-queries; the dashboard Home page renders it). Each
+# piece is a streamed aggregate; only the scalar results are stitched
+# driver-side — exactly the reference's shape, minus the SQL round trips.
+# ---------------------------------------------------------------------------
+
+
+def q_network_stats(sf_dir: str):
+    ev = _read(sf_dir, "events")
+    summary = ev.aggregate(
+        Count(alias_name="total_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Sum("value", alias_name="total_value"),
+    )
+    n_users = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["user_id"]),
+        keys=["user_id"], sums={}, count_as="c",
+    ).count()
+    n_event_types = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["event_type"]),
+        keys=["event_type"], sums={}, count_as="c",
+    ).count()
+    top_user = q_top_users_by_value(sf_dir).take(1)[0]
+    latest = q_latest_event(sf_dir).take(1)[0]
+    return pa.table(
+        {
+            "total_events": pa.array([int(summary["total_events"])], pa.int64()),
+            "n_users": pa.array([n_users], pa.int64()),
+            "n_event_types": pa.array([n_event_types], pa.int64()),
+            "first_ts": pa.array([summary["first_ts"]], pa.timestamp("us")),
+            "last_ts": pa.array([summary["last_ts"]], pa.timestamp("us")),
+            "total_value": pa.array(
+                [_round_away(summary["total_value"])[()]], pa.float64()
+            ),
+            "top_user_id": pa.array([int(top_user["user_id"])], pa.int64()),
+            "latest_event_id": pa.array([int(latest["event_id"])], pa.int64()),
+        }
+    )
+
+
 ORACLE: dict[str, str] = {
+    "network_stats": """
+        SELECT (SELECT count(*) FROM events) AS total_events,
+               (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT count(DISTINCT event_type) FROM events) AS n_event_types,
+               (SELECT min(ts) FROM events) AS first_ts,
+               (SELECT max(ts) FROM events) AS last_ts,
+               (SELECT round(sum(value), 2) FROM events) AS total_value,
+               (SELECT user_id FROM events GROUP BY user_id
+                ORDER BY round(sum(value), 2) DESC, user_id LIMIT 1) AS top_user_id,
+               (SELECT event_id FROM events
+                ORDER BY ts DESC, event_id DESC LIMIT 1) AS latest_event_id
+    """,
     "user_stats": """
         WITH s AS (
             SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
@@ -814,13 +892,17 @@ ORACLE: dict[str, str] = {
     """,
     "trending_words": """
         WITH words AS (
-            SELECT unnest(string_split(text, ' ')) AS word, source FROM documents
+            SELECT unnest(string_split(text, ' ')) AS word, source, doc_id
+            FROM documents
         ), agg AS (
             SELECT word, count(*) AS mention_count,
-                   count(DISTINCT source) AS unique_sources
+                   count(DISTINCT source) AS unique_sources,
+                   array_to_string(list_transform(
+                       list_sort(list(DISTINCT doc_id))[1:5],
+                       x -> CAST(x AS VARCHAR)), ',') AS sample_doc_ids
             FROM words GROUP BY word HAVING count(*) >= 3
         )
-        SELECT word, mention_count, unique_sources,
+        SELECT word, mention_count, unique_sources, sample_doc_ids,
                round(mention_count / 24.0 * ln(1.0 + unique_sources), 2) AS trend_score
         FROM agg
     """,

@@ -411,6 +411,55 @@ def apply_changelog(
     }
 
 
+def follow_changelog(
+    lake_root: str,
+    binlog_dir: str,
+    config: EngineConfig | None = None,
+    poll_interval: float = 1.0,
+    idle_timeout: float | None = 30.0,
+    stop=None,
+    on_epoch=None,
+) -> dict[str, Any]:
+    """Continuous tail mode — the always-on daily driver (reference analog:
+    the connect→subscribe→process loop, src/nostr_pipeline/pipeline.py:69-101).
+
+    Polls ``binlog_dir`` and applies newly appeared segments epoch by epoch;
+    every pass is the same idempotent ``apply_changelog``, so a crash at any
+    point resumes cleanly on restart. Exits when ``stop()`` returns True
+    (the CLI wires SIGTERM/SIGINT to this) or after ``idle_timeout`` seconds
+    with no new segments (None = run forever). ``on_epoch`` is an optional
+    callback fed each non-empty apply result (metrics hook).
+    """
+    config = config or EngineConfig()
+    stop = stop or (lambda: False)
+    t0 = time.time()
+    last_new = time.time()
+    passes, results = 0, []
+    while True:
+        out = apply_changelog(lake_root, binlog_dir, config)
+        passes += 1
+        if out["segments_applied"] > 0:
+            results.append(out)
+            last_new = time.time()
+            if on_epoch is not None:
+                on_epoch(out)
+        if stop():
+            reason = "stopped"
+            break
+        if idle_timeout is not None and time.time() - last_new >= idle_timeout:
+            reason = "idle"
+            break
+        time.sleep(poll_interval)
+    return {
+        "reason": reason,
+        "passes": passes,
+        "applies": results,
+        "segments_applied": sum(r["segments_applied"] for r in results),
+        "rows_applied": sum(r["rows_applied"] for r in results),
+        "seconds": time.time() - t0,
+    }
+
+
 def delete_where(
     lake_root: str, predicate, config: EngineConfig | None = None
 ) -> dict[str, Any]:

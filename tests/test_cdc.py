@@ -190,6 +190,42 @@ def test_read_final_sorted_dataset(binlog, tmp_path):
     ).all()
 
 
+def test_follow_mode_applies_segments_as_they_appear(binlog, tmp_path):
+    """Continuous tail: segments written AFTER the follower starts get
+    applied in a later pass, the manifest advances, and the final state
+    still matches the full-replay oracle."""
+    import shutil
+
+    from nostr_data_pipeline_ray.pipelines.cdc import follow_changelog
+
+    lake_root = str(tmp_path / "lake")
+    segs = list_segments(binlog)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for s in segs[:3]:  # only the head of the stream exists at start
+        shutil.copy(s, watch / os.path.basename(s))
+
+    state = {"fed": False}
+
+    def stop():
+        if not state["fed"]:
+            # the "producer": the rest of the stream arrives mid-follow
+            for s in segs[3:]:
+                shutil.copy(s, watch / os.path.basename(s))
+            state["fed"] = True
+            return False
+        return len(Lake(lake_root).applied_segments()) == len(segs)
+
+    out = follow_changelog(
+        lake_root, str(watch), CFG, poll_interval=0.05, idle_timeout=60.0,
+        stop=stop,
+    )
+    assert out["reason"] == "stopped"
+    assert out["segments_applied"] == len(segs)
+    assert out["passes"] >= 2  # the tail arrived in a later poll
+    _assert_matches_oracle(lake_root, str(watch))
+
+
 def test_delete_drops_keys(binlog, tmp_path):
     lake_root = str(tmp_path / "lake")
     apply_changelog(lake_root, binlog, CFG)
