@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     qs["cdc_apply"] = _flag.q_cdc_apply
     qs["approx_distinct_users"] = _an.q_approx_distinct_users  # rows-only: HLL sketch
+    qs["price_stats_tdigest"] = _an.q_price_stats_tdigest  # rows-only: t-digest
     qs["changelog_filter"] = _flag.q_changelog_filter
     qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
     # rows-only extras (no SQL oracle) are registered by their modules below

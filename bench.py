@@ -176,39 +176,41 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # INTERLEAVED pairs: host noise on this shared VM comes in multi-minute
-    # windows that can hit one level's whole block of runs; measuring (2, 8)
-    # back-to-back per round and taking the median per-round efficiency
-    # makes each sample see the same noise window. One warm-up pair first.
+    # INTERLEAVED triples: host noise on this shared VM comes in multi-minute
+    # windows that can hit one level's whole block of runs; measuring
+    # (2, 8, 32) back-to-back per round and taking the median per-round
+    # efficiency makes each sample see the same noise window. One warm-up
+    # run first. Both the (2,8) headline pair and the (8,32) saturation
+    # reference come from the same interleaved rounds.
     one(2)
     rounds = []
     for _ in range(3):
-        lo, hi = one(2), one(8)
+        lo, hi, ref = one(2), one(8), one(32)
         rounds.append(
             (
                 (hi["cdc"]["events_per_sec"] / lo["cdc"]["events_per_sec"]) / 4,
+                (ref["cdc"]["events_per_sec"] / hi["cdc"]["events_per_sec"]) / 4,
                 lo,
                 hi,
+                ref,
             )
         )
-    rounds.sort(key=lambda r: r[0])
-    eff, lo, hi = rounds[len(rounds) // 2]  # median round
-    ref = one(32)
-    eps_lo = lo["cdc"]["events_per_sec"]
-    eps_hi = hi["cdc"]["events_per_sec"]
+    by_lo = sorted(rounds, key=lambda r: r[0])
+    eff, eff_hi, lo, hi, ref = by_lo[len(rounds) // 2]  # median (2,8) round
     return {
         "metric": "cdc_scaling_efficiency_N2_to_4N8_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
         "efficiency_rounds": [round(r[0], 3) for r in rounds],
-        "events_per_sec_2": eps_lo,
-        "events_per_sec_8": eps_hi,
+        "efficiency_rounds_8_to_32": [round(r[1], 3) for r in rounds],
+        "events_per_sec_2": lo["cdc"]["events_per_sec"],
+        "events_per_sec_8": hi["cdc"]["events_per_sec"],
         "events_per_sec_32": ref["cdc"]["events_per_sec"],
         "sec_2": lo["cdc"]["seconds"],
         "sec_8": hi["cdc"]["seconds"],
         "sec_32": ref["cdc"]["seconds"],
         "efficiency_8_to_32": round(
-            (ref["cdc"]["events_per_sec"] / eps_hi) / 4, 3
+            sorted(r[1] for r in rounds)[len(rounds) // 2], 3
         ),
         "sf": SF_DIR,
     }

@@ -7,6 +7,7 @@ top-zapped/user/relays/version).
     python -m nostr_data_pipeline_ray synth  --out DIR [--events N ...]
     python -m nostr_data_pipeline_ray stats  --lake DIR
     python -m nostr_data_pipeline_ray query  NAME [--sf DIR]
+    python -m nostr_data_pipeline_ray export --lake DIR --out DIR
     python -m nostr_data_pipeline_ray vacuum --lake DIR
     python -m nostr_data_pipeline_ray version
 
@@ -120,6 +121,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    _ray()
+    from .pipelines.cdc import export_snapshot
+
+    out = export_snapshot(args.lake, args.out, force=args.force)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .state.lake import Lake
 
@@ -167,6 +177,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("export", help="export the snapshot as partitioned parquet (resumable)")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--force", action="store_true", help="rewrite finished partitions")
+    ex.set_defaults(fn=cmd_export)
 
     v = sub.add_parser("vacuum", help="delete part files no manifest references")
     v.add_argument("--lake", required=True)

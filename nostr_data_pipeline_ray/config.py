@@ -47,6 +47,12 @@ class EngineConfig:
     # parallel CPU work so it also scales better; "ipc" (uncompressed Arrow)
     # is ~35% faster absolute on single-node tmpfs but memory-bandwidth-bound.
     staged_format: str = "parquet"
+    # dictionary-encode string columns of IPC staged files (parquet already
+    # dict-encodes pages internally). Measured: no win on this workload —
+    # the exchange bytes are dominated by near-unique transcript text, which
+    # a dictionary cannot compress (see BASELINE.md) — kept as a knob for
+    # payloads with repetitive strings.
+    staged_dict: bool = False
 
     @staticmethod
     def from_env() -> "EngineConfig":
@@ -57,4 +63,5 @@ class EngineConfig:
             batch_size=int(os.environ.get("NDP_BATCH_SIZE", 65536)),
             scratch_dir=os.environ.get("NDP_SCRATCH_DIR") or None,
             staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
+            staged_dict=bool(int(os.environ.get("NDP_STAGED_DICT", "0"))),
         )

@@ -305,6 +305,47 @@ def q_price_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# A4 scale path — t-digest quantile sketch: one bounded digest per batch
+# map-side, one tiny associative merge, NO distributed sort. The exact
+# sort-based q_price_stats above stays the oracle anchor; this is what runs
+# at 10^10 rows (rows-only: approximate by construction, accuracy pinned by
+# test_sketches.py against the exact quantiles).
+# ---------------------------------------------------------------------------
+
+
+def q_price_stats_tdigest(sf_dir: str, delta: int = 200):
+    from ..stages.sketches import TDigest
+
+    td = TDigest(delta)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        m, w = td.from_values(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "means": pa.array([m.tolist()], pa.list_(pa.float64())),
+                "weights": pa.array([w.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+        .map_batches(sketch, batch_format="pyarrow")
+        .take_all()
+    )  # one bounded digest row per batch — metadata-sized, not data-sized
+    means, weights = td.merge(
+        [(np.asarray(r["means"]), np.asarray(r["weights"])) for r in rows]
+    )
+    qs = {"p25": 0.25, "median": 0.5, "p75": 0.75, "p95": 0.95, "p99": 0.99}
+    return pa.table(
+        {
+            **{k: pa.array([TDigest.quantile(means, weights, q)], pa.float64())
+               for k, q in qs.items()},
+            "n_centroids": pa.array([len(means)], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # D5/A3 — grouped distinct counts without a distinct shuffle per row:
 # two-level pre-aggregation (reference: aggregator.py:287-299)
 # ---------------------------------------------------------------------------

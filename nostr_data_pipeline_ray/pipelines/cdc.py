@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import glob
 import hashlib
+import json
 import os
 import shutil
 import time
@@ -128,10 +129,17 @@ class SplitStage:
     harmless because the downstream LWW reduce collapses duplicate rows.
     """
 
-    def __init__(self, staged_root: str, num_partitions: int, fmt: str = "parquet"):
+    def __init__(
+        self,
+        staged_root: str,
+        num_partitions: int,
+        fmt: str = "parquet",
+        dict_encode: bool = False,
+    ):
         self.staged_root = staged_root
         self.num_partitions = num_partitions
         self.fmt = fmt
+        self.dict_encode = dict_encode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -156,6 +164,16 @@ class SplitStage:
             # content-fingerprint name → retried tasks overwrite themselves
             stem = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}"
             if self.fmt == "ipc":
+                if self.dict_encode:
+                    # dictionary-encode string columns (the conform_schema
+                    # cast on the read side decodes them back)
+                    cols = []
+                    for name in part.column_names:
+                        col = part[name]
+                        if pa.types.is_string(col.type):
+                            col = pc.dictionary_encode(col.combine_chunks())
+                        cols.append(col)
+                    part = pa.table(dict(zip(part.column_names, cols)))
                 # uncompressed Arrow IPC: 5-100x faster encode/decode than
                 # parquet (measured) at ~8x bytes — for tmpfs/local scratch
                 feather.write_feather(
@@ -301,7 +319,9 @@ def apply_epoch(
                 batch_size=config.batch_size,
             )
         delta = part if delta is None else delta.union(part)
-    split = SplitStage(staged_root, config.num_partitions, config.staged_format)
+    split = SplitStage(
+        staged_root, config.num_partitions, config.staged_format, config.staged_dict
+    )
     meta_rows = (
         delta.map_batches(precombine, batch_format="pyarrow", batch_size=None)
         .map_batches(
@@ -390,16 +410,19 @@ def apply_changelog(
     """
     config = config or EngineConfig()
     lake = Lake(lake_root)
-    applied = lake.applied_segments()
-    pending = [p for p in list_segments(binlog_dir) if os.path.basename(p) not in applied]
     t0 = time.time()
     total_rows = 0
-    raw_events = sum(pq.read_metadata(p).num_rows for p in pending)
     epochs = []
-    for i in range(0, len(pending), config.epoch_segments):
-        out = apply_epoch(lake, pending[i : i + config.epoch_segments], config)
-        total_rows += out["rows_applied"]
-        epochs.append(out)
+    with lake.writer_lock():  # single-writer: fail fast, don't corrupt
+        applied = lake.applied_segments()
+        pending = [
+            p for p in list_segments(binlog_dir) if os.path.basename(p) not in applied
+        ]
+        raw_events = sum(pq.read_metadata(p).num_rows for p in pending)
+        for i in range(0, len(pending), config.epoch_segments):
+            out = apply_epoch(lake, pending[i : i + config.epoch_segments], config)
+            total_rows += out["rows_applied"]
+            epochs.append(out)
     seconds = time.time() - t0
     return {
         "epochs": epochs,
@@ -424,7 +447,8 @@ def follow_changelog(
     the connect→subscribe→process loop, src/nostr_pipeline/pipeline.py:69-101).
 
     Polls ``binlog_dir`` and applies newly appeared segments epoch by epoch;
-    every pass is the same idempotent ``apply_changelog``, so a crash at any
+    every pass is the same idempotent ``apply_changelog`` (which holds the
+    lake's writer lock for the duration of the pass), so a crash at any
     point resumes cleanly on restart. Exits when ``stop()`` returns True
     (the CLI wires SIGTERM/SIGINT to this) or after ``idle_timeout`` seconds
     with no new segments (None = run forever). ``on_epoch`` is an optional
@@ -474,6 +498,11 @@ def delete_where(
     """
     config = config or EngineConfig()
     lake = Lake(lake_root)
+    with lake.writer_lock():
+        return _delete_where_locked(lake, predicate)
+
+
+def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
     m = lake.current_manifest()
     if m is None:
         return {"rows_deleted": 0, "partitions_rewritten": 0}
@@ -518,6 +547,66 @@ def delete_where(
         stats={"rows_deleted": deleted, "partitions_rewritten": len(new_files)},
     )
     return {"rows_deleted": deleted, "partitions_rewritten": len(new_files)}
+
+
+def export_snapshot(
+    lake_root: str, out_dir: str, force: bool = False
+) -> dict[str, Any]:
+    """Export the committed snapshot as partitioned Parquet — one file per
+    lake partition, written via tmp+rename so a killed export RESUMES by
+    skipping finished partitions (the resumable-output contract: at 100 TB
+    an export is thousands of files and reruns must not start over).
+
+    Output rows carry the transcript schema (pkey stripped, evolved columns
+    null-filled via the unified snapshot schema); a ``_SUCCESS`` marker with
+    the source epoch is written last.
+    """
+    lake = Lake(lake_root)
+    m = lake.current_manifest()
+    os.makedirs(out_dir, exist_ok=True)
+    if m is None:
+        return {"partitions": 0, "written": 0, "skipped": 0}
+    snap_files = lake.snapshot_files()
+    target = pa.unify_schemas(
+        _snapshot_schemas(snap_files), promote_options="permissive"
+    )
+    if "pkey" in target.names:
+        target = target.remove(target.get_field_index("pkey"))
+    root = lake.root
+    items = [
+        {"pkey": int(pk), "rel": rel}
+        for pk, rel in sorted(m["files"].items(), key=lambda kv: int(kv[0]))
+    ]
+
+    def copy_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(batch.num_rows):
+            pk = int(batch["pkey"][i].as_py())
+            rel = batch["rel"][i].as_py()
+            dst = os.path.join(out_dir, f"part-{pk:05d}.parquet")
+            if os.path.exists(dst) and not force:
+                out.append({"pkey": pk, "written": False})
+                continue
+            t = conform_schema(pq.read_table(os.path.join(root, rel)), target=target)
+            tmp = dst + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, dst)  # atomic per partition
+            out.append({"pkey": pk, "written": True})
+        return pa.Table.from_pylist(out)
+
+    rows = (
+        rd.from_items(items, override_num_blocks=max(1, len(items)))
+        .map_batches(copy_one, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    written = sum(1 for r in rows if r["written"])
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        json.dump({"epoch": int(m["epoch"]), "partitions": len(items)}, f)
+    return {
+        "partitions": len(items),
+        "written": written,
+        "skipped": len(items) - written,
+    }
 
 
 def partition_histogram(

@@ -242,7 +242,11 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
                 }
             )
 
-    sets_ds = docs.map_batches(ShingleSets, batch_format="pandas", concurrency=2)
+    # consumed by BOTH co-location passes — materialize once (bounded: only
+    # candidate docs' shingles) instead of re-scanning + re-shingling docs
+    sets_ds = docs.map_batches(
+        ShingleSets, batch_format="pandas", concurrency=2
+    ).materialize()
 
     # pass 1 — co-locate by doc_a: attach sh_a to every pair (cross-band
     # duplicate pairs of one doc_a land in the same bucket → dedup here)

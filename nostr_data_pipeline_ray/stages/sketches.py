@@ -1,14 +1,18 @@
-"""Mergeable sketches — the approximate scale path for distinct counts.
+"""Mergeable sketches — the approximate scale paths for distinct counts and
+quantiles.
 
 SURVEY.md §2.5 note: the reference's aggregates are all exact and the
 correctness oracle requires exact results, but at 10^10-event scale a
-grouped COUNT(DISTINCT) shuffles every (key, value) pair; a HyperLogLog
-register vector per group ships ~2^p bytes per group per block instead and
-merges with an elementwise max (the canonical sketch pattern: one sketch
-per batch, tiny merge stage).
+grouped COUNT(DISTINCT) shuffles every (key, value) pair, and an exact
+quantile needs a full distributed sort. The sketches here ship a bounded
+summary per batch instead and merge associatively (the canonical pattern:
+one sketch per batch, tiny merge stage):
 
-Pure numpy implementation (dense HLL, p-bit bucketing, classic bias
-correction + linear-counting small-range correction).
+  * HyperLogLog — distinct counts (dense, p-bit bucketing, classic bias
+    correction + linear-counting small-range correction).
+  * TDigest — quantiles (merging t-digest with the k1 arcsine scale
+    function: tight clusters at the tails, coarse in the middle, so p95/p99
+    stay accurate at any scale).
 """
 
 from __future__ import annotations
@@ -56,3 +60,83 @@ class HyperLogLog:
         if e <= 2.5 * self.m and zeros > 0:
             e = self.m * np.log(self.m / zeros)  # linear counting
         return int(round(e))
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl) with the k1 scale function
+    k(q) = (δ/2π)·asin(2q−1): cluster size budget shrinks toward q→0/1, so
+    tail quantiles stay sharp. A digest is just (means, weights) arrays —
+    mergeable by concatenation + one deterministic compress pass, which is
+    exactly the map-side-sketch / tiny-reduce shape the engine uses for HLL.
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2.0 * np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1, 1))
+
+    def compress(
+        self, means: np.ndarray, weights: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One deterministic left-to-right merge pass over sorted centroids."""
+        if len(means) == 0:
+            return means.astype(np.float64), weights.astype(np.float64)
+        order = np.argsort(means, kind="stable")
+        means = np.asarray(means, dtype=np.float64)[order]
+        weights = np.asarray(weights, dtype=np.float64)[order]
+        total = weights.sum()
+        out_m: list[float] = [means[0]]
+        out_w: list[float] = [weights[0]]
+        w_before = 0.0  # weight strictly before the current output cluster
+        for m, w in zip(means[1:], weights[1:]):
+            q0 = w_before / total
+            q1 = (w_before + out_w[-1] + w) / total
+            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
+                # merge into the open cluster (weighted mean)
+                out_m[-1] += (m - out_m[-1]) * w / (out_w[-1] + w)
+                out_w[-1] += w
+            else:
+                w_before += out_w[-1]
+                out_m.append(m)
+                out_w.append(w)
+        return np.array(out_m), np.array(out_w)
+
+    def from_values(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batch → digest. Vectorized equi-count pre-binning (sort +
+        reduceat) collapses the raw values to ≤4δ clusters first, so the
+        Python merge pass in ``compress`` never iterates over raw rows."""
+        v = np.sort(np.asarray(values, dtype=np.float64), kind="stable")
+        n = len(v)
+        if n == 0:
+            return np.array([]), np.array([])
+        k = min(n, 4 * self.delta)
+        edges = (np.arange(k + 1, dtype=np.int64) * n) // k
+        sums = np.add.reduceat(v, edges[:-1])
+        cnts = np.diff(edges).astype(np.float64)
+        return self.compress(sums / cnts, cnts)
+
+    def merge(self, digests) -> tuple[np.ndarray, np.ndarray]:
+        """Merge [(means, weights), ...] into one compressed digest."""
+        ms = np.concatenate([d[0] for d in digests])
+        ws = np.concatenate([d[1] for d in digests])
+        return self.compress(ms, ws)
+
+    @staticmethod
+    def quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+        """Interpolated quantile over centroid midpoints."""
+        if len(means) == 0:
+            return float("nan")
+        if len(means) == 1:
+            return float(means[0])
+        total = weights.sum()
+        # cumulative weight at each centroid's midpoint
+        cum = np.cumsum(weights) - weights / 2.0
+        target = q * total
+        i = np.searchsorted(cum, target)
+        if i == 0:
+            return float(means[0])
+        if i >= len(means):
+            return float(means[-1])
+        frac = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+        return float(means[i - 1] + frac * (means[i] - means[i - 1]))

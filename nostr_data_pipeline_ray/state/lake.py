@@ -25,9 +25,16 @@ of conversations rewrites 1% of the lake, not all of it.
 
 Concurrency model: SINGLE WRITER (one apply job owns a lake), any number of
 readers — readers resolve through the atomic manifest pointer and always see
-a committed snapshot. Multi-writer coordination would need a lock service or
-CAS on the pointer (out of scope, as in the reference's single pipeline
-process, src/nostr_pipeline/pipeline.py:21-48).
+a committed snapshot. Two enforcement layers (the reference relies on its
+single pipeline process, src/nostr_pipeline/pipeline.py:21-48):
+
+  * ``writer_lock()`` — an exclusive flock on ``_writer.lock`` taken by the
+    outer apply/follow/delete entry points; a second writer on the same
+    host fails fast instead of corrupting the lake.
+  * commit CAS — ``commit_epoch(n)`` refuses unless the committed pointer
+    is exactly at ``n-1``; on storage where flock doesn't propagate (NFS,
+    object stores) a racing writer loses at the commit point, before the
+    pointer moves, and its part files stay invisible orphans.
 """
 
 from __future__ import annotations
@@ -35,9 +42,14 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from typing import Any
 
 import pyarrow as pa
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another process holds this lake's writer lock (or won the commit race)."""
 
 
 class Lake:
@@ -92,6 +104,27 @@ class Lake:
 
     # ---- commit side -----------------------------------------------------
 
+    @contextmanager
+    def writer_lock(self):
+        """Exclusive single-writer lock (non-blocking flock). Held across a
+        whole apply/follow/delete call; raises ConcurrentWriterError if any
+        other process (or another handle in this one) already writes here."""
+        import fcntl
+
+        path = os.path.join(self.root, "_writer.lock")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError as ex:
+                raise ConcurrentWriterError(
+                    f"another writer holds {path}; a lake has exactly one "
+                    "apply/follow/delete job at a time"
+                ) from ex
+            yield
+        finally:
+            os.close(fd)  # releases the flock
+
     def commit_epoch(
         self,
         epoch: int,
@@ -103,6 +136,16 @@ class Lake:
         stats: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         prev = self.current_manifest()
+        # commit-point CAS: the new epoch must extend the committed pointer.
+        # A writer that lost a race (stale manifest read at epoch start)
+        # aborts HERE — before the pointer moves — leaving only invisible
+        # orphan part files that vacuum collects.
+        parent = -1 if prev is None else int(prev["epoch"])
+        if epoch != parent + 1:
+            raise ConcurrentWriterError(
+                f"commit of epoch {epoch} expected parent {epoch - 1}, "
+                f"but the lake is at epoch {parent} (concurrent writer?)"
+            )
         files = dict(prev["files"]) if prev else {}
         watermarks = dict(prev["watermarks"]) if prev else {}
         lin = dict(prev.get("lineage", {})) if prev else {}

@@ -226,6 +226,43 @@ def test_follow_mode_applies_segments_as_they_appear(binlog, tmp_path):
     _assert_matches_oracle(lake_root, str(watch))
 
 
+def test_export_snapshot_resumes(binlog, tmp_path):
+    """Partitioned export: a killed run resumes by skipping finished
+    partitions; the exported rows equal the lake state."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from nostr_data_pipeline_ray.pipelines.cdc import export_snapshot
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    out_dir = str(tmp_path / "export")
+
+    first = export_snapshot(lake_root, out_dir)
+    assert first["written"] == first["partitions"] > 0
+    assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+
+    # simulate a killed export: delete some outputs, rerun → only those
+    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    for p in parts[:2]:
+        os.unlink(os.path.join(out_dir, p))
+    second = export_snapshot(lake_root, out_dir)
+    assert second["written"] == 2
+    assert second["skipped"] == second["partitions"] - 2
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"select count(*) from read_parquet('{out_dir}/part-*.parquet')"
+    ).fetchone()[0]
+    con.close()
+    want = expected_final_state(binlog)
+    assert n == want.num_rows
+    import pyarrow.parquet as pq
+
+    assert "pkey" not in pq.read_schema(os.path.join(out_dir, parts[2])).names
+    assert final_table(lake_root).num_rows == n
+
+
 def test_delete_drops_keys(binlog, tmp_path):
     lake_root = str(tmp_path / "lake")
     apply_changelog(lake_root, binlog, CFG)

@@ -50,6 +50,39 @@ def test_approx_distinct_pipeline_matches_exact_within_5pct():
         assert abs(row["n_users_approx"] - e) / max(e, 1) < 0.05
 
 
+def test_tdigest_accuracy_and_merge():
+    from nostr_data_pipeline_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(4)
+    vals = np.concatenate(
+        [rng.lognormal(3.0, 1.0, 150_000), rng.uniform(0, 10, 50_000)]
+    )
+    td = TDigest(200)
+    # merge of 8 partial digests ≈ digest of the whole array ≈ exact
+    parts = np.array_split(vals, 8)
+    m, w = td.merge([td.from_values(p) for p in parts])
+    assert len(m) <= 2 * td.delta  # bounded summary
+    assert abs(w.sum() - len(vals)) < 1e-6  # no mass lost
+    for q in (0.25, 0.5, 0.75, 0.95, 0.99):
+        exact = np.quantile(vals, q)
+        approx = TDigest.quantile(m, w, q)
+        # relative error: loose in the middle, tight at the tail (k1 scale)
+        tol = 0.02 if q < 0.9 else 0.01
+        assert abs(approx - exact) / exact < tol, (q, approx, exact)
+
+
+def test_tdigest_pipeline_matches_exact_quantiles():
+    from nostr_data_pipeline_ray.pipelines.analytics import (
+        q_price_stats,
+        q_price_stats_tdigest,
+    )
+
+    exact = q_price_stats(SF_DIR).to_pandas().iloc[0]
+    approx = q_price_stats_tdigest(SF_DIR).to_pandas().iloc[0]
+    for col in ("p25", "median", "p75", "p95"):
+        assert abs(approx[col] - exact[col]) / exact[col] < 0.02, col
+
+
 def test_delete_where_retention(tmp_path):
     spec = ChangelogSpec(n_events=8_000, n_convs=300, n_segments=4, seed=31)
     binlog = generate_changelog(str(tmp_path / "synth"), spec)

@@ -79,6 +79,38 @@ def test_lake_lineage_and_vacuum(tmp_path):
     assert cdc.read_final(lake_root).count() > 0  # still readable
 
 
+def test_single_writer_lock_and_commit_cas(tmp_path):
+    import pyarrow as pa
+    import pytest
+
+    from nostr_data_pipeline_ray.state.lake import ConcurrentWriterError
+
+    spec = ChangelogSpec(n_events=4_000, n_convs=100, n_segments=2, seed=3)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    lake_root = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=4)
+    apply_changelog(lake_root, binlog, cfg)
+    lake = Lake(lake_root)
+
+    # a second writer (second lock handle) must fail fast, not corrupt
+    with lake.writer_lock():
+        with pytest.raises(ConcurrentWriterError):
+            apply_changelog(lake_root, binlog, cfg)
+
+    # ...and the lock releases cleanly afterwards (replay is a no-op)
+    assert apply_changelog(lake_root, binlog, cfg)["segments_applied"] == 0
+
+    # commit CAS: an epoch that doesn't extend the committed pointer is
+    # refused at the commit point (the race backstop for lock-free storage)
+    schema = pa.schema([("conv_id", pa.string())])
+    current = lake.current_epoch()
+    with pytest.raises(ConcurrentWriterError):
+        lake.commit_epoch(current + 2, {}, {}, [], {}, schema)
+    with pytest.raises(ConcurrentWriterError):
+        lake.commit_epoch(current, {}, {}, [], {}, schema)
+    assert lake.current_epoch() == current  # pointer never moved
+
+
 def test_cli_smoke(tmp_path):
     env_repo = "/root/repo"
 
