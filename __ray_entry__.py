@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: getattr(_an, f"q_{name}") for name in sorted(_an.ORACLE)
     }
     qs["cdc_apply"] = _flag.q_cdc_apply
+    qs["conv_turn_counts"] = _flag.q_conv_turn_counts
     qs["approx_distinct_users"] = _an.q_approx_distinct_users  # rows-only: HLL sketch
     qs["price_stats_tdigest"] = _an.q_price_stats_tdigest  # rows-only: t-digest
     qs["changelog_filter"] = _flag.q_changelog_filter
@@ -57,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
     # disk; generate it now so the SQL is runnable whenever the driver calls it
     out["cdc_apply"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
     out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
+    out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     try:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd
 

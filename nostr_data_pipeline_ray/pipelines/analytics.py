@@ -566,6 +566,29 @@ def q_doc_quality(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# M7–M10 through the oracle — hashtag/url/mention counting + media flag via
+# the TextEnricher actor pool (regexes compiled once per actor), checked
+# against DuckDB regexp_extract_all / regexp_matches with IDENTICAL RE2-safe
+# patterns (ASCII corpus ⇒ \w/\s agree across engines).
+# ---------------------------------------------------------------------------
+
+
+def q_doc_extract(sf_dir: str):
+    from ..stages.text import TextEnricher
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[
+            ["doc_id", "hashtag_count", "url_count", "mention_count", "has_media"]
+        ]
+
+    return (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(TextEnricher, batch_format="pandas", concurrency=2)
+        .map_batches(project, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity search — brute-force cosine top-k against a broadcast query
 # vector (the ANN baseline; the scale path is LSH bucketing, see dedup.py)
 # ---------------------------------------------------------------------------
@@ -1018,6 +1041,20 @@ ORACLE: dict[str, str] = {
     "dedup_documents_exact": """
         SELECT doc_id, lang, source, n_chars, text FROM documents
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    "doc_extract": """
+        SELECT doc_id,
+               CAST(len(list_distinct(list_transform(
+                   regexp_extract_all(text, '#(\\w+)', 1), x -> lower(x)))) AS BIGINT)
+                   AS hashtag_count,
+               CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+                   AS url_count,
+               CAST(len(regexp_extract_all(text, '@(\\w+)')) AS BIGINT)
+                   AS mention_count,
+               regexp_matches(text,
+                   '(?i)https?://[^\\s?#]+\\.(jpg|jpeg|png|gif|webp|mp4|mov|webm)([?#][^\\s]*)?')
+                   AS has_media
+        FROM documents
     """,
     "doc_token_stats": """
         SELECT doc_id, n_chars,

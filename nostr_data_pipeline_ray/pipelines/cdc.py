@@ -348,7 +348,9 @@ def apply_epoch(
         # nothing new (pure replay) — commit only the segment bookkeeping
         shutil.rmtree(staged_root, ignore_errors=True)
         lake.commit_epoch(epoch, {}, {}, seg_names, {}, data_schema,
-                          stats={"rows_applied": 0, "seconds": time.time() - t0})
+                          stats={"rows_applied": 0, "seconds": time.time() - t0},
+                          partitioning={"num_partitions": config.num_partitions,
+                                        "turn_bucket": config.turn_bucket})
         return {"epoch": epoch, "rows_applied": 0, "partitions": 0,
                 "seconds": time.time() - t0, "phases": {}}
 
@@ -384,6 +386,8 @@ def apply_epoch(
         epoch, new_files, new_wm, seg_names, lineage, data_schema,
         stats={"rows_applied": rows_applied, "seconds": seconds,
                "events_per_sec": rows_applied / max(seconds, 1e-9)},
+        partitioning={"num_partitions": config.num_partitions,
+                      "turn_bucket": config.turn_bucket},
     )
     shutil.rmtree(staged_root, ignore_errors=True)  # post-commit cleanup
     return {
@@ -547,6 +551,113 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
         stats={"rows_deleted": deleted, "partitions_rewritten": len(new_files)},
     )
     return {"rows_deleted": deleted, "partitions_rewritten": len(new_files)}
+
+
+def conversation_pkeys(
+    conv_id: str, num_partitions: int, turn_bucket: int, max_turn: int = 4096
+) -> list[int]:
+    """Candidate partitions holding any turn of ``conv_id``: one pkey per
+    turn-range bucket (the salted partitioner spreads a conversation over
+    ~max_turn/turn_bucket partitions, so a point lookup touches that many —
+    1 for conversations shorter than ``turn_bucket``)."""
+    import pyarrow as _pa
+
+    from ..stages.cdc_stages import partition_key
+
+    n_buckets = max(1, -(-max_turn // turn_bucket))
+    turns = _pa.array(
+        np.arange(n_buckets, dtype=np.int64) * turn_bucket, _pa.int32()
+    )
+    convs = _pa.array([conv_id] * n_buckets)
+    return sorted(set(partition_key(convs, turns, num_partitions, turn_bucket).tolist()))
+
+
+def read_conversation(
+    lake_root: str, conv_id: str, max_turn: int = 4096
+) -> pa.Table:
+    """Partition-pruned point lookup: re-derive the conversation's candidate
+    pkeys from the manifest's persisted partitioning, read ONLY those part
+    files with a conv_id predicate (parts are sorted by conv_id, so parquet
+    row-group stats prune tightly), return turns in turn order. At 100 TB
+    this touches a handful of files out of ~400k."""
+    lake = Lake(lake_root)
+    m = lake.current_manifest()
+    if m is None:
+        return LAKE_SCHEMA.empty_table()
+    part = m.get("partitioning")
+    if not part:
+        raise ValueError("lake manifest predates partitioning metadata")
+    pkeys = conversation_pkeys(
+        conv_id, int(part["num_partitions"]), int(part["turn_bucket"]), max_turn
+    )
+    files = lake.snapshot_files(pkeys)
+    if not files:
+        return LAKE_SCHEMA.empty_table()
+    target = pa.unify_schemas(
+        _snapshot_schemas(files), promote_options="permissive"
+    )
+    if "pkey" in target.names:
+        target = target.remove(target.get_field_index("pkey"))
+    t = pa.concat_tables(
+        conform_schema(
+            pq.read_table(f, filters=[("conv_id", "==", conv_id)]), target=target
+        )
+        for f in files
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
+
+
+def compact(lake_root: str) -> dict[str, Any]:
+    """Rewrite every live part into ONE new epoch directory (metadata-only
+    manifests accumulate files scattered across old epoch dirs via
+    carry-forward; compaction co-locates them and lets ``vacuum`` reclaim
+    every older epoch). One map task per partition, committed exactly-once
+    through the same manifest CAS; conforms all parts to the unified
+    snapshot schema, so a compacted lake is single-schema again."""
+    lake = Lake(lake_root)
+    with lake.writer_lock():
+        m = lake.current_manifest()
+        if m is None:
+            return {"partitions": 0}
+        epoch = lake.current_epoch() + 1
+        snap_files = lake.snapshot_files()
+        target = pa.unify_schemas(
+            _snapshot_schemas(snap_files), promote_options="permissive"
+        )
+        root = lake.root
+        items = [
+            {"pkey": int(pk), "rel": rel}
+            for pk, rel in sorted(m["files"].items(), key=lambda kv: int(kv[0]))
+        ]
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            out = []
+            for i in range(batch.num_rows):
+                pk = int(batch["pkey"][i].as_py())
+                rel = batch["rel"][i].as_py()
+                t = conform_schema(
+                    pq.read_table(os.path.join(root, rel)), target=target
+                )
+                new_rel = Lake(root).part_path(epoch, pk)
+                dst = os.path.join(root, new_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                pq.write_table(t, dst)
+                out.append({"pkey": pk, "rel": new_rel})
+            return pa.Table.from_pylist(out)
+
+        rows = (
+            rd.from_items(items, override_num_blocks=max(1, len(items)))
+            .map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        new_files = {int(r["pkey"]): r["rel"] for r in rows}
+        data_schema = target.remove(target.get_field_index("pkey")) \
+            if "pkey" in target.names else target
+        lake.commit_epoch(
+            epoch, new_files, {}, [], {}, data_schema,
+            stats={"compacted_partitions": len(new_files)},
+        )
+        return {"partitions": len(new_files), "epoch": epoch}
 
 
 def export_snapshot(

@@ -97,6 +97,44 @@ def changelog_filter_oracle_sql(sf_dir: str) -> str:
     """
 
 
+def q_conv_turn_counts(sf_dir: str):
+    """Per-conversation stats over the APPLIED lake state (live turns + max
+    LSN) — exercises the lake read path end-to-end against a binlog-derived
+    oracle, not just the raw testdata tables."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    ds = read_final(lake_dir_for(sf_dir))
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("conv_id", sort=False)
+        return g.agg(n_turns=("turn_idx", "size"), max_lsn=("lsn", "max")).reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False)
+        out = g.agg(n_turns=("n_turns", "sum"), max_lsn=("max_lsn", "max")).reset_index()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["max_lsn"] = out["max_lsn"].astype("int64")
+        return out
+
+    return bucketed_map_groups(ds, keys=["conv_id"], fn=final, pre=pre)
+
+
+def conv_turn_counts_oracle_sql(sf_dir: str) -> str:
+    binlog = binlog_dir_for(sf_dir)
+    return f"""
+        WITH final AS (
+            SELECT * FROM read_parquet('{binlog}/*.parquet', union_by_name=true)
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) = 1
+        )
+        SELECT conv_id, count(*) AS n_turns, max(lsn) AS max_lsn
+        FROM final WHERE op != 'delete' GROUP BY conv_id
+    """
+
+
 def q_lake_stats(sf_dir: str):
     """Per-partition lineage/throughput of this scale point's lake
     (rows-only: the values include wall-clock seconds)."""

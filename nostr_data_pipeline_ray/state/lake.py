@@ -134,6 +134,7 @@ class Lake:
         lineage: dict[int, dict[str, Any]],
         schema: pa.Schema,
         stats: dict[str, Any] | None = None,
+        partitioning: dict[str, int] | None = None,
     ) -> dict[str, Any]:
         prev = self.current_manifest()
         # commit-point CAS: the new epoch must extend the committed pointer.
@@ -168,6 +169,11 @@ class Lake:
             "lineage": lin,
             "schema": [[f.name, str(f.type)] for f in schema],
             "stats": stats or {},
+            # the partition function's parameters travel with the lake so
+            # point lookups / later writers can re-derive pkeys (carried
+            # forward from the previous manifest when not supplied)
+            "partitioning": partitioning
+            or (prev.get("partitioning") if prev else None),
         }
         rel = os.path.join("manifests", f"epoch-{epoch}.json")
         with open(os.path.join(self.root, rel), "w") as f:

@@ -48,3 +48,46 @@ def test_query_matches_oracle(name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_doc_extract_on_planted_content(tmp_path):
+    """The synthetic corpus has no hashtags/URLs, so the sf-level oracle
+    check is vacuous — plant real content and assert engine == oracle with
+    NONZERO counts (the regexes must agree between Python re and RE2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "check #Ray and #ray plus #data at https://example.com/x?y=1 now",
+        "photo https://img.host/pic.JPG#frag and clip https://v.host/a.mp4",
+        "@alice told @bob and @alice about #MinHash",
+        "plain text, no markup at all",
+        "",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = an.q_doc_extract(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(an.ORACLE["doc_extract"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        _normalize(got), _normalize(want), check_dtype=False, check_exact=True
+    )
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "hashtag_count"] == 2  # #Ray/#ray dedup to one + #data
+    assert by_id.loc[0, "url_count"] == 1
+    assert bool(by_id.loc[1, "has_media"])  # .JPG case-insensitive + #frag
+    assert by_id.loc[2, "mention_count"] == 3  # occurrences, not distinct
+    assert by_id.loc[3, "hashtag_count"] == 0 and not bool(by_id.loc[3, "has_media"])

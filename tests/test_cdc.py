@@ -226,6 +226,90 @@ def test_follow_mode_applies_segments_as_they_appear(binlog, tmp_path):
     _assert_matches_oracle(lake_root, str(watch))
 
 
+def test_read_conversation_partition_pruned(binlog, tmp_path):
+    """Point lookup re-derives candidate pkeys from the manifest's persisted
+    partitioning and reads only those part files."""
+    from nostr_data_pipeline_ray.pipelines.cdc import (
+        conversation_pkeys,
+        read_conversation,
+    )
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    want = expected_final_state(binlog)
+
+    conv = want["conv_id"][0].as_py()
+    got = read_conversation(lake_root, conv)
+    w = want.filter(pa.compute.equal(want["conv_id"], conv))
+    assert got.num_rows == w.num_rows
+    assert got.select(w.column_names).cast(w.schema).equals(w)
+    # turn order is the invariant order
+    turns = got["turn_idx"].to_pylist()
+    assert turns == sorted(turns)
+
+    # pruning: candidate set ≪ total partitions (max_turn 4096, bucket 16 →
+    # ≤256 bucket probes collapse onto ≤8 partitions; short convs hit fewer
+    # actual files than the lake holds)
+    pkeys = conversation_pkeys(conv, CFG.num_partitions, CFG.turn_bucket)
+    assert len(pkeys) <= CFG.num_partitions
+
+    # unknown conversation → empty, never an error
+    assert read_conversation(lake_root, "conv-does-not-exist").num_rows == 0
+
+
+def test_compact_collapses_epochs(binlog, tmp_path):
+    from nostr_data_pipeline_ray.pipelines.cdc import compact
+
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    # a tail epoch touching ONE conversation: every other partition is
+    # carried forward by reference → live files scattered across epoch dirs
+    watch = tmp_path / "tail"
+    watch.mkdir()
+    for s in list_segments(binlog):
+        shutil.copy(s, watch / os.path.basename(s))
+    seg = pa.table(
+        {
+            "conv_id": pa.array(["conv-1"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["compacted turn"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([10**15], pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([10**9], pa.int64()),
+        }
+    )
+    pq.write_table(seg, watch / "tail-00000.parquet")
+    apply_changelog(lake_root, str(watch), CFG)
+
+    m = Lake(lake_root).current_manifest()
+    dirs_before = {os.path.dirname(r) for r in m["files"].values()}
+    assert len(dirs_before) > 1  # carry-forward scattered files across epochs
+
+    out = compact(lake_root)
+    assert out["partitions"] == len(m["files"])
+    m2 = Lake(lake_root).current_manifest()
+    dirs_after = {os.path.dirname(r) for r in m2["files"].values()}
+    assert len(dirs_after) == 1  # all live parts co-located in one epoch dir
+
+    # state unchanged: the compacted lake equals the full-stream oracle
+    got = final_table(lake_root)
+    want = expected_final_state(str(watch))
+    assert got.num_rows == want.num_rows
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+
+    # vacuum can now reclaim every older epoch dir
+    removed = Lake(lake_root).vacuum(keep_manifests=1)
+    assert removed
+    got = final_table(lake_root)
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
 def test_export_snapshot_resumes(binlog, tmp_path):
     """Partitioned export: a killed run resumes by skipping finished
     partitions; the exported rows equal the lake state."""
