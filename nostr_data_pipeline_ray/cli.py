@@ -8,6 +8,7 @@ top-zapped/user/relays/version).
     python -m nostr_data_pipeline_ray stats  --lake DIR
     python -m nostr_data_pipeline_ray query  NAME [--sf DIR]
     python -m nostr_data_pipeline_ray export --lake DIR --out DIR
+    python -m nostr_data_pipeline_ray report [--sf DIR]
     python -m nostr_data_pipeline_ray vacuum --lake DIR
     python -m nostr_data_pipeline_ray version
 
@@ -121,6 +122,41 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Text analog of the reference's Streamlit dashboard Home/Trending/Users
+    pages (reference: dashboard/ — 6 Streamlit pages over the same
+    aggregates): one composed snapshot rendered to the terminal."""
+    _ray()
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def df(name):
+        r = qs[name](args.sf)
+        return r.to_pandas() if hasattr(r, "to_pandas") else r
+
+    net = df("network_stats").iloc[0]
+    print("== network snapshot ==")
+    for k, v in net.items():
+        print(f"  {k:16s} {v}")
+
+    trend = df("trending_words").sort_values(
+        ["trend_score", "word"], ascending=[False, True]
+    ).head(10)
+    print("\n== trending topics (top 10) ==")
+    print(trend.to_string(index=False))
+
+    users = df("top_users_by_value")
+    print("\n== top users by value ==")
+    print(users.to_string(index=False))
+
+    growth = df("daily_signup_growth").tail(7)
+    print("\n== signups (last 7 days) ==")
+    print(growth.to_string(index=False))
+    return 0
+
+
 def cmd_export(args) -> int:
     _ray()
     from .pipelines.cdc import export_snapshot
@@ -177,6 +213,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    rp = sub.add_parser("report", help="composed analytics snapshot (dashboard analog)")
+    rp.add_argument("--sf", default="/root/testdata/sf0.01")
+    rp.set_defaults(fn=cmd_report)
 
     ex = sub.add_parser("export", help="export the snapshot as partitioned parquet (resumable)")
     ex.add_argument("--lake", required=True)

@@ -138,3 +138,19 @@ def test_cli_smoke(tmp_path):
     assert out.returncode == 0
     stats = json.loads(out.stdout)
     assert stats["segments_applied"] == 4 and stats["epoch"] >= 0
+
+    # follow mode through the CLI: everything already applied → idle exit
+    out = run("apply", "--lake", lake, "--binlog", binlog,
+              "--follow", "--poll-interval", "0.2", "--idle-timeout", "2")
+    assert out.returncode == 0, out.stderr[-2000:]
+    follow = json.loads(out.stdout.strip().splitlines()[-1])
+    assert follow["reason"] == "idle" and follow["segments_applied"] == 0
+
+    exp = str(tmp_path / "cli_export")
+    out = run("export", "--lake", lake, "--out", exp)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["written"] > 0
+
+    out = run("report", "--sf", "/root/testdata/sf0.001")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "network snapshot" in out.stdout and "trending topics" in out.stdout
