@@ -53,6 +53,16 @@ class EngineConfig:
     # a dictionary cannot compress (see BASELINE.md) — kept as a knob for
     # payloads with repetitive strings.
     staged_dict: bool = False
+    # how an epoch lands on a touched partition:
+    #   "rewrite" (default) — copy-on-write: merge staged delta + base (+ any
+    #       pending delta parts) into a new base part. Read path stays a plain
+    #       parquet scan; best for bulk replay / low epoch rates.
+    #   "delta" — merge-on-read (LSM): write ONE sorted delta part per
+    #       touched partition and leave the base alone; readers LWW-merge
+    #       base+deltas, compact() folds them back into a base. Per-epoch
+    #       cost tracks the DELTA, not the partition snapshot — the
+    #       high-frequency follow-mode / micro-batch policy.
+    merge_policy: str = "rewrite"
 
     @staticmethod
     def from_env() -> "EngineConfig":
@@ -64,4 +74,5 @@ class EngineConfig:
             scratch_dir=os.environ.get("NDP_SCRATCH_DIR") or None,
             staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
             staged_dict=bool(int(os.environ.get("NDP_STAGED_DICT", "0"))),
+            merge_policy=os.environ.get("NDP_MERGE_POLICY", "rewrite"),
         )

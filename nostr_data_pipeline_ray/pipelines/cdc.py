@@ -194,9 +194,14 @@ class SplitStage:
 
 
 class MergeTask:
-    """Per-partition reduce: staged delta files + current snapshot part →
-    LWW → tombstone drop → sorted part file at a deterministic path
-    (phase 1 of the two-phase commit; idempotent under retry).
+    """Per-partition reduce (phase 1 of the two-phase commit; idempotent
+    under retry — deterministic output paths). Two policies:
+
+    * ``rewrite`` (copy-on-write): staged delta + base part + any pending
+      delta parts → LWW → tombstone drop → ONE new sorted base part.
+    * ``delta`` (merge-on-read): LWW-reduce ONLY the staged rows (keeping
+      ``op`` so deletes travel as tombstones) → one sorted delta part; the
+      base is untouched, readers merge, ``compact()`` folds back.
 
     Returns one lineage row per partition — per-partition lineage and
     throughput metrics are first-class output (north_rule requirement).
@@ -208,22 +213,24 @@ class MergeTask:
         epoch: int,
         staged_root: str,
         data_schema: pa.Schema,
+        policy: str = "rewrite",
     ):
         self.lake = Lake(lake_root)
         self.epoch = epoch
         self.staged_root = staged_root
         self.data_schema = data_schema
+        self.policy = policy
 
     def __call__(self, items: pa.Table) -> pa.Table:
         rows = []
         for i in range(items.num_rows):
             pkey = int(items["pkey"][i].as_py())
             snap = items["snap"][i].as_py()
-            rows.append(self._merge_one(pkey, snap))
+            deltas = items["deltas"][i].as_py() or []
+            rows.append(self._merge_one(pkey, snap, deltas))
         return pa.concat_tables(rows)
 
-    def _merge_one(self, pkey: int, snap_rel: str | None) -> pa.Table:
-        t0 = time.time()
+    def _read_staged(self, pkey: int) -> list[pa.Table]:
         tables = []
         d = os.path.join(self.staged_root, f"pk-{pkey:05d}")
         for f in sorted(glob.glob(os.path.join(d, "*"))):
@@ -233,14 +240,70 @@ class MergeTask:
                 else pq.read_table(f)
             )
             tables.append(conform_schema(staged, target=self.data_schema))
+        return tables
+
+    def _lineage_row(self, pkey, rows_in, rows_out, max_lsn, abspath, rel, t0):
+        return pa.table(
+            {
+                "pkey": pa.array([pkey], pa.int32()),
+                "epoch": pa.array([self.epoch], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "rows_out": pa.array([rows_out], pa.int64()),
+                "max_lsn": pa.array([max_lsn], pa.int64()),
+                "bytes": pa.array([os.path.getsize(abspath)], pa.int64()),
+                "seconds": pa.array([time.time() - t0], pa.float64()),
+                "path": pa.array([rel], pa.string()),
+            }
+        )
+
+    def _merge_one(
+        self, pkey: int, snap_rel: str | None, delta_rels: list[str]
+    ) -> pa.Table:
+        t0 = time.time()
+        tables = self._read_staged(pkey)
+
+        if self.policy == "delta":
+            merged = pa.concat_tables(tables)
+            rows_in = merged.num_rows
+            winners, max_lsn = lww_reduce(merged)  # op kept: tombstones travel
+            idx = pc.sort_indices(
+                winners,
+                sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+            )
+            out = winners.take(idx).append_column(
+                "pkey", pa.array(np.full(winners.num_rows, pkey, dtype=np.int32))
+            )
+            rel = os.path.join(
+                "parts", f"epoch-{self.epoch}", f"delta-{pkey:05d}.parquet"
+            )
+            abspath = os.path.join(self.lake.root, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            pq.write_table(out, abspath)
+            return self._lineage_row(
+                pkey, rows_in, out.num_rows, max_lsn, abspath, rel, t0
+            )
+
+        # rewrite: fold base + pending deltas (oldest first) + staged rows
+        prior = []
         if snap_rel:
-            snap = pq.read_table(os.path.join(self.lake.root, snap_rel))
-            tables.append(conform_schema(snap, target=self.data_schema))
-        merged = pa.concat_tables(tables)
+            prior.append(
+                conform_schema(
+                    pq.read_table(os.path.join(self.lake.root, snap_rel)),
+                    target=self.data_schema,
+                )
+            )
+        for rel in delta_rels:
+            prior.append(
+                conform_schema(
+                    pq.read_table(os.path.join(self.lake.root, rel)),
+                    target=self.data_schema,
+                )
+            )
+        merged = pa.concat_tables(prior + tables)
         rows_in = merged.num_rows
         winners, max_lsn = lww_reduce(merged)
 
-        # drop tombstones (max-lsn op == delete ⇒ key is gone); snapshot rows
+        # drop tombstones (max-lsn op == delete ⇒ key is gone); base rows
         # carry op == null (= upsert)
         is_del = pc.fill_null(pc.equal(winners["op"], "delete"), False)
         alive = winners.filter(pc.invert(is_del)).drop_columns(["op"])
@@ -258,18 +321,8 @@ class MergeTask:
         abspath = os.path.join(self.lake.root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         pq.write_table(alive, abspath)
-
-        return pa.table(
-            {
-                "pkey": pa.array([pkey], pa.int32()),
-                "epoch": pa.array([self.epoch], pa.int64()),
-                "rows_in": pa.array([rows_in], pa.int64()),
-                "rows_out": pa.array([alive.num_rows], pa.int64()),
-                "max_lsn": pa.array([max_lsn], pa.int64()),
-                "bytes": pa.array([os.path.getsize(abspath)], pa.int64()),
-                "seconds": pa.array([time.time() - t0], pa.float64()),
-                "path": pa.array([rel], pa.string()),
-            }
+        return self._lineage_row(
+            pkey, rows_in, alive.num_rows, max_lsn, abspath, rel, t0
         )
 
 
@@ -281,7 +334,11 @@ def apply_epoch(
     epoch = lake.current_epoch() + 1
     seg_names = [os.path.basename(p) for p in segment_paths]
     watermarks = lake.watermarks()
-    snapshot_all = lake.snapshot_files()
+    part_files = lake.partition_files()
+    # unify over base AND pending delta parts (either may carry evolved cols)
+    snapshot_all = [b for b, _ in part_files.values() if b] + [
+        d for _, ds in part_files.values() for d in ds
+    ]
     data_schema = _merge_schema(segment_paths, snapshot_all)
 
     scratch = config.scratch_dir or os.path.join(lake.root, "parts")
@@ -357,8 +414,16 @@ def apply_epoch(
     # --- phase B: per-partition merge fan-out -----------------------------
     m = lake.current_manifest()
     files = m["files"] if m else {}
-    items = [{"pkey": pk, "snap": files.get(str(pk))} for pk in touched]
-    mt = MergeTask(lake.root, epoch, staged_root, data_schema)
+    deltas_by_pk = m.get("deltas", {}) if m else {}
+    items = [
+        {
+            "pkey": pk,
+            "snap": files.get(str(pk)),
+            "deltas": deltas_by_pk.get(str(pk), []),
+        }
+        for pk in touched
+    ]
+    mt = MergeTask(lake.root, epoch, staged_root, data_schema, config.merge_policy)
 
     def merge_task(batch: pa.Table) -> pa.Table:
         return mt(batch)
@@ -370,7 +435,10 @@ def apply_epoch(
     )
     t_merge = time.time() - t0 - t_delta
 
-    new_files = {int(r["pkey"]): r["path"] for r in lineage_rows}
+    if config.merge_policy == "delta":
+        new_files, append_deltas = {}, {int(r["pkey"]): r["path"] for r in lineage_rows}
+    else:
+        new_files, append_deltas = {int(r["pkey"]): r["path"] for r in lineage_rows}, {}
     new_wm = {int(r["pkey"]): int(r["max_lsn"]) for r in lineage_rows}
     lineage = {
         int(r["pkey"]): {
@@ -388,6 +456,7 @@ def apply_epoch(
                "events_per_sec": rows_applied / max(seconds, 1e-9)},
         partitioning={"num_partitions": config.num_partitions,
                       "turn_bucket": config.turn_bucket},
+        append_deltas=append_deltas,
     )
     shutil.rmtree(staged_root, ignore_errors=True)  # post-commit cleanup
     return {
@@ -436,6 +505,44 @@ def apply_changelog(
         "seconds": seconds,
         "events_per_sec": raw_events / max(seconds, 1e-9),
     }
+
+
+def materialize_partition(
+    base: str | None,
+    deltas: list[str],
+    conv_filter: str | None = None,
+    keep_pkey: bool = False,
+) -> pa.Table:
+    """Merge-on-read: base part (op=null ⇒ upsert) + delta parts (oldest
+    first, tombstones included) → LWW → tombstone drop → (conv_id, turn_idx)
+    order. The single read-side primitive every delta-aware consumer
+    (read_final, compact, delete_where, read_conversation) goes through."""
+    paths = ([base] if base else []) + list(deltas)
+    if not paths:
+        return LAKE_SCHEMA.empty_table()
+    schemas = []
+    for p in paths:
+        s = pq.read_schema(p)
+        if "pkey" in s.names and not keep_pkey:
+            s = s.remove(s.get_field_index("pkey"))
+        schemas.append(s)
+    target = pa.unify_schemas(schemas, promote_options="permissive")
+    if "op" not in target.names:
+        target = target.append(pa.field("op", pa.string()))
+    filt = [("conv_id", "==", conv_filter)] if conv_filter is not None else None
+    tables = [
+        conform_schema(pq.read_table(p, filters=filt), target=target) for p in paths
+    ]
+    merged = pa.concat_tables(tables)
+    # concat order (base, delta_0, …, delta_n) + stable position tie-break
+    # keeps the deterministic total order even on duplicate lsn delivery
+    winners, _ = lww_reduce(merged)
+    is_del = pc.fill_null(pc.equal(winners["op"], "delete"), False)
+    alive = winners.filter(pc.invert(is_del)).drop_columns(["op"])
+    idx = pc.sort_indices(
+        alive, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    return alive.take(idx)
 
 
 def follow_changelog(
@@ -511,28 +618,45 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
     if m is None:
         return {"rows_deleted": 0, "partitions_rewritten": 0}
     epoch = lake.current_epoch() + 1
-    items = [{"pkey": int(pk), "rel": rel} for pk, rel in sorted(m["files"].items(), key=lambda kv: int(kv[0]))]
+    parts = lake.partition_files()
+    items = [
+        {"pkey": pk, "base": b, "deltas": ds} for pk, (b, ds) in sorted(parts.items())
+    ]
     root = lake.root
 
     def rewrite(batch: pa.Table) -> pa.Table:
         out = []
         for i in range(batch.num_rows):
             pkey = int(batch["pkey"][i].as_py())
-            rel = batch["rel"][i].as_py()
-            t = pq.read_table(os.path.join(root, rel))
+            base = batch["base"][i].as_py()
+            ds = batch["deltas"][i].as_py() or []
+            if not ds and base:
+                # fast path (rewrite-policy lake): no merge needed
+                t = pq.read_table(base)
+                rel_unchanged = os.path.relpath(base, root)
+            else:
+                # merge-on-read partition: fold deltas first, then filter —
+                # the delete always lands as a fresh BASE (clears deltas)
+                t = materialize_partition(base, ds)
+                t = t.append_column(
+                    "pkey", pa.array(np.full(t.num_rows, pkey, dtype=np.int32))
+                )
+                rel_unchanged = None
             mask = predicate(t)
             if isinstance(mask, pa.ChunkedArray):
                 mask = mask.combine_chunks()
             n_hit = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
-            if n_hit == 0:
-                out.append({"pkey": pkey, "rel": rel, "deleted": 0, "rewritten": False})
+            if n_hit == 0 and rel_unchanged is not None:
+                out.append({"pkey": pkey, "rel": rel_unchanged, "deleted": 0,
+                            "rewritten": False})
                 continue
             kept = t.filter(pc.invert(mask))
             new_rel = Lake(root).part_path(epoch, pkey)
             abspath = os.path.join(root, new_rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
             pq.write_table(kept, abspath)
-            out.append({"pkey": pkey, "rel": new_rel, "deleted": int(n_hit), "rewritten": True})
+            out.append({"pkey": pkey, "rel": new_rel, "deleted": int(n_hit),
+                        "rewritten": True})
         return pa.Table.from_pylist(out)
 
     rows = (
@@ -542,10 +666,11 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
     )
     new_files = {int(r["pkey"]): r["rel"] for r in rows if r["rewritten"]}
     deleted = int(sum(r["deleted"] for r in rows))
-    first = os.path.join(root, next(iter(m["files"].values())))
-    snap_schema = pq.read_schema(first)
-    if "pkey" in snap_schema.names:
-        snap_schema = snap_schema.remove(snap_schema.get_field_index("pkey"))
+    first_pk, (first_base, first_ds) = next(iter(sorted(parts.items())))
+    snap_schema = pq.read_schema(first_base or first_ds[0])
+    for drop in ("pkey", "op"):
+        if drop in snap_schema.names:
+            snap_schema = snap_schema.remove(snap_schema.get_field_index(drop))
     lake.commit_epoch(
         epoch, new_files, {}, [], {}, snap_schema,
         stats={"rows_deleted": deleted, "partitions_rewritten": len(new_files)},
@@ -590,20 +715,14 @@ def read_conversation(
     pkeys = conversation_pkeys(
         conv_id, int(part["num_partitions"]), int(part["turn_bucket"]), max_turn
     )
-    files = lake.snapshot_files(pkeys)
-    if not files:
+    parts = lake.partition_files(pkeys)
+    if not parts:
         return LAKE_SCHEMA.empty_table()
-    target = pa.unify_schemas(
-        _snapshot_schemas(files), promote_options="permissive"
-    )
-    if "pkey" in target.names:
-        target = target.remove(target.get_field_index("pkey"))
-    t = pa.concat_tables(
-        conform_schema(
-            pq.read_table(f, filters=[("conv_id", "==", conv_id)]), target=target
-        )
-        for f in files
-    )
+    tables = [
+        materialize_partition(b, ds, conv_filter=conv_id)
+        for _, (b, ds) in sorted(parts.items())
+    ]
+    t = pa.concat_tables(tables, promote_options="permissive")
     return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
 
 
@@ -620,24 +739,35 @@ def compact(lake_root: str) -> dict[str, Any]:
         if m is None:
             return {"partitions": 0}
         epoch = lake.current_epoch() + 1
-        snap_files = lake.snapshot_files()
+        parts = lake.partition_files()
+        all_files = [b for b, _ in parts.values() if b] + [
+            d for _, ds in parts.values() for d in ds
+        ]
         target = pa.unify_schemas(
-            _snapshot_schemas(snap_files), promote_options="permissive"
+            _snapshot_schemas(all_files), promote_options="permissive"
         )
+        for drop in ("op",):
+            if drop in target.names:
+                target = target.remove(target.get_field_index(drop))
+        if "pkey" not in target.names:
+            target = target.append(pa.field("pkey", pa.int32()))
         root = lake.root
         items = [
-            {"pkey": int(pk), "rel": rel}
-            for pk, rel in sorted(m["files"].items(), key=lambda kv: int(kv[0]))
+            {"pkey": pk, "base": b, "deltas": ds}
+            for pk, (b, ds) in sorted(parts.items())
         ]
 
         def rewrite(batch: pa.Table) -> pa.Table:
             out = []
             for i in range(batch.num_rows):
                 pk = int(batch["pkey"][i].as_py())
-                rel = batch["rel"][i].as_py()
-                t = conform_schema(
-                    pq.read_table(os.path.join(root, rel)), target=target
+                base = batch["base"][i].as_py()
+                ds = batch["deltas"][i].as_py() or []
+                t = materialize_partition(base, ds)  # folds tombstones away
+                t = t.append_column(
+                    "pkey", pa.array(np.full(t.num_rows, pk, dtype=np.int32))
                 )
+                t = conform_schema(t, target=target)
                 new_rel = Lake(root).part_path(epoch, pk)
                 dst = os.path.join(root, new_rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -677,28 +807,31 @@ def export_snapshot(
     os.makedirs(out_dir, exist_ok=True)
     if m is None:
         return {"partitions": 0, "written": 0, "skipped": 0}
-    snap_files = lake.snapshot_files()
+    parts = lake.partition_files()
+    all_files = [b for b, _ in parts.values() if b] + [
+        d for _, ds in parts.values() for d in ds
+    ]
     target = pa.unify_schemas(
-        _snapshot_schemas(snap_files), promote_options="permissive"
+        _snapshot_schemas(all_files), promote_options="permissive"
     )
-    if "pkey" in target.names:
-        target = target.remove(target.get_field_index("pkey"))
-    root = lake.root
+    for drop in ("pkey", "op"):
+        if drop in target.names:
+            target = target.remove(target.get_field_index(drop))
     items = [
-        {"pkey": int(pk), "rel": rel}
-        for pk, rel in sorted(m["files"].items(), key=lambda kv: int(kv[0]))
+        {"pkey": pk, "base": b, "deltas": ds} for pk, (b, ds) in sorted(parts.items())
     ]
 
     def copy_one(batch: pa.Table) -> pa.Table:
         out = []
         for i in range(batch.num_rows):
             pk = int(batch["pkey"][i].as_py())
-            rel = batch["rel"][i].as_py()
+            base = batch["base"][i].as_py()
+            ds = batch["deltas"][i].as_py() or []
             dst = os.path.join(out_dir, f"part-{pk:05d}.parquet")
             if os.path.exists(dst) and not force:
                 out.append({"pkey": pk, "written": False})
                 continue
-            t = conform_schema(pq.read_table(os.path.join(root, rel)), target=target)
+            t = conform_schema(materialize_partition(base, ds), target=target)
             tmp = dst + ".tmp"
             pq.write_table(t, tmp)
             os.replace(tmp, dst)  # atomic per partition
@@ -779,6 +912,46 @@ def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
     snapshot schema; the common homogeneous case pays nothing.
     """
     lake = Lake(lake_root)
+    if lake.has_deltas():
+        # merge-on-read lake: one materialize task per partition (same
+        # fan-out shape as the merge itself); compact() restores the plain
+        # scan fast path below
+        parts = lake.partition_files()
+        items = [
+            {"pkey": pk, "base": b, "deltas": ds}
+            for pk, (b, ds) in sorted(parts.items())
+        ]
+        # global output schema: one footer per (epoch dir, file kind) so all
+        # blocks conform even under partial evolution (pkey/op stripped)
+        sample: dict[tuple[str, str], str] = {}
+        for _, (b, ds) in parts.items():
+            for p in ([b] if b else []) + ds:
+                key = (os.path.dirname(p), os.path.basename(p).split("-")[0])
+                sample.setdefault(key, p)
+        schemas = []
+        for p in sample.values():
+            s = pq.read_schema(p)
+            for drop in ("pkey", "op"):
+                if drop in s.names:
+                    s = s.remove(s.get_field_index(drop))
+            schemas.append(s)
+        target = pa.unify_schemas(schemas, promote_options="permissive")
+
+        def mat(batch: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(batch.num_rows):
+                t = materialize_partition(
+                    batch["base"][i].as_py(), batch["deltas"][i].as_py() or []
+                )
+                outs.append(conform_schema(t, target=target))
+            return pa.concat_tables(outs)
+
+        ds = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+            mat, batch_format="pyarrow", batch_size=None
+        )
+        if sort:
+            ds = ds.sort(["conv_id", "turn_idx"])
+        return ds
     files = lake.snapshot_files()
     if not files:
         return rd.from_arrow(LAKE_SCHEMA.empty_table())

@@ -85,7 +85,9 @@ class Lake:
         return {int(k): int(v) for k, v in m["watermarks"].items()}
 
     def snapshot_files(self, pkeys: list[int] | None = None) -> list[str]:
-        """Absolute paths of current part files (optionally only for pkeys)."""
+        """Absolute paths of current BASE part files (optionally only for
+        pkeys). Partitions with pending delta parts (merge-on-read policy)
+        are not fully described by this — use ``partition_files``."""
         m = self.current_manifest()
         if m is None:
             return []
@@ -95,6 +97,38 @@ class Lake:
         else:
             rels = [files[str(pk)] for pk in pkeys if str(pk) in files]
         return [os.path.join(self.root, r) for r in rels]
+
+    def partition_files(
+        self, pkeys: list[int] | None = None
+    ) -> dict[int, tuple[str | None, list[str]]]:
+        """pkey → (base part abspath or None, [delta part abspaths, oldest
+        first]) for the committed snapshot. The complete read contract under
+        either merge policy: rewrite lakes have empty delta lists."""
+        m = self.current_manifest()
+        if m is None:
+            return {}
+        files = m["files"]
+        deltas = m.get("deltas", {})
+        keys = (
+            sorted({int(k) for k in files} | {int(k) for k in deltas})
+            if pkeys is None
+            else [int(p) for p in pkeys]
+        )
+        out: dict[int, tuple[str | None, list[str]]] = {}
+        for pk in keys:
+            base = files.get(str(pk))
+            ds = deltas.get(str(pk), [])
+            if base is None and not ds:
+                continue
+            out[pk] = (
+                os.path.join(self.root, base) if base else None,
+                [os.path.join(self.root, d) for d in ds],
+            )
+        return out
+
+    def has_deltas(self) -> bool:
+        m = self.current_manifest()
+        return bool(m and any(m.get("deltas", {}).values()))
 
     def part_path(self, epoch: int, pkey: int) -> str:
         """Deterministic part path — the idempotence anchor of phase 1."""
@@ -135,6 +169,7 @@ class Lake:
         schema: pa.Schema,
         stats: dict[str, Any] | None = None,
         partitioning: dict[str, int] | None = None,
+        append_deltas: dict[int, str] | None = None,
     ) -> dict[str, Any]:
         prev = self.current_manifest()
         # commit-point CAS: the new epoch must extend the committed pointer.
@@ -152,8 +187,12 @@ class Lake:
         lin = dict(prev.get("lineage", {})) if prev else {}
         applied = list(prev["applied_segments"]) if prev else []
 
+        deltas = {k: list(v) for k, v in (prev.get("deltas", {}) if prev else {}).items()}
         for pk, rel in new_files.items():
             files[str(pk)] = rel
+            deltas.pop(str(pk), None)  # a base rewrite supersedes its deltas
+        for pk, rel in (append_deltas or {}).items():
+            deltas.setdefault(str(pk), []).append(rel)
         for pk, wm in new_watermarks.items():
             watermarks[str(pk)] = max(int(wm), int(watermarks.get(str(pk), -1)))
         for pk, row in lineage.items():
@@ -164,6 +203,7 @@ class Lake:
             "epoch": epoch,
             "committed_at": time.time(),
             "files": files,
+            "deltas": {k: v for k, v in deltas.items() if v},
             "watermarks": watermarks,
             "applied_segments": applied,
             "lineage": lin,
@@ -213,6 +253,8 @@ class Lake:
             with open(os.path.join(mdir, f"epoch-{e}.json")) as f:
                 man = json.load(f)
             live |= {os.path.join(self.root, r) for r in man["files"].values()}
+            for rels in man.get("deltas", {}).values():
+                live |= {os.path.join(self.root, r) for r in rels}
         removed = []
         for e in epochs:
             if e not in retained:
