@@ -45,6 +45,10 @@ def cmd_apply(args) -> int:
     from .pipelines.cdc import apply_changelog, follow_changelog
 
     cfg = EngineConfig.from_env()
+    if args.merge_policy:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, merge_policy=args.merge_policy)
     if args.follow:
         # always-on tail: SIGTERM/SIGINT request a clean stop at the next
         # epoch boundary (mid-epoch work is re-done idempotently on restart)
@@ -65,6 +69,7 @@ def cmd_apply(args) -> int:
             idle_timeout=args.idle_timeout,
             stop=lambda: stopping["flag"],
             on_epoch=lambda r: print(json.dumps(r), flush=True),
+            compact_after=args.compact_after,
         )
     else:
         out = apply_changelog(args.lake, args.binlog, cfg)
@@ -193,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--poll-interval", type=float, default=1.0)
     a.add_argument("--idle-timeout", type=float, default=None,
                    help="exit after this many idle seconds (default: run forever)")
+    a.add_argument("--compact-after", type=int, default=None,
+                   help="(delta policy) compact when a partition has this many pending deltas")
+    a.add_argument("--merge-policy", choices=["rewrite", "delta"], default=None,
+                   help="copy-on-write base rewrite (default) or merge-on-read deltas")
     a.set_defaults(fn=cmd_apply)
 
     s = sub.add_parser("synth", help="generate a deterministic changelog")

@@ -553,6 +553,7 @@ def follow_changelog(
     idle_timeout: float | None = 30.0,
     stop=None,
     on_epoch=None,
+    compact_after: int | None = None,
 ) -> dict[str, Any]:
     """Continuous tail mode — the always-on daily driver (reference analog:
     the connect→subscribe→process loop, src/nostr_pipeline/pipeline.py:69-101).
@@ -564,12 +565,17 @@ def follow_changelog(
     (the CLI wires SIGTERM/SIGINT to this) or after ``idle_timeout`` seconds
     with no new segments (None = run forever). ``on_epoch`` is an optional
     callback fed each non-empty apply result (metrics hook).
+
+    ``compact_after`` (delta policy): when any partition accumulates that
+    many pending delta parts, fold them into bases between polls — the LSM
+    maintenance loop that keeps merge-on-read read amplification bounded.
     """
     config = config or EngineConfig()
     stop = stop or (lambda: False)
     t0 = time.time()
     last_new = time.time()
     passes, results = 0, []
+    compactions = 0
     while True:
         out = apply_changelog(lake_root, binlog_dir, config)
         passes += 1
@@ -578,6 +584,14 @@ def follow_changelog(
             last_new = time.time()
             if on_epoch is not None:
                 on_epoch(out)
+        if compact_after:
+            m = Lake(lake_root).current_manifest()
+            depth = max(
+                (len(v) for v in (m or {}).get("deltas", {}).values()), default=0
+            )
+            if depth >= compact_after:
+                compact(lake_root)
+                compactions += 1
         if stop():
             reason = "stopped"
             break
@@ -591,6 +605,7 @@ def follow_changelog(
         "applies": results,
         "segments_applied": sum(r["segments_applied"] for r in results),
         "rows_applied": sum(r["rows_applied"] for r in results),
+        "compactions": compactions,
         "seconds": time.time() - t0,
     }
 

@@ -141,6 +141,46 @@ def test_delta_delete_where_clears_deltas(binlog, tmp_path):
     assert got.select(kept.column_names).cast(kept.schema).equals(kept)
 
 
+def test_follow_delta_with_auto_compaction(binlog, tmp_path):
+    """The LSM maintenance loop: delta-policy follow compacts whenever a
+    partition's pending-delta depth reaches the threshold, keeping
+    merge-on-read amplification bounded while the tail keeps applying."""
+    import shutil
+
+    from nostr_data_pipeline_ray.pipelines.cdc import follow_changelog, list_segments
+
+    lake_root = str(tmp_path / "lake")
+    segs = list_segments(binlog)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for s in segs[:2]:
+        shutil.copy(s, watch / os.path.basename(s))
+
+    one_per_epoch = EngineConfig(
+        num_partitions=8, turn_bucket=16, epoch_segments=1, merge_policy="delta"
+    )
+    state = {"fed": False}
+
+    def stop():
+        if not state["fed"]:
+            for s in segs[2:]:
+                shutil.copy(s, watch / os.path.basename(s))
+            state["fed"] = True
+            return False
+        return len(Lake(lake_root).applied_segments()) == len(segs)
+
+    out = follow_changelog(
+        lake_root, str(watch), one_per_epoch,
+        poll_interval=0.05, idle_timeout=60.0, stop=stop, compact_after=2,
+    )
+    assert out["segments_applied"] == len(segs)
+    assert out["compactions"] >= 1  # the threshold fired at least once
+    m = Lake(lake_root).current_manifest()
+    depth = max((len(v) for v in m.get("deltas", {}).values()), default=0)
+    assert depth < 2  # read amplification stayed bounded
+    _assert_oracle(lake_root, str(watch))
+
+
 def test_delta_then_rewrite_policy_interop(binlog, tmp_path):
     """A rewrite-policy epoch applied on top of pending deltas folds them in
     (policy is per-run, the lake carries the truth)."""
