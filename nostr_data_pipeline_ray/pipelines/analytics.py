@@ -574,6 +574,7 @@ def q_doc_quality(sf_dir: str):
 
 
 def q_doc_extract(sf_dir: str):
+    from ..stages.actors import per_worker
     from ..stages.text import TextEnricher
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
@@ -583,7 +584,7 @@ def q_doc_extract(sf_dir: str):
 
     return (
         rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-        .map_batches(TextEnricher, batch_format="pandas", concurrency=2)
+        .map_batches(per_worker(TextEnricher), batch_format="pandas")
         .map_batches(project, batch_format="pandas")
     )
 
@@ -603,29 +604,25 @@ def q_ann_topk(sf_dir: str):
 
     import ray
 
+    from ..stages.actors import cached_get
+
     qref = ray.put((qvec, qnorm))
 
-    class Scorer:
-        def __init__(self):
-            self.qvec, self.qnorm = ray.get(qref)
+    def scorer(batch: pa.Table) -> pa.Table:
+        qvec_w, qnorm_w = cached_get(qref)  # broadcast, once per worker
+        batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
+        col = batch["embedding"].combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, len(qvec_w))
+        mat = mat.astype(np.float64)
+        score = (mat @ qvec_w) / (np.linalg.norm(mat, axis=1) * qnorm_w)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "score": pa.array(_round_away(score, 6), pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
-            col = batch["embedding"].combine_chunks()
-            dim = len(self.qvec)
-            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
-            mat = mat.astype(np.float64)
-            score = (mat @ self.qvec) / (np.linalg.norm(mat, axis=1) * self.qnorm)
-            return pa.table(
-                {
-                    "vec_id": batch["vec_id"],
-                    "score": pa.array(_round_away(score, 6), pa.float64()),
-                }
-            )
-
-    scored = _read(sf_dir, "embeddings").map_batches(
-        Scorer, batch_format="pyarrow", concurrency=2
-    )
+    scored = _read(sf_dir, "embeddings").map_batches(scorer, batch_format="pyarrow")
     return local_topk(scored, by=["score", "vec_id"], descending=[True, False], k=10)
 
 

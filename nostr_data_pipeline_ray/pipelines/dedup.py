@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..stages.actors import cached_get, per_worker
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
 from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
 
@@ -187,7 +188,9 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
     """
     doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    buckets = docs.map_batches(MinHashLSH, batch_format="pandas", concurrency=2)
+    # task-based with per-worker state: hash params built once per worker
+    # process, no actor-pool spin-up (see stages/actors.py)
+    buckets = docs.map_batches(per_worker(MinHashLSH), batch_format="pandas")
 
     def emit_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         # almost all LSH buckets are singletons — drop them vectorized before
@@ -229,24 +232,19 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
         )
     ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
-    class ShingleSets:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            hit = batch[batch["doc_id"].isin(self.ids)]
-            return pd.DataFrame(
-                {
-                    "doc_id": hit["doc_id"].astype("int64"),
-                    "sh": [_SEP.join(sorted(word_shingles(t or ""))) for t in hit["text"]],
-                }
-            )
+    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = cached_get(ids_ref)  # broadcast: deserialized once per worker
+        hit = batch[batch["doc_id"].isin(ids)]
+        return pd.DataFrame(
+            {
+                "doc_id": hit["doc_id"].astype("int64"),
+                "sh": [_SEP.join(sorted(word_shingles(t or ""))) for t in hit["text"]],
+            }
+        )
 
     # consumed by BOTH co-location passes — materialize once (bounded: only
     # candidate docs' shingles) instead of re-scanning + re-shingling docs
-    sets_ds = docs.map_batches(
-        ShingleSets, batch_format="pandas", concurrency=2
-    ).materialize()
+    sets_ds = docs.map_batches(shingle_sets, batch_format="pandas").materialize()
 
     # pass 1 — co-locate by doc_a: attach sh_a to every pair (cross-band
     # duplicate pairs of one doc_a land in the same bucket → dedup here)
@@ -336,7 +334,9 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
 
 
 def q_simhash_documents(sf_dir: str):
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        per_worker(SimHasher), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -421,25 +421,21 @@ def q_embedding_near_dup_lsh(
     pow2 = (1 << np.arange(n_planes)).astype(np.int64)
     ref = ray.put(planes)
 
-    class SigEmitter:
+    def sig_emitter(batch: pd.DataFrame) -> pd.DataFrame:
         """vector → one (table, sig) bucket row per LSH table, embedding
         carried through the shuffle for in-bucket scoring."""
-
-        def __init__(self):
-            self.planes = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            sigs = ((mat @ self.planes.transpose(0, 2, 1)) > 0) @ pow2  # (T, n)
-            n = len(batch)
-            return pd.DataFrame(
-                {
-                    "t": np.repeat(np.arange(n_tables, dtype=np.int32), n),
-                    "sig": sigs.reshape(-1),
-                    "vec_id": np.tile(batch["vec_id"].to_numpy(), n_tables),
-                    "embedding": np.tile(batch["embedding"].to_numpy(), n_tables),
-                }
-            )
+        planes_w = cached_get(ref)  # broadcast, once per worker
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sigs = ((mat @ planes_w.transpose(0, 2, 1)) > 0) @ pow2  # (T, n)
+        n = len(batch)
+        return pd.DataFrame(
+            {
+                "t": np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                "sig": sigs.reshape(-1),
+                "vec_id": np.tile(batch["vec_id"].to_numpy(), n_tables),
+                "embedding": np.tile(batch["embedding"].to_numpy(), n_tables),
+            }
+        )
 
     def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -468,7 +464,7 @@ def q_embedding_near_dup_lsh(
 
     cands = bucketed_map_groups(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-            SigEmitter, batch_format="pandas", concurrency=2
+            sig_emitter, batch_format="pandas"
         ),
         keys=["t", "sig"],
         fn=in_bucket_pairs,
@@ -511,42 +507,37 @@ def q_ann_topk_lsh(
     probe = [{int(s)} | {int(s) ^ (1 << i) for i in range(n_planes)} for s in qsig]
     ref = ray.put((planes, pow2, qvec, np.linalg.norm(qvec), probe))
 
-    class BucketScorer:
-        def __init__(self):
-            self.planes, self.pow2, self.qvec, self.qnorm, self.probe = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
-            col = batch["embedding"].combine_chunks()
-            mat = (
-                col.flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(-1, len(self.qvec))
-                .astype(np.float64)
-            )
-            # (n, T) signatures; candidate = any-table probe-set hit
-            sigs = ((mat @ self.planes.transpose(0, 2, 1)) > 0) @ self.pow2  # (T, n)
-            keep = np.zeros(mat.shape[0], dtype=bool)
-            for t, pr in enumerate(self.probe):
-                keep |= np.isin(sigs[t], list(pr))
-            mat = mat[keep]
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
-            if len(ids) == 0:
-                return pa.table(
-                    {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-                )
-            score = (mat @ self.qvec) / (np.linalg.norm(mat, axis=1) * self.qnorm)
+    def bucket_scorer(batch: pa.Table) -> pa.Table:
+        planes_w, pow2_w, qvec_w, qnorm_w, probe_w = cached_get(ref)
+        batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
+        col = batch["embedding"].combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, len(qvec_w))
+            .astype(np.float64)
+        )
+        # (n, T) signatures; candidate = any-table probe-set hit
+        sigs = ((mat @ planes_w.transpose(0, 2, 1)) > 0) @ pow2_w  # (T, n)
+        keep = np.zeros(mat.shape[0], dtype=bool)
+        for t, pr in enumerate(probe_w):
+            keep |= np.isin(sigs[t], list(pr))
+        mat = mat[keep]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+        if len(ids) == 0:
             return pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "score": pa.array(_round6(score), pa.float64()),
-                }
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
             )
+        score = (mat @ qvec_w) / (np.linalg.norm(mat, axis=1) * qnorm_w)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "score": pa.array(_round6(score), pa.float64()),
+            }
+        )
 
     return local_topk(
-        _read(sf_dir, "embeddings").map_batches(
-            BucketScorer, batch_format="pyarrow", concurrency=2
-        ),
+        _read(sf_dir, "embeddings").map_batches(bucket_scorer, batch_format="pyarrow"),
         by=["score", "vec_id"],
         descending=[True, False],
         k=k,
@@ -614,7 +605,10 @@ def q_multimodal_features(sf_dir: str):
     return (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(to_binary, batch_format="pyarrow")
-        .map_batches(BinaryFeatures, batch_format="pyarrow", concurrency=2, batch_size=256)
+        # small batch_size stays the payload-memory knob; per-worker state
+        # replaces the actor pool (a REAL decode model would keep the actor
+        # pool form — see stages/actors.py)
+        .map_batches(per_worker(BinaryFeatures), batch_format="pyarrow", batch_size=256)
     )
 
 
@@ -647,37 +641,32 @@ def q_ann_topk_ivf(
     probe = set(np.argsort(qd)[:n_probe].tolist())
     ref = ray.put((centroids, qvec, np.linalg.norm(qvec), probe))
 
-    class IVFScorer:
-        def __init__(self):
-            self.centroids, self.qvec, self.qnorm, self.probe = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
-            m = (
-                batch["embedding"].combine_chunks().flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(-1, len(self.qvec)).astype(np.float64)
-            )
-            d2 = ((m[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
-            keep = np.isin(d2.argmin(axis=1), list(self.probe))
-            m = m[keep]
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
-            if len(ids) == 0:
-                return pa.table(
-                    {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-                )
-            score = (m @ self.qvec) / (np.linalg.norm(m, axis=1) * self.qnorm)
+    def ivf_scorer(batch: pa.Table) -> pa.Table:
+        centroids_w, qvec_w, qnorm_w, probe_w = cached_get(ref)
+        batch = batch.filter(pc.not_equal(batch["vec_id"], 0))
+        m = (
+            batch["embedding"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, len(qvec_w)).astype(np.float64)
+        )
+        d2 = ((m[:, None, :] - centroids_w[None, :, :]) ** 2).sum(axis=2)
+        keep = np.isin(d2.argmin(axis=1), list(probe_w))
+        m = m[keep]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+        if len(ids) == 0:
             return pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "score": pa.array(_round6(score), pa.float64()),
-                }
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
             )
+        score = (m @ qvec_w) / (np.linalg.norm(m, axis=1) * qnorm_w)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "score": pa.array(_round6(score), pa.float64()),
+            }
+        )
 
     return local_topk(
-        _read(sf_dir, "embeddings").map_batches(
-            IVFScorer, batch_format="pyarrow", concurrency=2
-        ),
+        _read(sf_dir, "embeddings").map_batches(ivf_scorer, batch_format="pyarrow"),
         by=["score", "vec_id"],
         descending=[True, False],
         k=k,
@@ -691,8 +680,8 @@ def q_doc_enrich(sf_dir: str):
 
     return (
         _read(sf_dir, "documents")
-        .map_batches(TextEnricher, batch_format="pandas", concurrency=2)
-        .map_batches(TextAnalyzer, batch_format="pandas", concurrency=2)
+        .map_batches(per_worker(TextEnricher), batch_format="pandas")
+        .map_batches(per_worker(TextAnalyzer), batch_format="pandas")
     )
 
 
