@@ -590,6 +590,27 @@ def q_doc_extract(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# M13 through the oracle — char-range language id (zh/ja/ko/en, null for
+# empty) via the vectorized TextAnalyzer, mirrored in DuckDB with the same
+# unicode ranges (reference: event_processor.py:299-315).
+# ---------------------------------------------------------------------------
+
+
+def q_doc_lang(sf_dir: str):
+    from ..stages.actors import per_worker
+    from ..stages.text import TextAnalyzer
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "lang_detected"]]
+
+    return (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(per_worker(TextAnalyzer), batch_format="pandas")
+        .map_batches(project, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity search — brute-force cosine top-k against a broadcast query
 # vector (the ANN baseline; the scale path is LSH bucketing, see dedup.py)
 # ---------------------------------------------------------------------------
@@ -1051,6 +1072,15 @@ ORACLE: dict[str, str] = {
                regexp_matches(text,
                    '(?i)https?://[^\\s?#]+\\.(jpg|jpeg|png|gif|webp|mp4|mov|webm)([?#][^\\s]*)?')
                    AS has_media
+        FROM documents
+    """,
+    "doc_lang": """
+        SELECT doc_id,
+               CASE WHEN len(text) = 0 THEN NULL
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                    WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+                    ELSE 'en' END AS lang_detected
         FROM documents
     """,
     "doc_token_stats": """

@@ -50,6 +50,47 @@ def test_query_matches_oracle(name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_doc_lang_on_planted_multilingual(tmp_path):
+    """The sf corpus is English-only, so the oracle check is vacuous there —
+    plant zh/ja/ko/en/empty docs and assert engine == oracle with every
+    branch exercised (Python char ranges vs DuckDB RE2 unicode classes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "the merge completed without conflicts",
+        "数据管道正在运行",          # zh
+        "データパイプライン です",    # ja (pure kana — kanji would hit zh first)
+        "데이터 파이프라인이 실행",   # ko
+        "",                           # empty → null
+        "mixed 数据 english",        # zh chars win (checked first)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["x"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = an.q_doc_lang(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(an.ORACLE["doc_lang"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        _normalize(got), _normalize(want), check_dtype=False, check_exact=True
+    )
+    by_id = dict(zip(got["doc_id"], got["lang_detected"]))
+    assert [by_id[i] for i in range(4)] == ["en", "zh", "ja", "ko"]
+    assert pd.isna(by_id[4]) and by_id[5] == "zh"
+
+
 def test_doc_extract_on_planted_content(tmp_path):
     """The synthetic corpus has no hashtags/URLs, so the sf-level oracle
     check is vacuous — plant real content and assert engine == oracle with
