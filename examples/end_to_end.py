@@ -3,7 +3,9 @@
   1. synthesize a deterministic changelog (binlog/WAL of change events),
   2. replay it into an exactly-once Parquet lake,
   3. kill-and-resume to show checkpointing,
-  4. run a few analytics pipelines over the lake and the testdata tables.
+  4. run a few analytics pipelines over the lake and the testdata tables,
+  5. merge-on-read delta policy: micro-epoch appends, point lookup,
+     compaction, resumable export.
 
 Run:  python examples/end_to_end.py
 """
@@ -65,5 +67,38 @@ top = an.q_top_users_by_value("/root/testdata/sf0.001").to_pandas()
 print("\ntop users by value:\n", top.head(5).to_string())
 sessions = an.q_user_sessions("/root/testdata/sf0.001").to_pandas()
 print("\nsessions found:", len(sessions))
+
+# 5. merge-on-read: a second stream lands as per-epoch DELTA parts (no base
+#    rewrites), a point lookup merges them on the fly, compact() folds them
+#    back, and the snapshot exports resumably
+from nostr_data_pipeline_ray.pipelines.cdc import (
+    compact,
+    export_snapshot,
+    read_conversation,
+)
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+spec2 = ChangelogSpec(n_events=8_000, n_convs=1_500, n_segments=4, seed=4)
+binlog2 = generate_changelog(f"{BASE}/synth2", spec2)
+# continue the SAME stream: fresh segment names, LSNs above the watermark
+stream2 = f"{BASE}/stream2"
+os.makedirs(stream2, exist_ok=True)
+for i, seg in enumerate(list_segments(binlog2)):
+    t = pq.read_table(seg)
+    t = t.set_column(t.column_names.index("lsn"), "lsn", pc.add(t["lsn"], 100_000))
+    pq.write_table(t, f"{stream2}/seg-{i + 100:05d}.parquet")
+delta_cfg = EngineConfig(num_partitions=16, epoch_segments=1, merge_policy="delta")
+out = apply_changelog(lake, stream2, delta_cfg)
+m = Lake(lake).current_manifest()
+print("\ndelta epochs applied:", len(out["epochs"]),
+      "| pending delta parts:", sum(len(v) for v in m["deltas"].values()))
+conv = read_conversation(lake, "conv-7")
+print("point lookup conv-7:", conv.num_rows, "turns (merged base+deltas)")
+print("compact:", compact(lake))
+print("export:", export_snapshot(lake, f"{BASE}/export"))
 
 ray.shutdown()

@@ -96,6 +96,45 @@ def test_delta_tombstone_masks_base_row(binlog, tmp_path):
     assert final_table(lake_root).num_rows == n_before - 1
 
 
+def test_delta_schema_evolution(binlog, tmp_path):
+    """An EVOLVED delta part (tool_meta column) over a pre-evolution base:
+    merge-on-read must surface the column null-filled everywhere, and
+    compaction must persist it into the new bases."""
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    compact(lake_root)  # pre-evolution bases
+
+    seg = pa.table(
+        {
+            "conv_id": pa.array(["conv-2"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["assistant"]),
+            "text": pa.array(["evolved text"]),
+            "tool": pa.array(["python"]),
+            "ts": pa.array([10**15], pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([10**9], pa.int64()),
+            "tool_meta": pa.array(['{"calls":7}']),
+        }
+    )
+    tail = tmp_path / "tail"
+    tail.mkdir()
+    pq.write_table(seg, tail / "zz-evolved.parquet")
+    apply_changelog(lake_root, str(tail), CFG)  # lands as an evolved delta
+
+    df = read_final(lake_root).to_pandas()
+    assert "tool_meta" in df.columns
+    hit = df[(df["conv_id"] == "conv-2") & (df["turn_idx"] == 0)]
+    assert hit["tool_meta"].iloc[0] == '{"calls":7}'
+    assert hit["text"].iloc[0] == "evolved text"
+    assert df["tool_meta"].notna().sum() == 1  # everyone else null-filled
+
+    compact(lake_root)
+    df2 = read_final(lake_root).to_pandas()  # plain-scan path, post-fold
+    assert df2["tool_meta"].notna().sum() == 1
+    assert len(df2) == len(df)
+
+
 def test_delta_point_lookup_and_export(binlog, tmp_path):
     lake_root = str(tmp_path / "lake")
     apply_changelog(lake_root, binlog, CFG)
