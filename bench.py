@@ -56,10 +56,15 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash_documents",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "doc_enrich",
+    "doc_extract",
+    "doc_lang",
     "multimodal_features",
+    "network_stats",
+    "price_stats_tdigest",
 ]
 
 

@@ -917,8 +917,15 @@ def lake_lineage(lake_root: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
+def read_final(
+    lake_root: str, sort: bool = False, columns: list[str] | None = None
+) -> "rd.Dataset":
     """The current lake state as a Dataset (transcript columns + lsn).
+
+    ``columns`` prunes the scan at the parquet reader (only requested
+    columns leave storage) on the plain-scan path; merge-on-read lakes
+    project after the per-partition LWW merge (the merge needs the key +
+    lsn + op columns regardless).
 
     A partial schema-evolution epoch leaves the snapshot mixed-schema
     (rewritten parts carry the new column, carried-forward parts don't) —
@@ -952,6 +959,9 @@ def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
             schemas.append(s)
         target = pa.unify_schemas(schemas, promote_options="permissive")
 
+        if columns is not None:
+            target = pa.schema([target.field(c) for c in columns])
+
         def mat(batch: pa.Table) -> pa.Table:
             outs = []
             for i in range(batch.num_rows):
@@ -972,11 +982,16 @@ def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
         return rd.from_arrow(LAKE_SCHEMA.empty_table())
     distinct = _snapshot_schemas(files)
     if len(distinct) == 1:
-        ds = rd.read_parquet(files).drop_columns(["pkey"])
+        if columns is not None:
+            ds = rd.read_parquet(files, columns=columns)  # pruned at the scan
+        else:
+            ds = rd.read_parquet(files).drop_columns(["pkey"])
     else:
         target = pa.unify_schemas(distinct, promote_options="permissive")
         if "pkey" in target.names:
             target = target.remove(target.get_field_index("pkey"))
+        if columns is not None:
+            target = pa.schema([target.field(c) for c in columns])
         # one read per schema group (a mixed-schema union would warn and
         # mis-infer); conform_schema projects onto the unified target,
         # dropping pkey and null-filling evolved columns
@@ -990,7 +1005,12 @@ def read_final(lake_root: str, sort: bool = False) -> "rd.Dataset":
             by_schema.setdefault(dir_idx[d], []).append(p)
         ds = None
         for i, paths in sorted(by_schema.items()):
-            part = rd.read_parquet(paths).map_batches(
+            cols = (
+                [c for c in columns if c in distinct[i].names]
+                if columns is not None
+                else None
+            )
+            part = rd.read_parquet(paths, columns=cols).map_batches(
                 partial(conform_schema, target=target), batch_format="pyarrow"
             )
             ds = part if ds is None else ds.union(part)

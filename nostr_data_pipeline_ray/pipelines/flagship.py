@@ -106,7 +106,8 @@ def q_conv_turn_counts(sf_dir: str):
     from ..stages.shuffle import bucketed_map_groups
 
     q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
-    ds = read_final(lake_dir_for(sf_dir))
+    # pruned at the scan: the aggregate touches 3 of the 7 lake columns
+    ds = read_final(lake_dir_for(sf_dir), columns=["conv_id", "turn_idx", "lsn"])
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("conv_id", sort=False)

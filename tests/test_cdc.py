@@ -226,6 +226,16 @@ def test_follow_mode_applies_segments_as_they_appear(binlog, tmp_path):
     _assert_matches_oracle(lake_root, str(watch))
 
 
+def test_read_final_column_pruning(binlog, tmp_path):
+    from nostr_data_pipeline_ray.pipelines.cdc import read_final
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    pruned = read_final(lake_root, columns=["conv_id", "lsn"])
+    assert pruned.schema().names == ["conv_id", "lsn"]
+    assert pruned.count() == read_final(lake_root).count()
+
+
 def test_read_conversation_partition_pruned(binlog, tmp_path):
     """Point lookup re-derives candidate pkeys from the manifest's persisted
     partitioning and reads only those part files."""
