@@ -96,6 +96,7 @@ def cmd_stats(args) -> int:
     if m is None:
         print(json.dumps({"epoch": None}))
         return 0
+    deltas = m.get("deltas", {})
     print(
         json.dumps(
             {
@@ -104,6 +105,8 @@ def cmd_stats(args) -> int:
                 "segments_applied": len(m["applied_segments"]),
                 "watermark_min": min(m["watermarks"].values(), default=None),
                 "watermark_max": max(m["watermarks"].values(), default=None),
+                "pending_delta_parts": sum(len(v) for v in deltas.values()),
+                "max_delta_depth": max((len(v) for v in deltas.values()), default=0),
                 "stats": m.get("stats", {}),
             }
         )

@@ -180,6 +180,37 @@ def test_delta_delete_where_clears_deltas(binlog, tmp_path):
     assert got.select(kept.column_names).cast(kept.schema).equals(kept)
 
 
+def test_delta_crash_before_commit_recovers(binlog, tmp_path, monkeypatch):
+    """Exactly-once holds under the delta policy too: a crash between delta
+    part writes and the manifest commit leaves invisible orphans; re-running
+    the epoch overwrites the same deterministic paths and commits once."""
+    from nostr_data_pipeline_ray.pipelines.cdc import apply_epoch, list_segments
+
+    lake_root = str(tmp_path / "lake")
+    segs = list_segments(binlog)
+    lake = Lake(lake_root)
+    apply_epoch(lake, segs[:3], CFG)
+
+    import nostr_data_pipeline_ray.state.lake as lake_mod
+
+    real_commit = lake_mod.Lake.commit_epoch
+
+    def boom(self, *a, **k):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(lake_mod.Lake, "commit_epoch", boom)
+    with pytest.raises(RuntimeError):
+        apply_epoch(Lake(lake_root), segs[3:5], CFG)
+    monkeypatch.setattr(lake_mod.Lake, "commit_epoch", real_commit)
+
+    # orphan delta parts on disk, invisible through the manifest
+    assert Lake(lake_root).applied_segments() == {
+        os.path.basename(s) for s in segs[:3]
+    }
+    apply_changelog(lake_root, binlog, CFG)  # recovery = run the tail again
+    _assert_oracle(lake_root, binlog)
+
+
 def test_follow_delta_with_auto_compaction(binlog, tmp_path):
     """The LSM maintenance loop: delta-policy follow compacts whenever a
     partition's pending-delta depth reaches the threshold, keeping
