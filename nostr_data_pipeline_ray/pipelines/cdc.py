@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..model import LAKE_SCHEMA
+from ..model import CHANGELOG_SCHEMA, LAKE_SCHEMA
 from ..stages.cdc_stages import (
     add_pkey,
     conform_schema,
@@ -58,7 +58,46 @@ from ..state.lake import Lake
 
 
 def list_segments(binlog_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(binlog_dir, "*.parquet")))
+    """LSN-ordered segment files: parquet (native) or JSONL (the reference
+    ingests JSON events — relay_client.py:149-188; a JSONL segment is that
+    stream spooled to disk). Order is by file name across both formats."""
+    return sorted(
+        glob.glob(os.path.join(binlog_dir, "*.parquet"))
+        + glob.glob(os.path.join(binlog_dir, "*.jsonl"))
+    )
+
+
+def _segment_schema(path: str) -> pa.Schema:
+    """Logical schema of a segment. JSONL carries no schema — map its keys
+    onto the changelog schema's types (extra keys are additive string
+    columns, the schema-evolution contract)."""
+    if path.endswith(".jsonl"):
+        import json as _json
+
+        with open(path) as f:
+            keys: list[str] = []
+            for line in f:
+                line = line.strip()
+                if line:
+                    keys = list(_json.loads(line).keys())
+                    break
+        if not keys:
+            return LAKE_SCHEMA
+        fields = []
+        for k in keys:
+            i = CHANGELOG_SCHEMA.get_field_index(k)
+            fields.append(
+                CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
+            )
+        return pa.schema(fields)
+    return pq.read_schema(path)
+
+
+def _segment_rows(path: str) -> int:
+    if path.endswith(".jsonl"):
+        with open(path, "rb") as f:
+            return sum(buf.count(b"\n") for buf in iter(lambda: f.read(1 << 20), b""))
+    return pq.read_metadata(path).num_rows
 
 
 def _snapshot_schemas(snapshot_paths: list[str]) -> list[pa.Schema]:
@@ -81,7 +120,7 @@ def _snapshot_schemas(snapshot_paths: list[str]) -> list[pa.Schema]:
 
 def _merge_schema(segment_paths: list[str], snapshot_paths: list[str]) -> pa.Schema:
     """Unified working schema for the merge (additive evolution point)."""
-    schemas = [pq.read_schema(p) for p in segment_paths]
+    schemas = [_segment_schema(p) for p in segment_paths]
     for snap in _snapshot_schemas(snapshot_paths):
         if "op" not in snap.names:
             snap = snap.append(pa.field("op", pa.string()))
@@ -351,11 +390,15 @@ def apply_epoch(
     shutil.rmtree(staged_root, ignore_errors=True)  # crashed prior attempt
 
     # --- phase A: delta map + map-side exchange ---------------------------
-    # segments grouped by identical file schema → one read_parquet per group
-    # (a union of single-file reads measured 2x slower); schema conformance
-    # happens inside MergeTask, so heterogeneous groups just flow through
+    # parquet segments grouped by identical file schema → one read_parquet
+    # per group (a union of single-file reads measured 2x slower); schema
+    # conformance happens inside MergeTask, so heterogeneous groups flow
     groups: list[tuple[pa.Schema, list[str]]] = []
+    jsonl_paths: list[str] = []
     for p in segment_paths:
+        if p.endswith(".jsonl"):
+            jsonl_paths.append(p)
+            continue
         sch = pq.read_schema(p)
         if groups and groups[-1][0].equals(sch):
             groups[-1][1].append(p)
@@ -375,6 +418,15 @@ def apply_epoch(
                 batch_format="pyarrow",
                 batch_size=config.batch_size,
             )
+        delta = part if delta is None else delta.union(part)
+    if jsonl_paths:
+        # JSONL segments (schema-on-read): always conformed — the cast pulls
+        # ISO timestamp strings / inferred widths onto the unified schema
+        part = rd.read_json(jsonl_paths).map_batches(
+            partial(conform_schema, target=data_schema),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
         delta = part if delta is None else delta.union(part)
     split = SplitStage(
         staged_root, config.num_partitions, config.staged_format, config.staged_dict
@@ -491,7 +543,7 @@ def apply_changelog(
         pending = [
             p for p in list_segments(binlog_dir) if os.path.basename(p) not in applied
         ]
-        raw_events = sum(pq.read_metadata(p).num_rows for p in pending)
+        raw_events = sum(_segment_rows(p) for p in pending)
         for i in range(0, len(pending), config.epoch_segments):
             out = apply_epoch(lake, pending[i : i + config.epoch_segments], config)
             total_rows += out["rows_applied"]

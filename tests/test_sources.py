@@ -57,3 +57,43 @@ def test_apply_empty_binlog_dir(tmp_path):
     out = apply_changelog(str(tmp_path / "lake"), str(empty), EngineConfig())
     assert out["segments_applied"] == 0
     assert out["raw_events"] == 0
+
+
+def test_jsonl_segments_interop(tmp_path):
+    """A binlog mixing parquet and JSONL segments (the reference's JSON
+    event stream spooled to disk) replays to the same final state as the
+    all-parquet oracle; JSONL timestamps arrive as ISO strings and are
+    conformed at read."""
+    import json as _json
+    import os
+    import shutil
+
+    from nostr_data_pipeline_ray.pipelines.cdc import final_table
+    from nostr_data_pipeline_ray.synth import expected_final_state
+
+    spec = ChangelogSpec(n_events=6_000, n_convs=200, n_segments=5, seed=29)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    for s in segs[:3]:
+        shutil.copy(s, mixed / os.path.basename(s))
+    for s in segs[3:]:  # tail segments delivered as JSONL
+        t = pq.read_table(s)
+        rows = t.to_pylist()
+        name = os.path.basename(s).replace(".parquet", ".jsonl")
+        with open(mixed / name, "w") as f:
+            for r in rows:
+                r["ts"] = r["ts"].isoformat()
+                f.write(_json.dumps(r) + "\n")
+
+    lake_root = str(tmp_path / "lake")
+    out = apply_changelog(lake_root, str(mixed), EngineConfig(num_partitions=8))
+    assert out["segments_applied"] == 5
+    assert out["raw_events"] == sum(pq.read_metadata(s).num_rows for s in segs)
+
+    got = final_table(lake_root)
+    want = expected_final_state(binlog)  # oracle over the original parquet
+    assert got.num_rows == want.num_rows
+    assert got.select(want.column_names).cast(want.schema).equals(want)
