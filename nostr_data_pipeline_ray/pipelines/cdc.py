@@ -100,6 +100,22 @@ def _segment_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def _read_segments(paths: list[str], columns: list[str] | None = None) -> "rd.Dataset":
+    """Mixed-format segment read: column-pruned read_parquet for parquet,
+    read_json (+ projection) for JSONL."""
+    pq_paths = [p for p in paths if p.endswith(".parquet")]
+    js_paths = [p for p in paths if p.endswith(".jsonl")]
+    ds = rd.read_parquet(pq_paths, columns=columns) if pq_paths else None
+    if js_paths:
+        js = rd.read_json(js_paths)
+        if columns is not None:
+            js = js.select_columns(columns)
+        ds = js if ds is None else ds.union(js)
+    if ds is None:
+        return rd.from_arrow(LAKE_SCHEMA.empty_table())
+    return ds
+
+
 def _snapshot_schemas(snapshot_paths: list[str]) -> list[pa.Schema]:
     """Distinct schemas across the current snapshot, one footer read per
     epoch directory — all parts written within an epoch share that epoch's
@@ -945,7 +961,7 @@ def partition_histogram(
         )
 
     rows = (
-        rd.read_parquet(list_segments(binlog_dir), columns=["conv_id", "turn_idx"])
+        _read_segments(list_segments(binlog_dir), columns=["conv_id", "turn_idx"])
         .map_batches(hist, batch_format="pyarrow")
         .take_all()
     )
