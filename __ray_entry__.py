@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["price_stats_tdigest"] = _an.q_price_stats_tdigest  # rows-only: t-digest
     qs["changelog_filter"] = _flag.q_changelog_filter
     qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
+    qs["lake_health"] = _flag.q_lake_health  # rows-only: F4 over lineage
     # rows-only extras (no SQL oracle) are registered by their modules below
     try:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd

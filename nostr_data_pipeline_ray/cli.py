@@ -162,6 +162,10 @@ def cmd_report(args) -> int:
     growth = df("daily_signup_growth").tail(7)
     print("\n== signups (last 7 days) ==")
     print(growth.to_string(index=False))
+
+    health = df("lake_health").sort_values("health").head(5)
+    print("\n== lake partition health (worst 5, F4 analog) ==")
+    print(health.to_string(index=False))
     return 0
 
 

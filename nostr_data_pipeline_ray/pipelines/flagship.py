@@ -136,6 +136,52 @@ def conv_turn_counts_oracle_sql(sf_dir: str) -> str:
     """
 
 
+def q_lake_health(sf_dir: str):
+    """F4 relay-health analog over the lake's own per-partition lineage
+    (reference: metrics_calculator.py:142-179 scores relays from uptime/
+    latency/throughput/errors; here a partition IS the ingest channel):
+    latency := merge seconds, throughput := rows_in/sec, uptime/error from
+    the rows-conservation ratio. Rows-only (wall-clock inputs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.scoring import relay_health_score
+
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    lin = lake_lineage_for(sf_dir)
+    secs = np.maximum(np.asarray(lin["seconds"], dtype=np.float64), 1e-9)
+    rows_in = np.asarray(lin["rows_in"], dtype=np.float64)
+    rows_out = np.asarray(lin["rows_out"], dtype=np.float64)
+    eps = rows_in / secs
+    # vectorized F4 with uptime=100 (a committed partition is "up") and
+    # error_rate = dropped-row fraction beyond LWW collapse (0 here)
+    latency_score = np.maximum(0.0, 100.0 - (secs * 1000.0) / 10.0)
+    throughput_score = np.minimum(100.0, np.log1p(eps) * 20.0)
+    health = np.round(
+        0.4 * 100.0 + 0.3 * latency_score + 0.2 * throughput_score + 0.1 * 100.0, 2
+    )
+    # pin the vector math to the scalar contract on row 0
+    assert abs(
+        health[0]
+        - relay_health_score(100.0, float(secs[0] * 1000.0), float(eps[0]), 0.0)
+    ) < 1e-9
+    return pa.table(
+        {
+            "pkey": lin["pkey"],
+            "events_per_sec": pa.array(np.round(eps, 2), pa.float64()),
+            "rows_in": lin["rows_in"],
+            "rows_out": lin["rows_out"],
+            "health": pa.array(health, pa.float64()),
+        }
+    )
+
+
+def lake_lineage_for(sf_dir: str):
+    from .cdc import lake_lineage
+
+    return lake_lineage(lake_dir_for(sf_dir))
+
+
 def q_lake_stats(sf_dir: str):
     """Per-partition lineage/throughput of this scale point's lake
     (rows-only: the values include wall-clock seconds)."""
