@@ -67,36 +67,57 @@ def list_segments(binlog_dir: str) -> list[str]:
     )
 
 
-def _segment_schema(path: str) -> pa.Schema:
-    """Logical schema of a segment. JSONL carries no schema — map its keys
-    onto the changelog schema's types (extra keys are additive string
-    columns, the schema-evolution contract)."""
-    if path.endswith(".jsonl"):
-        import json as _json
+# (path, mtime, size) → (schema, rows): one parse pass per JSONL segment,
+# shared by _segment_schema and _segment_rows
+_JSONL_META: dict = {}
 
-        with open(path) as f:
-            keys: list[str] = []
-            for line in f:
-                line = line.strip()
-                if line:
-                    keys = list(_json.loads(line).keys())
-                    break
-        if not keys:
-            return LAKE_SCHEMA
+
+def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
+    """Single-pass JSONL metadata: the KEY UNION over every line (a key may
+    first appear mid-file — JSON omits absent fields, and taking only the
+    first line's keys would silently drop an evolved column at conform
+    time) plus the true row count (no trailing-newline undercount)."""
+
+    stat = os.stat(path)
+    cache_key = (path, stat.st_mtime_ns, stat.st_size)
+    if cache_key in _JSONL_META:
+        return _JSONL_META[cache_key]
+    keys: dict[str, None] = {}  # insertion-ordered union
+    rows = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rows += 1
+            for k in json.loads(line):
+                keys.setdefault(k)
+    if not keys:
+        schema = LAKE_SCHEMA
+    else:
         fields = []
         for k in keys:
             i = CHANGELOG_SCHEMA.get_field_index(k)
             fields.append(
                 CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
             )
-        return pa.schema(fields)
+        schema = pa.schema(fields)
+    _JSONL_META[cache_key] = (schema, rows)
+    return _JSONL_META[cache_key]
+
+
+def _segment_schema(path: str) -> pa.Schema:
+    """Logical schema of a segment. JSONL carries no schema — map its keys
+    onto the changelog schema's types (extra keys are additive string
+    columns, the schema-evolution contract)."""
+    if path.endswith(".jsonl"):
+        return _jsonl_meta(path)[0]
     return pq.read_schema(path)
 
 
 def _segment_rows(path: str) -> int:
     if path.endswith(".jsonl"):
-        with open(path, "rb") as f:
-            return sum(buf.count(b"\n") for buf in iter(lambda: f.read(1 << 20), b""))
+        return _jsonl_meta(path)[1]
     return pq.read_metadata(path).num_rows
 
 
@@ -297,7 +318,9 @@ class MergeTask:
             tables.append(conform_schema(staged, target=self.data_schema))
         return tables
 
-    def _lineage_row(self, pkey, rows_in, rows_out, max_lsn, abspath, rel, t0):
+    def _lineage_row(
+        self, pkey, rows_in, rows_out, max_lsn, abspath, rel, t0, max_turn
+    ):
         return pa.table(
             {
                 "pkey": pa.array([pkey], pa.int32()),
@@ -305,6 +328,7 @@ class MergeTask:
                 "rows_in": pa.array([rows_in], pa.int64()),
                 "rows_out": pa.array([rows_out], pa.int64()),
                 "max_lsn": pa.array([max_lsn], pa.int64()),
+                "max_turn": pa.array([max_turn], pa.int64()),
                 "bytes": pa.array([os.path.getsize(abspath)], pa.int64()),
                 "seconds": pa.array([time.time() - t0], pa.float64()),
                 "path": pa.array([rel], pa.string()),
@@ -335,7 +359,8 @@ class MergeTask:
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
             pq.write_table(out, abspath)
             return self._lineage_row(
-                pkey, rows_in, out.num_rows, max_lsn, abspath, rel, t0
+                pkey, rows_in, out.num_rows, max_lsn, abspath, rel, t0,
+                int(pc.max(out["turn_idx"]).as_py() or 0),
             )
 
         # rewrite: fold base + pending deltas (oldest first) + staged rows
@@ -377,7 +402,8 @@ class MergeTask:
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         pq.write_table(alive, abspath)
         return self._lineage_row(
-            pkey, rows_in, alive.num_rows, max_lsn, abspath, rel, t0
+            pkey, rows_in, alive.num_rows, max_lsn, abspath, rel, t0,
+            int(pc.max(merged["turn_idx"]).as_py() or 0),
         )
 
 
@@ -387,6 +413,23 @@ def apply_epoch(
     """Apply one epoch (a micro-batch of binlog segments) exactly once."""
     t0 = time.time()
     epoch = lake.current_epoch() + 1
+    # the partition function is part of the lake's on-disk state: a writer
+    # with different knobs would route updates of EXISTING keys to a
+    # different pkey than their base rows (the LWW merge never sees the old
+    # row → duplicate keys; tombstones land in the wrong partition). Adopt
+    # the persisted parameters over the caller's config.
+    persisted = (lake.current_manifest() or {}).get("partitioning")
+    if persisted and (
+        int(persisted["num_partitions"]) != config.num_partitions
+        or int(persisted["turn_bucket"]) != config.turn_bucket
+    ):
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            num_partitions=int(persisted["num_partitions"]),
+            turn_bucket=int(persisted["turn_bucket"]),
+        )
     seg_names = [os.path.basename(p) for p in segment_paths]
     watermarks = lake.watermarks()
     part_files = lake.partition_files()
@@ -525,6 +568,7 @@ def apply_epoch(
         partitioning={"num_partitions": config.num_partitions,
                       "turn_bucket": config.turn_bucket},
         append_deltas=append_deltas,
+        max_turn_idx=max((int(r["max_turn"]) for r in lineage_rows), default=-1),
     )
     shutil.rmtree(staged_root, ignore_errors=True)  # post-commit cleanup
     return {
@@ -702,10 +746,24 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
         return {"rows_deleted": 0, "partitions_rewritten": 0}
     epoch = lake.current_epoch() + 1
     parts = lake.partition_files()
+    if not parts:
+        return {"rows_deleted": 0, "partitions_rewritten": 0}
     items = [
         {"pkey": pk, "base": b, "deltas": ds} for pk, (b, ds) in sorted(parts.items())
     ]
     root = lake.root
+    # every part REWRITTEN this epoch is conformed to the unified snapshot
+    # schema: an epoch dir must stay single-schema (the per-dir footer
+    # sampling in _snapshot_schemas / read_final depends on it) even when
+    # the lake is mixed-schema after a partial evolution epoch
+    all_files = [b for b, _ in parts.values() if b] + [
+        d for _, ds in parts.values() for d in ds
+    ]
+    target = pa.unify_schemas(_snapshot_schemas(all_files), promote_options="permissive")
+    if "op" in target.names:
+        target = target.remove(target.get_field_index("op"))
+    if "pkey" not in target.names:
+        target = target.append(pa.field("pkey", pa.int32()))
 
     def rewrite(batch: pa.Table) -> pa.Table:
         out = []
@@ -733,7 +791,7 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
                 out.append({"pkey": pkey, "rel": rel_unchanged, "deleted": 0,
                             "rewritten": False})
                 continue
-            kept = t.filter(pc.invert(mask))
+            kept = conform_schema(t.filter(pc.invert(mask)), target=target)
             new_rel = Lake(root).part_path(epoch, pkey)
             abspath = os.path.join(root, new_rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
@@ -749,11 +807,7 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
     )
     new_files = {int(r["pkey"]): r["rel"] for r in rows if r["rewritten"]}
     deleted = int(sum(r["deleted"] for r in rows))
-    first_pk, (first_base, first_ds) = next(iter(sorted(parts.items())))
-    snap_schema = pq.read_schema(first_base or first_ds[0])
-    for drop in ("pkey", "op"):
-        if drop in snap_schema.names:
-            snap_schema = snap_schema.remove(snap_schema.get_field_index(drop))
+    snap_schema = target.remove(target.get_field_index("pkey"))
     lake.commit_epoch(
         epoch, new_files, {}, [], {}, snap_schema,
         stats={"rows_deleted": deleted, "partitions_rewritten": len(new_files)},
@@ -762,26 +816,27 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
 
 
 def conversation_pkeys(
-    conv_id: str, num_partitions: int, turn_bucket: int, max_turn: int = 4096
+    conv_id: str, num_partitions: int, turn_bucket: int, max_turn: int = 1 << 20
 ) -> list[int]:
-    """Candidate partitions holding any turn of ``conv_id``: one pkey per
-    turn-range bucket (the salted partitioner spreads a conversation over
-    ~max_turn/turn_bucket partitions, so a point lookup touches that many —
-    1 for conversations shorter than ``turn_bucket``)."""
-    import pyarrow as _pa
-
+    """Candidate partitions holding any turn of ``conv_id`` with
+    ``turn_idx <= max_turn``: one pkey per turn-range bucket (the salted
+    partitioner spreads a conversation over ~max_turn/turn_bucket
+    partitions). Once the bucket count is large enough that the candidate
+    set would saturate anyway, fall back to ALL partitions — correct for
+    any turn_idx, and the per-file conv_id row-group filter keeps the extra
+    reads cheap (sorted parts prune to a few row groups)."""
     from ..stages.cdc_stages import partition_key
 
-    n_buckets = max(1, -(-max_turn // turn_bucket))
-    turns = _pa.array(
-        np.arange(n_buckets, dtype=np.int64) * turn_bucket, _pa.int32()
-    )
-    convs = _pa.array([conv_id] * n_buckets)
+    n_buckets = max_turn // turn_bucket + 1  # covers turn 0..max_turn inclusive
+    if n_buckets >= num_partitions * 8:  # birthday-saturated: probe everything
+        return list(range(num_partitions))
+    turns = pa.array(np.arange(n_buckets, dtype=np.int64) * turn_bucket, pa.int32())
+    convs = pa.array([conv_id] * n_buckets)
     return sorted(set(partition_key(convs, turns, num_partitions, turn_bucket).tolist()))
 
 
 def read_conversation(
-    lake_root: str, conv_id: str, max_turn: int = 4096
+    lake_root: str, conv_id: str, max_turn: int | None = None
 ) -> pa.Table:
     """Partition-pruned point lookup: re-derive the conversation's candidate
     pkeys from the manifest's persisted partitioning, read ONLY those part
@@ -795,6 +850,11 @@ def read_conversation(
     part = m.get("partitioning")
     if not part:
         raise ValueError("lake manifest predates partitioning metadata")
+    if max_turn is None:
+        # the manifest tracks the lake's true max turn_idx — the EXACT probe
+        # budget; probe-all fallback for lakes predating the field
+        tracked = int(m.get("max_turn_idx", -1))
+        max_turn = tracked if tracked >= 0 else (1 << 20)
     pkeys = conversation_pkeys(
         conv_id, int(part["num_partitions"]), int(part["turn_bucket"]), max_turn
     )
@@ -903,6 +963,24 @@ def export_snapshot(
     items = [
         {"pkey": pk, "base": b, "deltas": ds} for pk, (b, ds) in sorted(parts.items())
     ]
+
+    # resume is only valid against the SAME source epoch: existing part
+    # files from an older epoch (or of unknown provenance) must be
+    # rewritten, or a "resumed" export would mix epochs and _SUCCESS would
+    # mislabel stale data as the current snapshot
+    cur_epoch = int(m["epoch"])
+    marker = os.path.join(out_dir, "_EXPORT.json")
+    if not force:
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if int(json.load(f).get("epoch", -1)) != cur_epoch:
+                    force = True
+        elif any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+            force = True  # parts exist but no marker: unknown provenance
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as f:
+        json.dump({"epoch": cur_epoch}, f)
+    os.replace(tmp_marker, marker)  # written BEFORE any copy (resume anchor)
 
     def copy_one(batch: pa.Table) -> pa.Table:
         out = []

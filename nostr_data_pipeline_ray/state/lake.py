@@ -170,6 +170,7 @@ class Lake:
         stats: dict[str, Any] | None = None,
         partitioning: dict[str, int] | None = None,
         append_deltas: dict[int, str] | None = None,
+        max_turn_idx: int | None = None,
     ) -> dict[str, Any]:
         prev = self.current_manifest()
         # commit-point CAS: the new epoch must extend the committed pointer.
@@ -214,6 +215,12 @@ class Lake:
             # forward from the previous manifest when not supplied)
             "partitioning": partitioning
             or (prev.get("partitioning") if prev else None),
+            # monotone global bound on turn_idx — the exact probe budget for
+            # partition-pruned point lookups (conversation_pkeys)
+            "max_turn_idx": max(
+                int(max_turn_idx if max_turn_idx is not None else -1),
+                int(prev.get("max_turn_idx", -1)) if prev else -1,
+            ),
         }
         rel = os.path.join("manifests", f"epoch-{epoch}.json")
         with open(os.path.join(self.root, rel), "w") as f:
@@ -235,7 +242,17 @@ class Lake:
         older — part files and manifest JSONs alike — is pruned, so every
         surviving manifest remains fully readable (no dangling files).
         Manifests beyond the committed pointer (orphans of a crashed
-        phase-2) are pruned too."""
+        phase-2) are pruned too.
+
+        Takes the WRITER LOCK: vacuum walks parts/ deleting unreferenced
+        files, and a concurrent apply's staged exchange files (default
+        scratch lives under parts/) or its just-written pre-commit manifest
+        would look exactly like orphans — deleting them mid-epoch silently
+        loses rows."""
+        with self.writer_lock():
+            return self._vacuum_locked(keep_manifests)
+
+    def _vacuum_locked(self, keep_manifests: int) -> list[str]:
         m = self.current_manifest()
         if m is None:
             return []

@@ -1,0 +1,214 @@
+"""Regressions pinned from the round-2 adversarial code review: schema
+preservation through maintenance ops, partitioning adoption, export resume
+consistency, JSONL late-key evolution, long-conversation point lookups."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from nostr_data_pipeline_ray.config import EngineConfig
+from nostr_data_pipeline_ray.pipelines.cdc import (
+    apply_changelog,
+    delete_where,
+    export_snapshot,
+    final_table,
+    list_segments,
+    read_conversation,
+    read_final,
+)
+from nostr_data_pipeline_ray.state.lake import ConcurrentWriterError, Lake
+from nostr_data_pipeline_ray.synth import (
+    ChangelogSpec,
+    expected_final_state,
+    generate_changelog,
+)
+
+CFG = EngineConfig(num_partitions=8, turn_bucket=16, epoch_segments=4)
+
+
+def _evolved_segment(conv: str, turn: int, lsn: int) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([turn], pa.int32()),
+            "role": pa.array(["assistant"]),
+            "text": pa.array([f"evolved {conv} {turn}"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([1_800_000_000_000_000], pa.timestamp("us")),  # 2027
+            "op": pa.array(["update"]),
+            "lsn": pa.array([lsn], pa.int64()),
+            "tool_meta": pa.array(['{"calls":1}']),
+        }
+    )
+
+
+@pytest.fixture()
+def mixed_schema_lake(tmp_path):
+    """A lake whose snapshot is mixed-schema: one partition rewritten with
+    tool_meta, the rest carried forward without it."""
+    spec = ChangelogSpec(n_events=6_000, n_convs=200, n_segments=4, seed=41)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    tail = tmp_path / "tail"
+    tail.mkdir()
+    pq.write_table(_evolved_segment("conv-3", 0, 10**9), tail / "zz-ev.parquet")
+    apply_changelog(lake_root, str(tail), CFG)
+    return lake_root
+
+
+def test_delete_where_preserves_evolved_column_on_mixed_schema(mixed_schema_lake):
+    """Review finding: delete_where wrote each partition with its ORIGINAL
+    schema into one epoch dir, breaking the one-schema-per-epoch-dir
+    invariant — a later read/merge sampling that dir could silently drop
+    the evolved column."""
+    before = read_final(mixed_schema_lake).to_pandas()
+    assert before["tool_meta"].notna().sum() == 1
+
+    cutoff = pa.scalar(
+        before["ts"].quantile(0.3).to_datetime64(), pa.timestamp("us")
+    )
+    out = delete_where(mixed_schema_lake, lambda t: pc.less(t["ts"], cutoff))
+    assert out["partitions_rewritten"] > 0
+
+    # every part of the delete epoch carries ONE unified schema
+    m = Lake(mixed_schema_lake).current_manifest()
+    epoch_dir = {os.path.dirname(r) for r in m["files"].values()
+                 if f"epoch-{m['epoch']}" in r}
+    schemas = set()
+    for rel in m["files"].values():
+        if f"epoch-{m['epoch']}" in rel:
+            schemas.add(tuple(pq.read_schema(
+                os.path.join(mixed_schema_lake, rel)).names))
+    assert len(schemas) == 1 and epoch_dir
+    assert "tool_meta" in next(iter(schemas))
+
+    after = read_final(mixed_schema_lake).to_pandas()
+    assert "tool_meta" in after.columns
+    assert after["tool_meta"].notna().sum() == 1  # evolved row survived
+
+
+def test_vacuum_respects_writer_lock(mixed_schema_lake):
+    """Review finding: vacuum walked parts/ without the writer lock and
+    could delete a concurrent apply's staged exchange files mid-epoch."""
+    lake = Lake(mixed_schema_lake)
+    with lake.writer_lock():
+        with pytest.raises(ConcurrentWriterError):
+            lake.vacuum(keep_manifests=1)
+    assert isinstance(lake.vacuum(keep_manifests=1), list)  # lock released
+
+
+def test_partitioning_adopted_from_manifest(tmp_path):
+    """Review finding: a writer with different num_partitions/turn_bucket
+    silently routed updates of existing keys to the wrong partition. The
+    manifest's persisted partitioning must win."""
+    spec = ChangelogSpec(n_events=5_000, n_convs=150, n_segments=4, seed=43)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+    lake_root = str(tmp_path / "lake")
+    head = tmp_path / "head"
+    head.mkdir()
+    for s in segs[:2]:
+        shutil.copy(s, head / os.path.basename(s))
+    apply_changelog(lake_root, str(head), EngineConfig(num_partitions=4, turn_bucket=8))
+
+    # second writer with DIFFERENT knobs applies the tail
+    apply_changelog(lake_root, binlog, EngineConfig(num_partitions=32, turn_bucket=512))
+    m = Lake(lake_root).current_manifest()
+    assert m["partitioning"] == {"num_partitions": 4, "turn_bucket": 8}  # adopted
+
+    got = final_table(lake_root)
+    want = expected_final_state(binlog)
+    assert got.num_rows == want.num_rows  # no duplicate keys
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+def test_jsonl_key_appearing_mid_file_is_preserved(tmp_path):
+    """Review finding: deriving the JSONL schema from the first line only
+    dropped columns that first appear later in the file."""
+    base = {
+        "conv_id": "conv-1", "turn_idx": 0, "role": "user", "text": "hi",
+        "tool": "", "ts": "2024-01-01T00:00:00", "op": "insert", "lsn": 0,
+    }
+    evolved = dict(base, turn_idx=1, lsn=1, op="insert", tool_meta='{"calls":2}')
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    with open(binlog / "seg-00000.jsonl", "w") as f:
+        f.write(json.dumps(base) + "\n")
+        f.write(json.dumps(evolved))  # NB: no trailing newline (count check)
+
+    lake_root = str(tmp_path / "lake")
+    out = apply_changelog(lake_root, str(binlog), EngineConfig(num_partitions=4))
+    assert out["raw_events"] == 2  # no trailing-newline undercount
+    got = final_table(lake_root)
+    assert "tool_meta" in got.column_names
+    import pandas as pd
+
+    df = got.to_pandas().set_index("turn_idx")
+    assert df.loc[1, "tool_meta"] == '{"calls":2}'
+    assert pd.isna(df.loc[0, "tool_meta"])
+
+
+def test_export_rewrites_when_lake_advances(tmp_path):
+    """Review finding: a resumed export against a LATER epoch skipped stale
+    files yet stamped _SUCCESS with the new epoch."""
+    spec = ChangelogSpec(n_events=5_000, n_convs=150, n_segments=4, seed=47)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+    lake_root = str(tmp_path / "lake")
+    head = tmp_path / "head"
+    head.mkdir()
+    for s in segs[:2]:
+        shutil.copy(s, head / os.path.basename(s))
+    apply_changelog(lake_root, str(head), CFG)
+
+    out_dir = str(tmp_path / "export")
+    first = export_snapshot(lake_root, out_dir)
+    assert first["written"] == first["partitions"]
+
+    apply_changelog(lake_root, binlog, CFG)  # the lake advances an epoch
+    second = export_snapshot(lake_root, out_dir)  # no --force needed
+    assert second["written"] == second["partitions"]  # stale parts rewritten
+    assert second["skipped"] == 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"select count(*) from read_parquet('{out_dir}/part-*.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert n == expected_final_state(binlog).num_rows
+
+
+def test_point_lookup_beyond_4096_turns(tmp_path):
+    """Review finding: conversation_pkeys capped probing at turn 4096 and
+    silently truncated longer conversations. The manifest now tracks the
+    lake's true max turn_idx as the probe budget."""
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    turns = [0, 100, 5000, 9000]
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-long"] * len(turns)),
+            "turn_idx": pa.array(turns, pa.int32()),
+            "role": pa.array(["user"] * len(turns)),
+            "text": pa.array([f"turn {x}" for x in turns]),
+            "tool": pa.array([""] * len(turns)),
+            "ts": pa.array([10**15 + i for i in range(len(turns))], pa.timestamp("us")),
+            "op": pa.array(["insert"] * len(turns)),
+            "lsn": pa.array(range(len(turns)), pa.int64()),
+        }
+    )
+    pq.write_table(t, binlog / "seg-00000.parquet")
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, str(binlog), EngineConfig(num_partitions=8, turn_bucket=16))
+    assert Lake(lake_root).current_manifest()["max_turn_idx"] == 9000
+
+    got = read_conversation(lake_root, "conv-long")
+    assert got["turn_idx"].to_pylist() == turns  # nothing silently missing
