@@ -248,11 +248,16 @@ def q_hour_histogram(sf_dir: str):
     def hour(batch: pa.Table) -> pa.Table:
         return pa.table({"hour": pc.cast(pc.hour(batch["ts"]), pa.int64())})
 
-    return (
-        _read(sf_dir, "events", columns=["ts"])
-        .map_batches(hour, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(Count(alias_name="n"))
+    # two-phase bucketed count (24 keys, but Ray's groupby is still a full
+    # sort shuffle of every row; the map-side partial ships 24 rows/batch)
+    return bucketed_sum_count(
+        _read(sf_dir, "events", columns=["ts"]).map_batches(
+            hour, batch_format="pyarrow"
+        ),
+        keys=["hour"],
+        sums={},
+        count_as="n",
+        input_bytes=_tbytes(sf_dir, "events"),
     )
 
 
@@ -382,8 +387,10 @@ def q_latest_event_per_user(sf_dir: str):
             ["ts", "event_id"], ascending=[False, False]
         ).drop_duplicates("user_id", keep="first")
 
+    # `latest` is idempotent-associative, so it doubles as the map-side
+    # partial: the shuffle moves one row per (user, batch), not every event
     return bucketed_map_groups(
-        _read(sf_dir, "events"), keys=["user_id"], fn=latest
+        _read(sf_dir, "events"), keys=["user_id"], fn=latest, pre=latest
     )
 
 
