@@ -101,10 +101,17 @@ def _explode_bigrams(batch: pa.Table) -> pa.Table:
     )
 
 
-def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50):
+def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = None):
     """Exact set-Jaccard top-k pairs over any per-doc feature extractor via
     an inverted index (explode → per-feature pairing → co-occurrence counts
-    → jaccard from broadcast set sizes → pruned top-k)."""
+    → jaccard from broadcast set sizes → pruned top-k).
+
+    ``max_df`` drops features whose document frequency exceeds the cap
+    BEFORE pairing — the per-feature pair fan-out is quadratic in df, so a
+    stopword appearing in every document is the scale-killer of the
+    inverted-index approach; capping it bounds the blowup at the cost of
+    ignoring that feature's (near-zero) Jaccard evidence. None = exact
+    (the oracle-checked default at test scales)."""
 
     doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
     dw = bucketed_map_groups(
@@ -125,7 +132,7 @@ def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50):
 
     def pair_docs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})

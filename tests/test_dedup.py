@@ -78,6 +78,66 @@ def test_minhash_finds_planted_neardup(neardup_dir):
     assert len(pairs) == len(out)
 
 
+def test_jaccard_max_df_caps_hot_words(tmp_path):
+    """The inverted-index scale guard: words with document frequency above
+    max_df are dropped BEFORE pairing (quadratic fan-out), matching a
+    DuckDB mirror with the same HAVING cap bit-for-bit."""
+    texts = [
+        "the quick brown fox",
+        "the quick brown dog",
+        "the slow green turtle",
+        "the slow green snail",
+        "the lonely word",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    max_df = 4  # "the" appears in all 5 docs → capped out of the index
+    got = dd._jaccard_topk(str(tmp_path), dd._explode_words, max_df=max_df)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(f"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id
+        ), keep AS (
+            SELECT word FROM dw GROUP BY word HAVING count(*) <= {max_df}
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM dw a JOIN dw b USING (word)
+            WHERE a.doc_id < b.doc_id AND word IN (SELECT word FROM keep)
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+    """).df()
+    con.close()
+    g, w = _normalize(got), _normalize(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # doc 4 shares ONLY the capped word with others → no pair survives
+    assert not any(4 in p for p in pairs)
+
+
 def test_simhash_determinism_and_similarity(neardup_dir):
     out = dd.q_simhash_documents(neardup_dir).to_pandas().set_index("doc_id")
     h0 = np.uint64(out.loc[0, "simhash"])
