@@ -240,6 +240,47 @@ def q_activity_timeline(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# §2.9 sliding window — 6-hour windows advancing hourly: each event lands in
+# 6 windows (explode by window offset, then the same two-phase bucketed
+# count as the tumbling timeline). The reference's trending window slides
+# this way conceptually (metrics_calculator.py:60-92's 24h window re-queried
+# each aggregation tick).
+# ---------------------------------------------------------------------------
+
+_SLIDE_HOURS = 6
+_HOUR_US = 3_600_000_000
+
+
+def q_sliding_activity(sf_dir: str):
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        hour_us = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.int64())
+        base = hour_us.to_numpy(zero_copy_only=False)
+        n = len(base)
+        offs = np.arange(_SLIDE_HOURS, dtype=np.int64) * _HOUR_US
+        starts = (np.repeat(base, _SLIDE_HOURS) - np.tile(offs, n)).astype(
+            "datetime64[us]"
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(starts, pa.timestamp("us")),
+                "value": batch["value"].take(
+                    pa.array(np.repeat(np.arange(n), _SLIDE_HOURS))
+                ),
+            }
+        )
+
+    return bucketed_sum_count(
+        _read(sf_dir, "events", columns=["ts", "value"]).map_batches(
+            explode_windows, batch_format="pyarrow"
+        ),
+        keys=["window_start"],
+        sums={"value": "total_value"},
+        count_as="n_events",
+        input_bytes=_tbytes(sf_dir, "events") * _SLIDE_HOURS,
+    ).map_batches(partial(_round_col, col="total_value"), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # A5 — time-of-day histogram (reference: metrics_calculator.py:324-335)
 # ---------------------------------------------------------------------------
 
@@ -1004,6 +1045,12 @@ ORACLE: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "sliding_activity": """
+        SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS window_start,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events, range(6) t(k)
+        GROUP BY 1
     """,
     "hour_histogram": """
         SELECT CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
