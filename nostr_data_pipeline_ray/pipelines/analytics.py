@@ -529,6 +529,38 @@ def q_top3_orders_per_customer(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# custom operator: grouped backward AS-OF join (Ray Data has no asof join).
+# For each purchase, the same user's latest signup at-or-before it. The
+# bucketed shuffle co-locates a user's rows; inside a bucket pandas
+# merge_asof(by=...) is the vectorized per-group as-of. Partitioning
+# assumption: the whole by-group fits one bucket (guaranteed — buckets are
+# keyed on the by-column's hash).
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_signup(sf_dir: str):
+    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            bucket[bucket["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+            .sort_values("ts", kind="mergesort")
+        )
+        s = bucket[bucket["event_type"] == "signup"][["user_id", "ts"]].sort_values(
+            "ts", kind="mergesort"
+        )
+        s = s.assign(signup_ts=s["ts"])
+        out = pd.merge_asof(p, s, on="ts", by="user_id", direction="backward")
+        return out[["event_id", "user_id", "ts", "signup_ts"]]
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]),
+        keys=["user_id"],
+        fn=asof,
+        # map-side prune: only the two relevant event types cross the shuffle
+        pre=lambda b: b[b["event_type"].isin(["purchase", "signup"])],
+    )
+
+
+# ---------------------------------------------------------------------------
 # J3 — tiny dimension broadcast lookup (reference: dashboard/pages/4:48,110)
 # ---------------------------------------------------------------------------
 
@@ -1105,6 +1137,13 @@ ORACLE: dict[str, str] = {
         SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         QUALIFY row_number() OVER (
             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    "asof_last_signup": """
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(s.ts) FROM events s
+                WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                  AND s.ts <= p.ts) AS signup_ts
+        FROM events p WHERE p.event_type = 'purchase'
     """,
     "nation_region": """
         SELECT n_nationkey, n_name, r_name
