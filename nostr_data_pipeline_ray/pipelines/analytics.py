@@ -575,6 +575,46 @@ def q_nation_region(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# custom operator: broadcast RANGE join — each fact row joins the interval
+# table by containment. The band table ships once (it's tiny); inside
+# map_batches a vectorized searchsorted against the sorted interval edges
+# replaces the O(rows × bands) BETWEEN scan a SQL engine would do.
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [
+    ("lt_1k", 0.0, 1_000.0),
+    ("1k_10k", 1_000.0, 10_000.0),
+    ("10k_50k", 10_000.0, 50_000.0),
+    ("ge_50k", 50_000.0, float("inf")),
+]
+
+
+def q_price_band_totals(sf_dir: str):
+    labels = np.array([b[0] for b in _PRICE_BANDS], dtype=object)
+    edges = np.array([b[1] for b in _PRICE_BANDS[1:]])  # interior boundaries
+
+    def band(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, x, side="right")  # lo <= x < hi
+        return pa.table(
+            {
+                "band": pa.array(labels[idx], pa.string()),
+                "value": batch["l_extendedprice"],
+            }
+        )
+
+    return bucketed_sum_count(
+        _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+            band, batch_format="pyarrow"
+        ),
+        keys=["band"],
+        sums={"value": "total"},
+        count_as="n",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    ).map_batches(partial(_round_col, col="total"), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # D1/D2 — exact dedup: first-writer-wins by content key (reference:
 # pipeline.py:202-211 + event_loader.py:35-38)
 # ---------------------------------------------------------------------------
@@ -1148,6 +1188,17 @@ ORACLE: dict[str, str] = {
     "nation_region": """
         SELECT n_nationkey, n_name, r_name
         FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "price_band_totals": """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('lt_1k', 0.0, 1000.0),
+            ('1k_10k', 1000.0, 10000.0),
+            ('10k_50k', 10000.0, 50000.0),
+            ('ge_50k', 50000.0, 1e308))
+        SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem JOIN bands
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band
     """,
     "dedup_documents_exact": """
         SELECT doc_id, lang, source, n_chars, text FROM documents
