@@ -67,8 +67,9 @@ def list_segments(binlog_dir: str) -> list[str]:
     )
 
 
-# (path, mtime, size) → (schema, rows): one parse pass per JSONL segment,
-# shared by _segment_schema and _segment_rows
+# path → ((mtime, size), (schema, rows)): one parse pass per JSONL segment,
+# shared by _segment_schema and _segment_rows; keyed by path so a changed
+# file self-evicts its stale entry (long-running follow loops don't grow)
 _JSONL_META: dict = {}
 
 
@@ -76,12 +77,19 @@ def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
     """Single-pass JSONL metadata: the KEY UNION over every line (a key may
     first appear mid-file — JSON omits absent fields, and taking only the
     first line's keys would silently drop an evolved column at conform
-    time) plus the true row count (no trailing-newline undercount)."""
+    time) plus the true row count (no trailing-newline undercount).
 
+    This is a serial driver-side parse of the segment — the price of a
+    schemaless format; it runs once per segment (cached) and only for the
+    JSONL compatibility path. Schema-carrying parquet segments pay a footer
+    read instead.
+
+    """
     stat = os.stat(path)
-    cache_key = (path, stat.st_mtime_ns, stat.st_size)
-    if cache_key in _JSONL_META:
-        return _JSONL_META[cache_key]
+    ver = (stat.st_mtime_ns, stat.st_size)
+    hit = _JSONL_META.get(path)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
     keys: dict[str, None] = {}  # insertion-ordered union
     rows = 0
     with open(path) as f:
@@ -102,8 +110,8 @@ def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
                 CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
             )
         schema = pa.schema(fields)
-    _JSONL_META[cache_key] = (schema, rows)
-    return _JSONL_META[cache_key]
+    _JSONL_META[path] = (ver, (schema, rows))
+    return _JSONL_META[path][1]
 
 
 def _segment_schema(path: str) -> pa.Schema:
@@ -740,6 +748,29 @@ def delete_where(
         return _delete_where_locked(lake, predicate)
 
 
+def _unified_snapshot_target(
+    parts: dict[int, tuple[str | None, list[str]]], with_pkey: bool
+) -> pa.Schema:
+    """The one schema every part REWRITTEN in an epoch must conform to:
+    unify across all live base+delta files, drop the op tombstone marker,
+    and include/exclude pkey per the writer's needs. An epoch dir must stay
+    single-schema — the per-dir footer sampling in _snapshot_schemas /
+    read_final depends on it."""
+    all_files = [b for b, _ in parts.values() if b] + [
+        d for _, ds in parts.values() for d in ds
+    ]
+    target = pa.unify_schemas(
+        _snapshot_schemas(all_files), promote_options="permissive"
+    )
+    if "op" in target.names:
+        target = target.remove(target.get_field_index("op"))
+    if with_pkey and "pkey" not in target.names:
+        target = target.append(pa.field("pkey", pa.int32()))
+    if not with_pkey and "pkey" in target.names:
+        target = target.remove(target.get_field_index("pkey"))
+    return target
+
+
 def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
     m = lake.current_manifest()
     if m is None:
@@ -752,18 +783,7 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
         {"pkey": pk, "base": b, "deltas": ds} for pk, (b, ds) in sorted(parts.items())
     ]
     root = lake.root
-    # every part REWRITTEN this epoch is conformed to the unified snapshot
-    # schema: an epoch dir must stay single-schema (the per-dir footer
-    # sampling in _snapshot_schemas / read_final depends on it) even when
-    # the lake is mixed-schema after a partial evolution epoch
-    all_files = [b for b, _ in parts.values() if b] + [
-        d for _, ds in parts.values() for d in ds
-    ]
-    target = pa.unify_schemas(_snapshot_schemas(all_files), promote_options="permissive")
-    if "op" in target.names:
-        target = target.remove(target.get_field_index("op"))
-    if "pkey" not in target.names:
-        target = target.append(pa.field("pkey", pa.int32()))
+    target = _unified_snapshot_target(parts, with_pkey=True)
 
     def rewrite(batch: pa.Table) -> pa.Table:
         out = []
@@ -883,17 +903,7 @@ def compact(lake_root: str) -> dict[str, Any]:
             return {"partitions": 0}
         epoch = lake.current_epoch() + 1
         parts = lake.partition_files()
-        all_files = [b for b, _ in parts.values() if b] + [
-            d for _, ds in parts.values() for d in ds
-        ]
-        target = pa.unify_schemas(
-            _snapshot_schemas(all_files), promote_options="permissive"
-        )
-        for drop in ("op",):
-            if drop in target.names:
-                target = target.remove(target.get_field_index(drop))
-        if "pkey" not in target.names:
-            target = target.append(pa.field("pkey", pa.int32()))
+        target = _unified_snapshot_target(parts, with_pkey=True)
         root = lake.root
         items = [
             {"pkey": pk, "base": b, "deltas": ds}
@@ -915,7 +925,11 @@ def compact(lake_root: str) -> dict[str, Any]:
                 dst = os.path.join(root, new_rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 pq.write_table(t, dst)
-                out.append({"pkey": pk, "rel": new_rel})
+                mx = pc.max(t["turn_idx"]).as_py() if t.num_rows else None
+                out.append({
+                    "pkey": pk, "rel": new_rel,
+                    "max_turn": int(mx) if mx is not None else -1,
+                })
             return pa.Table.from_pylist(out)
 
         rows = (
@@ -929,6 +943,11 @@ def compact(lake_root: str) -> dict[str, Any]:
         lake.commit_epoch(
             epoch, new_files, {}, [], {}, data_schema,
             stats={"compacted_partitions": len(new_files)},
+            # compaction reads EVERY live row, so its turn bound is the
+            # authoritative one — this also heals legacy lakes whose
+            # manifests predate max_turn_idx (unknown → probe-all until now)
+            max_turn_idx=max((int(r["max_turn"]) for r in rows), default=-1),
+            max_turn_complete=True,
         )
         return {"partitions": len(new_files), "epoch": epoch}
 
@@ -951,15 +970,7 @@ def export_snapshot(
     if m is None:
         return {"partitions": 0, "written": 0, "skipped": 0}
     parts = lake.partition_files()
-    all_files = [b for b, _ in parts.values() if b] + [
-        d for _, ds in parts.values() for d in ds
-    ]
-    target = pa.unify_schemas(
-        _snapshot_schemas(all_files), promote_options="permissive"
-    )
-    for drop in ("pkey", "op"):
-        if drop in target.names:
-            target = target.remove(target.get_field_index(drop))
+    target = _unified_snapshot_target(parts, with_pkey=False)
     items = [
         {"pkey": pk, "base": b, "deltas": ds} for pk, (b, ds) in sorted(parts.items())
     ]
@@ -977,6 +988,16 @@ def export_snapshot(
                     force = True
         elif any(n.endswith(".parquet") for n in os.listdir(out_dir)):
             force = True  # parts exist but no marker: unknown provenance
+    success = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success):
+        os.unlink(success)  # in progress: never let a crash look complete
+    if force:
+        # stale parts must be GONE before the new-epoch marker lands — a
+        # crash between marker write and the rewrites would otherwise make
+        # the next resume skip old-epoch files as if they were current
+        for n in os.listdir(out_dir):
+            if n.endswith(".parquet"):
+                os.unlink(os.path.join(out_dir, n))
     tmp_marker = marker + ".tmp"
     with open(tmp_marker, "w") as f:
         json.dump({"epoch": cur_epoch}, f)

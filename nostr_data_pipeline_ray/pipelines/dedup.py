@@ -125,9 +125,28 @@ def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = Non
     )
     dw = dw.materialize()  # reused twice (sizes + pairing); bounded: |docs|·|vocab|
 
+    # per-doc set sizes come from the FULL sets (Jaccard denominators keep
+    # capped words — only the intersection evidence is dropped)
     sizes_df = bucketed_sum_count(
         dw, ["doc_id"], sums={}, count_as="n", input_bytes=doc_bytes
     ).to_pandas()
+
+    if max_df is not None:
+        # map-side hot-word prefilter: the capped words' |docs|-sized
+        # posting lists must not even CROSS the pairing shuffle (the
+        # in-group guard below stays as the backstop). The hot list is tiny
+        # by definition (df > max_df) — a broadcast small side.
+        dfc = bucketed_sum_count(
+            dw, ["word"], sums={}, count_as="df", input_bytes=doc_bytes
+        ).to_pandas()
+        hot_ref = ray.put(set(dfc.loc[dfc["df"] > max_df, "word"]))
+
+        def drop_hot(batch: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.actors import cached_get
+
+            return batch[~batch["word"].isin(cached_get(hot_ref))]
+
+        dw = dw.map_batches(drop_hot, batch_format="pandas").materialize()
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
     def pair_docs(g: pd.DataFrame) -> pd.DataFrame:

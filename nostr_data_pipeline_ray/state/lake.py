@@ -171,6 +171,7 @@ class Lake:
         partitioning: dict[str, int] | None = None,
         append_deltas: dict[int, str] | None = None,
         max_turn_idx: int | None = None,
+        max_turn_complete: bool = False,
     ) -> dict[str, Any]:
         prev = self.current_manifest()
         # commit-point CAS: the new epoch must extend the committed pointer.
@@ -215,13 +216,24 @@ class Lake:
             # forward from the previous manifest when not supplied)
             "partitioning": partitioning
             or (prev.get("partitioning") if prev else None),
-            # monotone global bound on turn_idx — the exact probe budget for
-            # partition-pruned point lookups (conversation_pkeys)
-            "max_turn_idx": max(
+        }
+        # monotone global bound on turn_idx — the exact probe budget for
+        # partition-pruned point lookups (conversation_pkeys). A lake whose
+        # manifest predates the field has an UNKNOWN bound: an epoch's max
+        # over only its touched partitions must NOT become the global bound
+        # (point lookups would silently truncate legacy high-turn rows), so
+        # the field stays absent (probe-all fallback) until an operation
+        # that sees EVERY row (compact) re-establishes it authoritatively.
+        prev_known = prev is not None and "max_turn_idx" in prev
+        prev_empty = prev is None or not prev.get("files") and not prev.get("deltas")
+        if max_turn_complete and max_turn_idx is not None:
+            manifest["max_turn_idx"] = int(max_turn_idx)
+        elif prev_known or prev_empty:
+            manifest["max_turn_idx"] = max(
                 int(max_turn_idx if max_turn_idx is not None else -1),
                 int(prev.get("max_turn_idx", -1)) if prev else -1,
-            ),
-        }
+            )
+        # else: legacy lake with data and no recorded bound → stay unknown
         rel = os.path.join("manifests", f"epoch-{epoch}.json")
         with open(os.path.join(self.root, rel), "w") as f:
             json.dump(manifest, f)

@@ -186,6 +186,120 @@ def test_export_rewrites_when_lake_advances(tmp_path):
     assert n == expected_final_state(binlog).num_rows
 
 
+def test_export_crash_during_forced_rewrite_cannot_mix_epochs(tmp_path, monkeypatch):
+    """Review finding (2nd pass): the epoch marker was written before stale
+    parts were rewritten, so a crash mid-force let the next resume skip
+    old-epoch files as current. Stale parts must be GONE before the marker
+    lands, and _SUCCESS must never survive an in-progress export."""
+    spec = ChangelogSpec(n_events=5_000, n_convs=150, n_segments=4, seed=53)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+    lake_root = str(tmp_path / "lake")
+    head = tmp_path / "head"
+    head.mkdir()
+    for s in segs[:2]:
+        shutil.copy(s, head / os.path.basename(s))
+    apply_changelog(lake_root, str(head), CFG)
+    out_dir = str(tmp_path / "export")
+    export_snapshot(lake_root, out_dir)
+    apply_changelog(lake_root, binlog, CFG)  # lake advances an epoch
+
+    # crash during the forced rewrite, in the window AFTER the marker lands
+    # and BEFORE any part is copied (the state the old code mislabeled)
+    import nostr_data_pipeline_ray.pipelines.cdc as cdc_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("crash mid-export")
+
+    monkeypatch.setattr(cdc_mod.rd, "from_items", boom)
+    with pytest.raises(RuntimeError):
+        export_snapshot(lake_root, out_dir)
+    monkeypatch.undo()
+
+    # post-crash: stale old-epoch parts already purged, nothing mislabeled
+    names = os.listdir(out_dir)
+    assert not any(n.endswith(".parquet") for n in names)
+    assert "_SUCCESS" not in names
+
+    # plain resume completes against the current epoch only
+    out = export_snapshot(lake_root, out_dir)
+    assert out["written"] == out["partitions"]
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"select count(*) from read_parquet('{out_dir}/part-*.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert n == expected_final_state(binlog).num_rows
+
+
+def test_legacy_manifest_without_turn_bound_stays_probe_all(tmp_path):
+    """Review finding (2nd pass): an epoch over a legacy lake (manifest
+    predating max_turn_idx) collapsed the unknown bound into the max of
+    only its touched partitions — reintroducing silent point-lookup
+    truncation for every pre-upgrade lake. Unknown must stay unknown until
+    compact() re-establishes it authoritatively."""
+    from nostr_data_pipeline_ray.pipelines.cdc import compact
+
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    turns = [0, 7000]
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-long"] * 2),
+            "turn_idx": pa.array(turns, pa.int32()),
+            "role": pa.array(["user"] * 2),
+            "text": pa.array(["a", "b"]),
+            "tool": pa.array([""] * 2),
+            "ts": pa.array([10**15, 10**15 + 1], pa.timestamp("us")),
+            "op": pa.array(["insert"] * 2),
+            "lsn": pa.array([0, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, binlog / "seg-00000.parquet")
+    lake_root = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=8, turn_bucket=16)
+    apply_changelog(lake_root, str(binlog), cfg)
+
+    # simulate a pre-upgrade lake: strip the recorded bound
+    lake = Lake(lake_root)
+    m = lake.current_manifest()
+    rel = os.path.join("manifests", f"epoch-{m['epoch']}.json")
+    del m["max_turn_idx"]
+    with open(os.path.join(lake_root, rel), "w") as f:
+        json.dump(m, f)
+
+    # a tiny epoch touching only a LOW-turn conversation
+    tail = tmp_path / "tail"
+    tail.mkdir()
+    low = pa.table(
+        {
+            "conv_id": pa.array(["conv-low"]),
+            "turn_idx": pa.array([1], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["x"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([10**15 + 2], pa.timestamp("us")),
+            "op": pa.array(["insert"]),
+            "lsn": pa.array([2], pa.int64()),
+        }
+    )
+    pq.write_table(low, tail / "seg-00001.parquet")
+    apply_changelog(lake_root, str(tail), cfg)
+
+    m2 = Lake(lake_root).current_manifest()
+    assert "max_turn_idx" not in m2  # unknown stayed unknown
+    got = read_conversation(lake_root, "conv-long")  # probe-all fallback
+    assert got["turn_idx"].to_pylist() == turns  # turn 7000 not truncated
+
+    compact(lake_root)  # sees every row → authoritative bound
+    m3 = Lake(lake_root).current_manifest()
+    assert m3["max_turn_idx"] == 7000
+    got = read_conversation(lake_root, "conv-long")
+    assert got["turn_idx"].to_pylist() == turns
+
+
 def test_point_lookup_beyond_4096_turns(tmp_path):
     """Review finding: conversation_pkeys capped probing at turn 4096 and
     silently truncated longer conversations. The manifest now tracks the
