@@ -64,6 +64,60 @@ def test_lww_reduce_matches_pandas_reference(table):
 
 # ---- row-level idempotence: overlapping segment re-delivery -----------------
 
+def test_bucketed_backbone_correct_under_extreme_key_skew():
+    """90% of rows share ONE key: the map-side partial combiner must keep
+    the hot key's aggregate exact while bounding what crosses the shuffle."""
+    import ray.data as rd
+
+    from nostr_data_pipeline_ray.stages.shuffle import bucketed_sum_count
+
+    rng = np.random.default_rng(6)
+    n = 200_000
+    keys = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 5_000, n))
+    vals = rng.random(n)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        bucketed_sum_count(ds, ["k"], sums={"v": "total"}, count_as="n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k").agg(total=("v", "sum"), n=("v", "size")).reset_index()
+        .sort_values("k").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    # float sums: order-dependent, compare to tolerance
+    np.testing.assert_allclose(got["total"].to_numpy(), want["total"].to_numpy(),
+                               rtol=1e-9)
+
+
+@given(st.integers(0, 2**31), st.floats(0.5, 3.0))
+@settings(max_examples=15, deadline=None)
+def test_tdigest_quantiles_within_tolerance(seed, sigma):
+    """Property: for arbitrary lognormal/uniform mixtures, merged partial
+    digests stay within 2% of exact quantiles (5% at the tail — a σ=2
+    lognormal spans orders of magnitude, so tail centroids are wide; the
+    tighter 1% tail bound on the bench-like distribution is pinned in
+    test_sketches.py)."""
+    from nostr_data_pipeline_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate(
+        [rng.lognormal(2.0, sigma, 20_000), rng.uniform(0.1, 50.0, 10_000)]
+    )
+    td = TDigest(200)
+    m, w = td.merge([td.from_values(p) for p in np.array_split(vals, 5)])
+    assert abs(w.sum() - len(vals)) < 1e-6
+    for q in (0.25, 0.5, 0.75, 0.95, 0.99):
+        exact = np.quantile(vals, q)
+        approx = TDigest.quantile(m, w, q)
+        tol = 0.02 if q < 0.9 else 0.05
+        assert abs(approx - exact) / max(exact, 1e-9) < tol, (seed, q)
+
+
 def test_overlapping_segment_redelivery(tmp_path):
     """apply_epoch called with a segment that was ALREADY committed in an
     earlier epoch (duplicate delivery at the segment level, bypassing the
