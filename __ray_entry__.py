@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: getattr(_an, f"q_{name}") for name in sorted(_an.ORACLE)
     }
     qs["cdc_apply"] = _flag.q_cdc_apply
+    qs["cdc_apply_delta"] = _flag.q_cdc_apply_delta  # LSM path, same oracle
     qs["conv_turn_counts"] = _flag.q_conv_turn_counts
     qs["approx_distinct_users"] = _an.q_approx_distinct_users  # rows-only: HLL sketch
     qs["price_stats_tdigest"] = _an.q_price_stats_tdigest  # rows-only: t-digest
@@ -58,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
     # the CDC oracle reads the deterministic synthetic binlog straight from
     # disk; generate it now so the SQL is runnable whenever the driver calls it
     out["cdc_apply"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
+    out["cdc_apply_delta"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
     out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     try:

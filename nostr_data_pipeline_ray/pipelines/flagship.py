@@ -68,6 +68,25 @@ def cdc_oracle_sql(sf_dir: str) -> str:
     return expected_final_state_sql(binlog)
 
 
+def q_cdc_apply_delta(sf_dir: str):
+    """The SAME replay through ``merge_policy='delta'`` (merge-on-read) +
+    compaction — and the SAME DuckDB LWW oracle: driver-level bit-for-bit
+    equality of the LSM path, not just unit tests. Idempotent like
+    q_cdc_apply; compaction only runs while deltas are pending."""
+    import dataclasses
+
+    from ..state.lake import Lake
+    from .cdc import compact
+
+    binlog = binlog_dir_for(sf_dir)
+    lake = lake_dir_for(sf_dir) + "-delta"
+    cfg = dataclasses.replace(CONFIG, merge_policy="delta")
+    apply_changelog(lake, binlog, cfg)
+    if Lake(lake).has_deltas():
+        compact(lake)
+    return read_final(lake, sort=False)
+
+
 def q_changelog_filter(sf_dir: str):
     """Source-side predicate pushdown (S3 analog): roles+op+LSN window pushed
     into the Parquet scan, whole segments pruned by footer stats."""
