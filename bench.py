@@ -187,9 +187,12 @@ def run_scaling() -> dict:
     # efficiency makes each sample see the same noise window. One warm-up
     # run first. Both the (2,8) headline pair and the (8,32) saturation
     # reference come from the same interleaved rounds.
+    # 5 rounds: the host's noise windows last minutes and can pollute one
+    # or two whole rounds in either direction (observed per-round spread
+    # 0.19–1.19 for IDENTICAL code); the median of five absorbs two.
     one(2)
     rounds = []
-    for _ in range(3):
+    for _ in range(5):
         lo, hi, ref = one(2), one(8), one(32)
         rounds.append(
             (
