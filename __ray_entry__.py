@@ -59,7 +59,7 @@ def oracle_sql() -> dict[str, str]:
     # the CDC oracle reads the deterministic synthetic binlog straight from
     # disk; generate it now so the SQL is runnable whenever the driver calls it
     out["cdc_apply"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
-    out["cdc_apply_delta"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
+    out["cdc_apply_delta"] = out["cdc_apply"]  # same stream, same LWW oracle
     out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     try:
