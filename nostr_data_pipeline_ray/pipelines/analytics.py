@@ -686,6 +686,60 @@ def q_doc_quality(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# F5 full formula through the oracle — length + media + hashtag components
+# (engagement inputs stay zero: no zaps on transcript text). Reuses the
+# RE2-equal regex semantics already pinned by doc_extract; rounding is
+# half-away on BOTH sides (the scoring-module twins keep np.round half-even
+# semantics for the reference-parity unit tests).
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality_full(sf_dir: str):
+    def quality(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        text = batch["text"].fillna("")
+        n = text.str.len().to_numpy(dtype=np.float64)
+        length_score = np.where(
+            n < 50,
+            n / 50.0 * 50.0,
+            np.where(
+                n <= 500,
+                50.0 + (n - 50.0) / 450.0 * 50.0,
+                100.0 - np.minimum(50.0, (n - 500.0) / 100.0),
+            ),
+        )
+        media_re = re.compile(
+            r"https?://[^\s?#]+\.(?:jpg|jpeg|png|gif|webp|mp4|mov|webm)(?:[?#][^\s]*)?",
+            re.IGNORECASE,
+        )
+        media_score = np.where(text.str.contains(media_re).to_numpy(), 20.0, 0.0)
+        h = (
+            text.str.findall(r"#(\w+)")
+            .map(lambda hs: len({x.lower() for x in hs}))
+            .to_numpy(dtype=np.float64)
+        )
+        hashtag_score = np.where(
+            h == 0,
+            0.0,
+            np.where(h <= 3, 15.0, np.where(h <= 5, 10.0,
+                                            np.maximum(0.0, 10.0 - (h - 5.0) * 2.0))),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "quality_score": _round_away(
+                    0.3 * length_score + 0.2 * media_score + 0.1 * hashtag_score
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(quality, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # M7–M10 through the oracle — hashtag/url/mention counting + media flag via
 # the TextEnricher actor pool (regexes compiled once per actor), checked
 # against DuckDB regexp_extract_all / regexp_matches with IDENTICAL RE2-safe
@@ -1240,6 +1294,30 @@ ORACLE: dict[str, str] = {
                    ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
                END), 2) AS quality_score
         FROM documents
+    """,
+    "doc_quality_full": """
+        WITH d AS (
+            SELECT doc_id, text, CAST(len(text) AS DOUBLE) AS n,
+                   CAST(len(list_distinct(list_transform(
+                       regexp_extract_all(text, '#(\\w+)', 1),
+                       x -> lower(x)))) AS DOUBLE) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.3 * (CASE
+                         WHEN n < 50 THEN n / 50.0 * 50.0
+                         WHEN n <= 500 THEN 50.0 + (n - 50.0) / 450.0 * 50.0
+                         ELSE 100.0 - least(50.0, (n - 500.0) / 100.0) END)
+                   + 0.2 * (CASE WHEN regexp_matches(text,
+                         '(?i)https?://[^\\s?#]+\\.(jpg|jpeg|png|gif|webp|mp4|mov|webm)([?#][^\\s]*)?')
+                         THEN 20.0 ELSE 0.0 END)
+                   + 0.1 * (CASE
+                         WHEN h = 0 THEN 0.0
+                         WHEN h <= 3 THEN 15.0
+                         WHEN h <= 5 THEN 10.0
+                         ELSE greatest(0.0, 10.0 - (h - 5.0) * 2.0) END), 2)
+                   AS quality_score
+        FROM d
     """,
     "ann_topk": """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -91,6 +91,43 @@ def test_doc_lang_on_planted_multilingual(tmp_path):
     assert pd.isna(by_id[4]) and by_id[5] == "zh"
 
 
+def test_doc_quality_full_on_planted_content(tmp_path):
+    """Full F5: the sf corpus has no markup, so exercise media/hashtag
+    branches on planted docs and match the oracle exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "short",                                            # length only
+        "x" * 200 + " #a #b photo https://h.io/p.png",      # media + 2 tags
+        "y" * 600 + " #a #b #c #d #e #f #g",                # long + 7 tags
+        "",                                                 # empty
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = an.q_doc_quality_full(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(an.ORACLE["doc_quality_full"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        _normalize(got), _normalize(want), check_dtype=False, check_exact=True
+    )
+    by_id = dict(zip(got["doc_id"], got["quality_score"]))
+    assert by_id[1] > by_id[0]  # media + hashtags reward
+    assert by_id[3] == 0.0
+
+
 def test_doc_extract_on_planted_content(tmp_path):
     """The synthetic corpus has no hashtags/URLs, so the sf-level oracle
     check is vacuous — plant real content and assert engine == oracle with
