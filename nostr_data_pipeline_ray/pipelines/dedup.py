@@ -29,10 +29,25 @@ def _t(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    """Size the block count to the file (see analytics._read)."""
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    cpu_bound: bool = False,
+):
+    """Size the block count to the file (see analytics._read).
+
+    ``cpu_bound=True`` floors the block count at the cluster CPU count: a
+    sub-MB input would otherwise produce 2 blocks and leave 30 of 32 cores
+    idle under a compute-heavy stage (hashing, shingling). At 100 TB the
+    size-based count dominates the floor, so this is scale-neutral."""
     path = _t(sf_dir, table)
     blocks = min(64, max(2, os.path.getsize(path) >> 20))
+    if cpu_bound:
+        try:
+            blocks = max(blocks, min(64, int(ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            pass
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
@@ -206,14 +221,20 @@ _SEP = "\x1f"  # shingle-set wire format: one sorted SEP-joined string column
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup with DISTRIBUTED exact verification.
 
-    band/band_hash groupby → candidate pairs → two bucketed co-location
-    passes (by doc_a then doc_b) that attach each side's shingle set → exact
-    Jaccard where both sets are local. Nothing data-sized touches the
-    driver: only the distinct candidate-id list (bounded by the LSH
-    collision count — the small side of a broadcast semi-join) does.
+    Three bucketed rounds, nothing on the driver:
+      1. band/band_hash groupby → candidate pairs;
+      2. doc-keyed co-location: every candidate pair is exploded to BOTH
+         endpoints and unioned with a map-only (doc_id, shingle-set) stream;
+         each group attaches its local set to its pair half-rows — a bucketed
+         semi-join (docs without pairs emit nothing), so no candidate-id
+         list is ever collected or broadcast (in the realistic LLM-dedup
+         regime 30-50% of a crawl are near-dups — the candidate set is
+         O(corpus) and must not live on the driver);
+      3. pair-keyed regroup: the two half-rows meet, exact Jaccard,
+         threshold.
     """
     doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], cpu_bound=True)
     # task-based with per-worker state: hash params built once per worker
     # process, no actor-pool spin-up (see stages/actors.py)
     buckets = docs.map_batches(per_worker(MinHashLSH), batch_format="pandas")
@@ -242,94 +263,64 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
         buckets, ["band", "band_hash"], emit_pairs, input_bytes=doc_bytes
     ).materialize()
 
-    # distinct candidate ids — the only driver-side artifact (id list, not
-    # pairs, not text); broadcast once for the shingle semi-join
-    cand_ids: set[int] = set()
-    for b in candidates.iter_batches(batch_format="pandas", batch_size=65536):
-        cand_ids.update(b["doc_a"].tolist())
-        cand_ids.update(b["doc_b"].tolist())
-    if not cand_ids:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-    ids_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
-
-    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = cached_get(ids_ref)  # broadcast: deserialized once per worker
-        hit = batch[batch["doc_id"].isin(ids)]
+    # round 2 inputs — half-rows: each pair goes to both endpoints' groups
+    def explode_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy(dtype=np.int64)
+        b = batch["doc_b"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
-                "doc_id": hit["doc_id"].astype("int64"),
-                "sh": [_SEP.join(sorted(word_shingles(t or ""))) for t in hit["text"]],
+                "k": np.concatenate([a, b]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                ),
+                "sh": "",
             }
         )
 
-    # consumed by BOTH co-location passes — materialize once (bounded: only
-    # candidate docs' shingles) instead of re-scanning + re-shingling docs
-    sets_ds = docs.map_batches(shingle_sets, batch_format="pandas").materialize()
-
-    # pass 1 — co-locate by doc_a: attach sh_a to every pair (cross-band
-    # duplicate pairs of one doc_a land in the same bucket → dedup here)
-    def to_k_a(batch: pd.DataFrame) -> pd.DataFrame:
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"k": batch["doc_a"].astype("int64"),
-             "doc_b": batch["doc_b"].astype("int64"),
-             "sh": ""}
+            {
+                "k": batch["doc_id"].astype("int64"),
+                "doc_a": np.int64(-1),
+                "doc_b": np.int64(-1),
+                "side": np.int8(-1),
+                "sh": [_SEP.join(sorted(word_shingles(t or ""))) for t in batch["text"]],
+            }
         )
 
-    def to_set_a(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"k": batch["doc_id"], "doc_b": np.int64(-1), "sh": batch["sh"]}
-        )
-
-    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
-        is_set = g["doc_b"] == -1
+    def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
+        is_set = g["side"] == -1
         m = dict(zip(g.loc[is_set, "k"], g.loc[is_set, "sh"]))
-        p = g[~is_set].drop_duplicates(["k", "doc_b"])
+        # cross-band duplicate pairs of one endpoint co-locate here → dedup
+        p = g[~is_set].drop_duplicates(["doc_a", "doc_b", "side"])
         return pd.DataFrame(
             {
-                "doc_a": p["k"],
+                "doc_a": p["doc_a"],
                 "doc_b": p["doc_b"],
-                "sh_a": p["k"].map(m).fillna(""),
+                "side": p["side"],
+                "sh": p["k"].map(m).fillna(""),
             }
         )
 
-    stage1 = bucketed_map_groups(
-        candidates.map_batches(to_k_a, batch_format="pandas").union(
-            sets_ds.map_batches(to_set_a, batch_format="pandas")
+    halves = bucketed_map_groups(
+        candidates.map_batches(explode_pairs, batch_format="pandas").union(
+            docs.map_batches(shingle_rows, batch_format="pandas")
         ),
         ["k"],
-        attach_a,
+        attach_sets,
         input_bytes=doc_bytes,
     ).materialize()
 
-    # pass 2 — co-locate by doc_b: attach sh_b, exact Jaccard, threshold
-    def to_k_b(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"k": batch["doc_b"].astype("int64"),
-             "doc_a": batch["doc_a"].astype("int64"),
-             "sh_a": batch["sh_a"], "sh_b": ""}
-        )
-
-    def to_set_b(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"k": batch["doc_id"], "doc_a": np.int64(-1),
-             "sh_a": "", "sh_b": batch["sh"]}
-        )
-
+    # round 3 — the pair's two half-rows meet: exact Jaccard, threshold
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        is_set = g["doc_a"] == -1
-        m = dict(zip(g.loc[is_set, "k"], g.loc[is_set, "sh_b"]))
-        p = g[~is_set]
         out_a, out_b, out_j = [], [], []
-        for a, b_, sa in zip(p["doc_a"], p["k"], p["sh_a"]):
-            A = set(sa.split(_SEP)) if sa else set()
-            sb = m.get(b_, "")
-            B = set(sb.split(_SEP)) if sb else set()
+        for (a, b_), rows in g.groupby(["doc_a", "doc_b"], sort=False):
+            sa = rows.loc[rows["side"] == 0, "sh"]
+            sb = rows.loc[rows["side"] == 1, "sh"]
+            A = set(sa.iloc[0].split(_SEP)) if len(sa) and sa.iloc[0] else set()
+            B = set(sb.iloc[0].split(_SEP)) if len(sb) and sb.iloc[0] else set()
             union = len(A | B)
             j = len(A & B) / union if union else 0.0
             if j >= threshold:
@@ -345,12 +336,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
         )
 
     return bucketed_map_groups(
-        stage1.map_batches(to_k_b, batch_format="pandas").union(
-            sets_ds.map_batches(to_set_b, batch_format="pandas")
-        ),
-        ["k"],
-        verify,
-        input_bytes=doc_bytes,
+        halves, ["doc_a", "doc_b"], verify, input_bytes=doc_bytes
     )
 
 
@@ -360,9 +346,9 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
 
 
 def q_simhash_documents(sf_dir: str):
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        per_worker(SimHasher), batch_format="pandas"
-    )
+    return _read(
+        sf_dir, "documents", columns=["doc_id", "text"], cpu_bound=True
+    ).map_batches(per_worker(SimHasher), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
