@@ -714,11 +714,14 @@ def q_doc_quality_full(sf_dir: str):
             re.IGNORECASE,
         )
         media_score = np.where(text.str.contains(media_re).to_numpy(), 20.0, 0.0)
-        h = (
-            text.str.findall(r"#(\w+)")
-            .map(lambda hs: len({x.lower() for x in hs}))
-            .to_numpy(dtype=np.float64)
-        )
+        # distinct lowercase hashtags per doc without a per-row Python
+        # lambda: extractall → per-row nunique (lowercasing the text first is
+        # equivalent to lowercasing matches — case doesn't affect \w+ bounds)
+        matches = text.str.lower().reset_index(drop=True).str.extractall(r"#(\w+)")[0]
+        h = np.zeros(len(batch), dtype=np.float64)
+        if len(matches):
+            counts = matches.groupby(level=0).nunique()
+            h[counts.index.to_numpy()] = counts.to_numpy(dtype=np.float64)
         hashtag_score = np.where(
             h == 0,
             0.0,

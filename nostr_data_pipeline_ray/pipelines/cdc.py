@@ -39,6 +39,7 @@ from functools import partial
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.feather as feather
@@ -208,9 +209,15 @@ class SplitStage:
     """Map-side exchange: write each block's rows into per-partition staged
     delta files and return per-(block, pkey) metadata rows.
 
-    File names are a content fingerprint (lsn range + row count), so a
-    retried task overwrites its own output — and even a true collision is
-    harmless because the downstream LWW reduce collapses duplicate rows.
+    File names are a content fingerprint (lsn range + row count + a digest
+    of the slice's per-row identity keys), so a retried task — deterministic
+    upstream → identical slice → identical name — overwrites its own output,
+    while two DIFFERENT blocks of one partition can never collide: their
+    row-key multisets differ, so the digests differ. (Same-digest overwrite
+    therefore implies an identical row-key multiset, where equal-(key, lsn)
+    rows are interchangeable under the LWW tie rule — nothing is lost.)
+    Before the digest, blocks straddled by equal-LSN duplicate-delivery rows
+    could share (min, max, count) and silently drop rows.
     """
 
     def __init__(
@@ -235,6 +242,17 @@ class SplitStage:
         order = np.argsort(pk, kind="stable")
         batch = batch.take(order).drop_columns(["pkey"])
         pk = pk[order]
+        # per-row identity hash for the filename digest, computed once per
+        # block (vectorized) and sliced per partition below
+        row_hash = (
+            pd.util.hash_array(batch["lsn"].to_numpy(zero_copy_only=False))
+            ^ pd.util.hash_array(batch["conv_id"].to_numpy(zero_copy_only=False))
+            * np.uint64(0x9E3779B97F4A7C15)
+            ^ pd.util.hash_array(
+                batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
         bounds = np.flatnonzero(np.diff(pk)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(pk)]])
@@ -245,8 +263,12 @@ class SplitStage:
             lsn = part["lsn"].to_numpy(zero_copy_only=False)
             d = os.path.join(self.staged_root, f"pk-{p:05d}")
             os.makedirs(d, exist_ok=True)
-            # content-fingerprint name → retried tasks overwrite themselves
-            stem = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}"
+            # content-fingerprint name → retried tasks overwrite themselves,
+            # distinct blocks never collide (see class docstring)
+            digest = hashlib.blake2b(
+                row_hash[s:e].tobytes(), digest_size=8
+            ).hexdigest()
+            stem = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}-{digest}"
             if self.fmt == "ipc":
                 if self.dict_encode:
                     # dictionary-encode string columns (the conform_schema

