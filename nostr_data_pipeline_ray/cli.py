@@ -20,7 +20,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _entry_module():
+    """Import ``__ray_entry__`` from the repo root (the package's parent
+    directory), not the process cwd — ``python -m nostr_data_pipeline_ray
+    query ...`` must work from any directory."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    import __ray_entry__ as entrymod
+
+    return entrymod
 
 
 def _ray():
@@ -116,8 +129,7 @@ def cmd_stats(args) -> int:
 
 def cmd_query(args) -> int:
     _ray()
-    sys.path.insert(0, ".")
-    import __ray_entry__ as entrymod
+    entrymod = _entry_module()
 
     qs = entrymod.queries()
     if args.name not in qs:
@@ -135,8 +147,7 @@ def cmd_report(args) -> int:
     pages (reference: dashboard/ — 6 Streamlit pages over the same
     aggregates): one composed snapshot rendered to the terminal."""
     _ray()
-    sys.path.insert(0, ".")
-    import __ray_entry__ as entrymod
+    entrymod = _entry_module()
 
     qs = entrymod.queries()
 

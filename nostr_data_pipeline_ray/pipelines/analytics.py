@@ -359,7 +359,7 @@ def q_price_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_price_stats_tdigest(sf_dir: str, delta: int = 200):
+def q_price_stats_tdigest(sf_dir: str, delta: int = 500):
     from ..stages.sketches import TDigest
 
     td = TDigest(delta)
@@ -1034,35 +1034,69 @@ def q_user_stats(sf_dir: str):
 
 
 def q_network_stats(sf_dir: str):
-    ev = _read(sf_dir, "events")
-    summary = ev.aggregate(
-        Count(alias_name="total_events"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
-        Sum("value", alias_name="total_value"),
+    """Global snapshot in TWO scans of events (was five): one bucketed
+    per-user pass yields n_users + top_user; one per-batch partial-aggregate
+    pass yields totals, ts range, distinct types and the latest event (the
+    driver combines one small partial row per block)."""
+    ev_bytes = os.path.getsize(_t(sf_dir, "events"))
+
+    # pass 1 — per-user: the grouped result is both the distinct-user count
+    # and (rounded, tie-broken) the top user by total value
+    per_user = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        keys=["user_id"],
+        sums={"value": "sv"},
+        count_as="c",
+        input_bytes=ev_bytes,
+    ).materialize()
+    n_users = per_user.count()
+    top_user = local_topk(
+        per_user.map_batches(partial(_round_col, col="sv"), batch_format="pyarrow"),
+        by=["sv", "user_id"],
+        descending=[True, False],
+        k=1,
+    ).take(1)[0]
+
+    # pass 2 — everything scalar, one partial row per batch
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy()
+        order = np.lexsort(
+            (-b["event_id"].to_numpy(), -ts.astype("datetime64[us]").astype(np.int64))
+        )
+        li = order[0]  # latest: ts DESC, event_id DESC
+        return pd.DataFrame(
+            {
+                "n": [len(b)],
+                "min_ts": [b["ts"].min()],
+                "max_ts": [b["ts"].max()],
+                "sum_value": [b["value"].to_numpy(dtype=np.float64).sum()],
+                "latest_ts": [b["ts"].iloc[li]],
+                "latest_id": [int(b["event_id"].iloc[li])],
+                "types": [",".join(sorted(set(b["event_type"])))],
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()  # bounded: one row per block
     )
-    n_users = bucketed_sum_count(
-        _read(sf_dir, "events", columns=["user_id"]),
-        keys=["user_id"], sums={}, count_as="c",
-    ).count()
-    n_event_types = bucketed_sum_count(
-        _read(sf_dir, "events", columns=["event_type"]),
-        keys=["event_type"], sums={}, count_as="c",
-    ).count()
-    top_user = q_top_users_by_value(sf_dir).take(1)[0]
-    latest = q_latest_event(sf_dir).take(1)[0]
+    latest_row = parts.sort_values(
+        ["latest_ts", "latest_id"], ascending=[False, False]
+    ).iloc[0]
+    n_event_types = len(set(",".join(parts["types"]).split(",")))
     return pa.table(
         {
-            "total_events": pa.array([int(summary["total_events"])], pa.int64()),
+            "total_events": pa.array([int(parts["n"].sum())], pa.int64()),
             "n_users": pa.array([n_users], pa.int64()),
             "n_event_types": pa.array([n_event_types], pa.int64()),
-            "first_ts": pa.array([summary["first_ts"]], pa.timestamp("us")),
-            "last_ts": pa.array([summary["last_ts"]], pa.timestamp("us")),
+            "first_ts": pa.array([parts["min_ts"].min()], pa.timestamp("us")),
+            "last_ts": pa.array([parts["max_ts"].max()], pa.timestamp("us")),
             "total_value": pa.array(
-                [_round_away(summary["total_value"])[()]], pa.float64()
+                [float(_round_away(parts["sum_value"].sum()))], pa.float64()
             ),
             "top_user_id": pa.array([int(top_user["user_id"])], pa.int64()),
-            "latest_event_id": pa.array([int(latest["event_id"])], pa.int64()),
+            "latest_event_id": pa.array([int(latest_row["latest_id"])], pa.int64()),
         }
     )
 

@@ -74,23 +74,14 @@ def list_segments(binlog_dir: str) -> list[str]:
 _JSONL_META: dict = {}
 
 
-def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
-    """Single-pass JSONL metadata: the KEY UNION over every line (a key may
-    first appear mid-file — JSON omits absent fields, and taking only the
-    first line's keys would silently drop an evolved column at conform
-    time) plus the true row count (no trailing-newline undercount).
-
-    This is a serial driver-side parse of the segment — the price of a
-    schemaless format; it runs once per segment (cached) and only for the
-    JSONL compatibility path. Schema-carrying parquet segments pay a footer
-    read instead.
-
-    """
-    stat = os.stat(path)
-    ver = (stat.st_mtime_ns, stat.st_size)
-    hit = _JSONL_META.get(path)
-    if hit is not None and hit[0] == ver:
-        return hit[1]
+def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int]:
+    """Single-pass JSONL metadata parse: the KEY UNION over every line (a
+    key may first appear mid-file — JSON omits absent fields, and taking
+    only the first line's keys would silently drop an evolved column at
+    conform time) plus the true row count (no trailing-newline undercount).
+    Pure function — also shipped as a Ray task by ``prefetch_segment_meta``
+    so a follow-mode lake fed many JSONL segments parses them in parallel,
+    not serially on the driver."""
     keys: dict[str, None] = {}  # insertion-ordered union
     rows = 0
     with open(path) as f:
@@ -102,17 +93,55 @@ def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
             for k in json.loads(line):
                 keys.setdefault(k)
     if not keys:
-        schema = LAKE_SCHEMA
-    else:
-        fields = []
-        for k in keys:
-            i = CHANGELOG_SCHEMA.get_field_index(k)
-            fields.append(
-                CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
-            )
-        schema = pa.schema(fields)
-    _JSONL_META[path] = (ver, (schema, rows))
-    return _JSONL_META[path][1]
+        return LAKE_SCHEMA, rows
+    fields = []
+    for k in keys:
+        i = CHANGELOG_SCHEMA.get_field_index(k)
+        fields.append(
+            CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
+        )
+    return pa.schema(fields), rows
+
+
+def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
+    """Cached JSONL metadata (schema-less formats pay a parse where parquet
+    pays a footer read); one parse per (path, mtime, size)."""
+    stat = os.stat(path)
+    ver = (stat.st_mtime_ns, stat.st_size)
+    hit = _JSONL_META.get(path)
+    if hit is not None and hit[0] == ver:
+        return hit[1]
+    meta = _parse_jsonl_meta(path)
+    _JSONL_META[path] = (ver, meta)
+    return meta
+
+
+def prefetch_segment_meta(paths: list[str]) -> None:
+    """Warm the JSONL metadata cache for ``paths`` with one Ray task per
+    uncached segment (parallel parse instead of a serial driver loop), and
+    evict cache entries for paths no longer listed — a long-running follow
+    over a rotating binlog dir would otherwise grow the cache without
+    bound."""
+    live = set(paths)
+    for stale in [p for p in _JSONL_META if p not in live]:
+        del _JSONL_META[stale]
+    todo = []
+    for p in paths:
+        if not p.endswith(".jsonl"):
+            continue
+        stat = os.stat(p)
+        ver = (stat.st_mtime_ns, stat.st_size)
+        hit = _JSONL_META.get(p)
+        if hit is None or hit[0] != ver:
+            todo.append((p, ver))
+    if len(todo) <= 1:
+        return  # nothing to parallelize; the lazy cached path handles it
+    import ray as _ray
+
+    task = _ray.remote(num_cpus=1)(_parse_jsonl_meta)
+    metas = _ray.get([task.remote(p) for p, _ in todo])
+    for (p, ver), meta in zip(todo, metas):
+        _JSONL_META[p] = (ver, meta)
 
 
 def _segment_schema(path: str) -> pa.Schema:
@@ -633,6 +662,7 @@ def apply_changelog(
         pending = [
             p for p in list_segments(binlog_dir) if os.path.basename(p) not in applied
         ]
+        prefetch_segment_meta(pending)  # parallel JSONL parse + cache evict
         raw_events = sum(_segment_rows(p) for p in pending)
         for i in range(0, len(pending), config.epoch_segments):
             out = apply_epoch(lake, pending[i : i + config.epoch_segments], config)
@@ -727,12 +757,11 @@ def follow_changelog(
             if on_epoch is not None:
                 on_epoch(out)
         if compact_after:
-            m = Lake(lake_root).current_manifest()
-            depth = max(
-                (len(v) for v in (m or {}).get("deltas", {}).values()), default=0
-            )
-            if depth >= compact_after:
-                compact(lake_root)
+            # size-tiered minor compaction: deep chains fold at the depth
+            # cap, small-bytes chains fold eagerly (see select_compaction)
+            picks = select_compaction(lake_root, max_depth=compact_after)
+            if picks:
+                compact(lake_root, partitions=picks)
                 compactions += 1
         if stop():
             reason = "stopped"
@@ -911,13 +940,51 @@ def read_conversation(
     return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
 
 
-def compact(lake_root: str) -> dict[str, Any]:
-    """Rewrite every live part into ONE new epoch directory (metadata-only
+def select_compaction(
+    lake_root: str, max_depth: int, eager_bytes: int = 32 << 20
+) -> list[int]:
+    """Size-tiered minor-compaction picker: a partition is due when its
+    pending delta CHAIN is deep (``max_depth`` — the hard read-amp cap, the
+    old depth-only rule) OR when the chain is small in BYTES (≤
+    ``eager_bytes`` total with ≥2 parts) — many tiny deltas fold early while
+    the merge is cheap, few large deltas wait for the depth cap instead of
+    triggering expensive rewrites per micro-batch. stat() runs only for
+    partitions with ≥2 pending deltas."""
+    lake = Lake(lake_root)
+    m = lake.current_manifest()
+    picks: list[int] = []
+    for pk, rels in ((m or {}).get("deltas") or {}).items():
+        if len(rels) < 2:
+            continue
+        if len(rels) >= max_depth:
+            picks.append(int(pk))
+            continue
+        total = 0
+        for r in rels:
+            try:
+                total += os.path.getsize(os.path.join(lake.root, r))
+            except OSError:
+                total = eager_bytes + 1  # unknown size: don't eager-compact
+                break
+        if total <= eager_bytes:
+            picks.append(int(pk))
+    return sorted(picks)
+
+
+def compact(lake_root: str, partitions: list[int] | None = None) -> dict[str, Any]:
+    """Rewrite live parts into ONE new epoch directory (metadata-only
     manifests accumulate files scattered across old epoch dirs via
     carry-forward; compaction co-locates them and lets ``vacuum`` reclaim
     every older epoch). One map task per partition, committed exactly-once
-    through the same manifest CAS; conforms all parts to the unified
-    snapshot schema, so a compacted lake is single-schema again."""
+    through the same manifest CAS; conforms rewritten parts to the unified
+    snapshot schema.
+
+    ``partitions``: None = major compaction (every partition; the lake is
+    single-schema afterwards and the manifest's turn bound becomes
+    authoritative); a list = MINOR compaction of just those partitions
+    (their delta chains fold into new bases; everything else carries
+    forward untouched — the size-tiered maintenance path, see
+    ``select_compaction``)."""
     lake = Lake(lake_root)
     with lake.writer_lock():
         m = lake.current_manifest()
@@ -927,6 +994,11 @@ def compact(lake_root: str) -> dict[str, Any]:
         parts = lake.partition_files()
         target = _unified_snapshot_target(parts, with_pkey=True)
         root = lake.root
+        if partitions is not None:
+            want = set(partitions)
+            parts = {pk: v for pk, v in parts.items() if pk in want}
+            if not parts:
+                return {"partitions": 0}
         items = [
             {"pkey": pk, "base": b, "deltas": ds}
             for pk, (b, ds) in sorted(parts.items())
@@ -964,18 +1036,20 @@ def compact(lake_root: str) -> dict[str, Any]:
             if "pkey" in target.names else target
         lake.commit_epoch(
             epoch, new_files, {}, [], {}, data_schema,
-            stats={"compacted_partitions": len(new_files)},
-            # compaction reads EVERY live row, so its turn bound is the
-            # authoritative one — this also heals legacy lakes whose
-            # manifests predate max_turn_idx (unknown → probe-all until now)
+            stats={"compacted_partitions": len(new_files),
+                   "compaction": "major" if partitions is None else "minor"},
+            # a MAJOR compaction reads EVERY live row, so its turn bound is
+            # authoritative — this also heals legacy lakes whose manifests
+            # predate max_turn_idx (unknown → probe-all until now). A minor
+            # compaction saw only a subset: its bound is a lower bound only.
             max_turn_idx=max((int(r["max_turn"]) for r in rows), default=-1),
-            max_turn_complete=True,
+            max_turn_complete=partitions is None,
         )
         return {"partitions": len(new_files), "epoch": epoch}
 
 
 def export_snapshot(
-    lake_root: str, out_dir: str, force: bool = False
+    lake_root: str, out_dir: str, force: bool = False, _retries: int = 2
 ) -> dict[str, Any]:
     """Export the committed snapshot as partitioned Parquet — one file per
     lake partition, written via tmp+rename so a killed export RESUMES by
@@ -985,6 +1059,13 @@ def export_snapshot(
     Output rows carry the transcript schema (pkey stripped, evolved columns
     null-filled via the unified snapshot schema); a ``_SUCCESS`` marker with
     the source epoch is written last.
+
+    Exports take no lock, so a concurrent writer + vacuum can delete part
+    files this export already resolved; a missing-file failure re-resolves
+    the CURRENT manifest and retries — if the epoch advanced, the marker
+    logic forces a clean rewrite against the new snapshot (never mixes
+    epochs), and a genuinely vanished same-epoch file still raises after
+    the bounded retries.
     """
     lake = Lake(lake_root)
     m = lake.current_manifest()
@@ -1042,11 +1123,16 @@ def export_snapshot(
             out.append({"pkey": pk, "written": True})
         return pa.Table.from_pylist(out)
 
-    rows = (
-        rd.from_items(items, override_num_blocks=max(1, len(items)))
-        .map_batches(copy_one, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
+    try:
+        rows = (
+            rd.from_items(items, override_num_blocks=max(1, len(items)))
+            .map_batches(copy_one, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+    except Exception as e:  # vacuum raced us: re-resolve and retry
+        if _retries > 0 and "FileNotFoundError" in repr(e):
+            return export_snapshot(lake_root, out_dir, _retries=_retries - 1)
+        raise
     written = sum(1 for r in rows if r["written"])
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         json.dump({"epoch": int(m["epoch"]), "partitions": len(items)}, f)

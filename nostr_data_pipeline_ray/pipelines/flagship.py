@@ -179,11 +179,13 @@ def q_lake_health(sf_dir: str):
     health = np.round(
         0.4 * 100.0 + 0.3 * latency_score + 0.2 * throughput_score + 0.1 * 100.0, 2
     )
-    # pin the vector math to the scalar contract on row 0
-    assert abs(
-        health[0]
-        - relay_health_score(100.0, float(secs[0] * 1000.0), float(eps[0]), 0.0)
-    ) < 1e-9
+    # pin the vector math to the scalar contract on row 0 (a real error, not
+    # an assert: it must survive python -O and fail as a domain error)
+    scalar = relay_health_score(100.0, float(secs[0] * 1000.0), float(eps[0]), 0.0)
+    if abs(health[0] - scalar) >= 1e-9:
+        raise RuntimeError(
+            f"vectorized F4 diverged from scalar contract: {health[0]} vs {scalar}"
+        )
     return pa.table(
         {
             "pkey": lin["pkey"],

@@ -411,3 +411,21 @@ def test_staged_files_never_collide_across_blocks(tmp_path):
     assert len(files) == 2, files
     got = pa.concat_tables([pq.read_table(f) for f in files])
     assert sorted(got["conv_id"].to_pylist()) == ["c-a", "c-b", "c-c", "c-d"]
+
+
+def test_shared_scratch_dir_exchange(binlog, tmp_path):
+    """The staged exchange redirected to a shared-storage-style scratch dir
+    (separate from the lake root; plain POSIX ops only): final state matches
+    the oracle and the per-epoch scratch is cleaned after commit."""
+    import glob as _glob
+
+    lake_root = str(tmp_path / "lake")
+    scratch = str(tmp_path / "shared_scratch")
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, scratch_dir=scratch)
+    apply_changelog(lake_root, binlog, cfg)
+    _assert_matches_oracle(lake_root, binlog)
+    # post-commit cleanup: no epoch delta dirs left behind on the shared
+    # scratch (the lake namespace dir itself may remain)
+    assert _glob.glob(os.path.join(scratch, "lake-*", "epoch-*")) == []

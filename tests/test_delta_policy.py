@@ -280,3 +280,46 @@ def test_delta_then_rewrite_policy_interop(binlog, tmp_path):
     _assert_oracle(lake_root, binlog)
     # plain-scan fast path (no deltas) also equals the oracle
     assert read_final(lake_root).count() == expected_final_state(binlog).num_rows
+
+
+def test_minor_compaction_folds_only_picked_partitions(binlog, tmp_path):
+    from nostr_data_pipeline_ray.pipelines.cdc import select_compaction
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    m = Lake(lake_root).current_manifest()
+    deep = sorted(int(k) for k, v in m["deltas"].items() if len(v) >= 2)
+    assert len(deep) >= 2
+    picked, skipped = deep[0], deep[1]
+    out = compact(lake_root, partitions=[picked])
+    assert out["partitions"] == 1
+    m2 = Lake(lake_root).current_manifest()
+    assert str(picked) not in m2["deltas"]  # chain folded into a base
+    assert str(picked) in m2["files"]
+    assert m2["deltas"][str(skipped)] == m["deltas"][str(skipped)]  # untouched
+    assert m2["stats"]["compaction"] == "minor"
+    _assert_oracle(lake_root, binlog)  # state unchanged under every reader
+
+    # size-tiered picker: tiny chains are due eagerly, and the depth cap
+    # still catches everything ≥ max_depth
+    picks = select_compaction(lake_root, max_depth=2)
+    assert skipped in picks and picked not in picks
+    # with a zero eager budget only the depth rule fires
+    lean = select_compaction(lake_root, max_depth=99, eager_bytes=0)
+    assert lean == []
+
+
+def test_follow_minor_compaction_keeps_oracle(binlog, tmp_path):
+    """follow-mode auto-compaction now runs the size-tiered minor path —
+    end state still matches the oracle and read amp is bounded."""
+    from nostr_data_pipeline_ray.pipelines.cdc import follow_changelog
+
+    lake_root = str(tmp_path / "lake")
+    out = follow_changelog(
+        lake_root, binlog, CFG, poll_interval=0.05, idle_timeout=0.5,
+        compact_after=2,
+    )
+    assert out["compactions"] >= 1
+    m = Lake(lake_root).current_manifest()
+    assert all(len(v) < 2 for v in m.get("deltas", {}).values())
+    _assert_oracle(lake_root, binlog)

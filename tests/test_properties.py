@@ -108,7 +108,7 @@ def test_tdigest_quantiles_within_tolerance(seed, sigma):
     vals = np.concatenate(
         [rng.lognormal(2.0, sigma, 20_000), rng.uniform(0.1, 50.0, 10_000)]
     )
-    td = TDigest(200)
+    td = TDigest()  # engine default delta
     m, w = td.merge([td.from_values(p) for p in np.array_split(vals, 5)])
     assert abs(w.sum() - len(vals)) < 1e-6
     for q in (0.25, 0.5, 0.75, 0.95, 0.99):

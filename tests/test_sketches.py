@@ -57,7 +57,7 @@ def test_tdigest_accuracy_and_merge():
     vals = np.concatenate(
         [rng.lognormal(3.0, 1.0, 150_000), rng.uniform(0, 10, 50_000)]
     )
-    td = TDigest(200)
+    td = TDigest()  # engine default delta
     # merge of 8 partial digests ≈ digest of the whole array ≈ exact
     parts = np.array_split(vals, 8)
     m, w = td.merge([td.from_values(p) for p in parts])

@@ -97,3 +97,40 @@ def test_jsonl_segments_interop(tmp_path):
     want = expected_final_state(binlog)  # oracle over the original parquet
     assert got.num_rows == want.num_rows
     assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+def test_prefetch_segment_meta_parallel_and_evicting(tmp_path):
+    """prefetch_segment_meta parses uncached JSONL segments via Ray tasks
+    and evicts cache entries for rotated/absent paths (bounded follow-mode
+    cache)."""
+    import json as _json
+
+    from nostr_data_pipeline_ray.pipelines.cdc import (
+        _JSONL_META,
+        _segment_rows,
+        _segment_schema,
+        prefetch_segment_meta,
+    )
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"seg-{i}.jsonl")
+        with open(p, "w") as f:
+            f.write(_json.dumps({"conv_id": f"c{i}", "turn_idx": 0, "lsn": i}) + "\n")
+            f.write(
+                _json.dumps(
+                    {"conv_id": f"c{i}", "turn_idx": 1, "lsn": i, "extra": "x"}
+                )
+                + "\n"
+            )
+        paths.append(p)
+
+    _JSONL_META.clear()
+    prefetch_segment_meta(paths)
+    assert set(_JSONL_META) == set(paths)
+    # cache hit: no re-parse needed, values correct (key union incl. mid-file)
+    assert _segment_rows(paths[0]) == 2
+    assert "extra" in _segment_schema(paths[1]).names
+    # rotation: a shrunk listing evicts the dropped path
+    prefetch_segment_meta(paths[1:])
+    assert paths[0] not in _JSONL_META and paths[1] in _JSONL_META
