@@ -143,13 +143,24 @@ def cmd_query(args) -> int:
 
 
 def cmd_report(args) -> int:
-    """Text analog of the reference's Streamlit dashboard Home/Trending/Users
+    """Analog of the reference's Streamlit dashboard Home/Trending/Users
     pages (reference: dashboard/ — 6 Streamlit pages over the same
-    aggregates): one composed snapshot rendered to the terminal."""
+    aggregates): one composed snapshot rendered to the terminal, or — with
+    --html PATH — as a self-contained HTML dashboard with inline SVG charts
+    (stat tiles, trending/top-user bars, hourly columns, signup line,
+    partition-health meters)."""
     _ray()
     entrymod = _entry_module()
 
     qs = entrymod.queries()
+    if getattr(args, "html", None):
+        from .report import render_html
+
+        doc = render_html(args.sf, qs)
+        with open(args.html, "w") as f:
+            f.write(doc)
+        print(json.dumps({"html": args.html, "bytes": len(doc)}))
+        return 0
 
     def df(name):
         r = qs[name](args.sf)
@@ -243,6 +254,8 @@ def main(argv: list[str] | None = None) -> int:
 
     rp = sub.add_parser("report", help="composed analytics snapshot (dashboard analog)")
     rp.add_argument("--sf", default="/root/testdata/sf0.01")
+    rp.add_argument("--html", default=None, metavar="PATH",
+                    help="write a self-contained HTML dashboard instead of text")
     rp.set_defaults(fn=cmd_report)
 
     ex = sub.add_parser("export", help="export the snapshot as partitioned parquet (resumable)")

@@ -229,9 +229,11 @@ def lww_reduce(table: pa.Table) -> tuple[pa.Table, int]:
     order = np.argsort(lsn, kind="stable")
     rev = order[::-1]
     _, first_pos = np.unique(key[rev], return_index=True)
-    keep = rev[first_pos]
-    keep.sort()
-    return table.take(keep), int(lsn.max())
+    if len(first_pos) == table.num_rows:
+        return table, int(lsn.max())  # no duplicates — zero-copy passthrough
+    mask = np.zeros(table.num_rows, dtype=bool)
+    mask[rev[first_pos]] = True
+    return table.filter(pa.array(mask)), int(lsn.max())
 
 
 class SplitStage:

@@ -154,3 +154,27 @@ def test_cli_smoke(tmp_path):
     out = run("report", "--sf", "/root/testdata/sf0.001")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "network snapshot" in out.stdout and "trending topics" in out.stdout
+
+
+def test_html_report_renders(tmp_path):
+    """`report --html` writes a self-contained dashboard: stat tiles, four
+    SVG charts with native tooltips, a table view per chart, clean geometry
+    (no negative absolute coordinates)."""
+    import re
+
+    import __ray_entry__ as entrymod
+
+    from nostr_data_pipeline_ray.report import render_html
+
+    doc = render_html("/root/testdata/sf0.001", entrymod.queries())
+    out = tmp_path / "report.html"
+    out.write_text(doc)
+    assert doc.count("<svg") >= 4
+    assert doc.count("<details") >= 4  # table view per chart
+    assert doc.count("<title>") > 20  # hover tooltips on marks
+    for must in ("Trending topics", "Top users by value", "Activity by hour",
+                 "Daily signups", "Lake partition health", "Total events"):
+        assert must in doc, must
+    assert not re.findall(r'(width|height|cx|cy|x1|x2|y1|y2|r)="(-[\d.]+)"', doc)
+    starts = [tuple(map(float, m)) for m in re.findall(r'd="M(-?[\d.]+),(-?[\d.]+)', doc)]
+    assert min(x for x, _ in starts) >= 0 and min(y for _, y in starts) >= 0
