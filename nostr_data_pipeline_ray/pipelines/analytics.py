@@ -1059,11 +1059,26 @@ def q_network_stats(sf_dir: str):
 
     # pass 2 — everything scalar, one partial row per batch
     def partials(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # Ray can hand an empty block; emit no partial row
+            return pd.DataFrame(
+                {
+                    "n": pd.Series(dtype="int64"),
+                    "min_ts": pd.Series(dtype="datetime64[us]"),
+                    "max_ts": pd.Series(dtype="datetime64[us]"),
+                    "sum_value": pd.Series(dtype="float64"),
+                    "latest_ts": pd.Series(dtype="datetime64[us]"),
+                    "latest_id": pd.Series(dtype="int64"),
+                    "types": pd.Series(dtype="str"),
+                }
+            )
         ts = b["ts"].to_numpy()
         order = np.lexsort(
             (-b["event_id"].to_numpy(), -ts.astype("datetime64[us]").astype(np.int64))
         )
         li = order[0]  # latest: ts DESC, event_id DESC
+        # distinct types wire format: \x1f-joined (a comma could appear IN a
+        # type name); nulls dropped like the oracle's count(DISTINCT)
+        kinds = "\x1f".join(sorted(set(b["event_type"].dropna())))
         return pd.DataFrame(
             {
                 "n": [len(b)],
@@ -1072,7 +1087,7 @@ def q_network_stats(sf_dir: str):
                 "sum_value": [b["value"].to_numpy(dtype=np.float64).sum()],
                 "latest_ts": [b["ts"].iloc[li]],
                 "latest_id": [int(b["event_id"].iloc[li])],
-                "types": [",".join(sorted(set(b["event_type"])))],
+                "types": [kinds],
             }
         )
 
@@ -1081,10 +1096,14 @@ def q_network_stats(sf_dir: str):
         .map_batches(partials, batch_format="pandas")
         .to_pandas()  # bounded: one row per block
     )
+    if not len(parts):
+        raise ValueError("network_stats: events table has no rows")
     latest_row = parts.sort_values(
         ["latest_ts", "latest_id"], ascending=[False, False]
     ).iloc[0]
-    n_event_types = len(set(",".join(parts["types"]).split(",")))
+    n_event_types = len(
+        {t for joined in parts["types"] for t in joined.split("\x1f") if t}
+    )
     return pa.table(
         {
             "total_events": pa.array([int(parts["n"].sum())], pa.int64()),

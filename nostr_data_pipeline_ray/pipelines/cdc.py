@@ -947,13 +947,15 @@ def select_compaction(
 ) -> list[int]:
     """Size-tiered minor-compaction picker: a partition is due when its
     pending delta CHAIN is deep (``max_depth`` — the hard read-amp cap, the
-    old depth-only rule) OR when the chain is small in BYTES (≤
-    ``eager_bytes`` total with ≥2 parts) — many tiny deltas fold early while
-    the merge is cheap, few large deltas wait for the depth cap instead of
-    triggering expensive rewrites per micro-batch. stat() runs only for
-    partitions with ≥2 pending deltas."""
+    old depth-only rule) OR when the whole REWRITE is small in bytes (base
+    + delta chain ≤ ``eager_bytes`` with ≥2 deltas) — small partitions fold
+    early while the merge is cheap, large bases wait for the depth cap
+    instead of being re-rewritten every couple of micro-batches (the eager
+    cost is read base + deltas + write base, so the base must count).
+    stat() runs only for partitions with ≥2 pending deltas."""
     lake = Lake(lake_root)
     m = lake.current_manifest()
+    bases = (m or {}).get("files") or {}
     picks: list[int] = []
     for pk, rels in ((m or {}).get("deltas") or {}).items():
         if len(rels) < 2:
@@ -961,8 +963,9 @@ def select_compaction(
         if len(rels) >= max_depth:
             picks.append(int(pk))
             continue
+        paths = list(rels) + ([bases[pk]] if pk in bases else [])
         total = 0
-        for r in rels:
+        for r in paths:
             try:
                 total += os.path.getsize(os.path.join(lake.root, r))
             except OSError:

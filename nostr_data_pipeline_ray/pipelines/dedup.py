@@ -239,6 +239,7 @@ def _endpoint_verify(
     key_b: str,
     verify_fn,
     input_bytes: int,
+    empty_feat="",
 ):
     """Distributed pair verification: attach each endpoint's feature to the
     pair, then verify — two bucketed rounds, nothing on the driver.
@@ -252,6 +253,30 @@ def _endpoint_verify(
 
     ``feats`` must carry each id ONCE — features cross the exchange once per
     vector/doc, never once per (pair × table) replica."""
+    feat_dtype = pd.ArrowDtype(
+        pa.binary() if isinstance(empty_feat, bytes) else pa.string()
+    )
+
+    def _typed_empty_halves() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_a: pd.Series(dtype="int64"),
+                key_b: pd.Series(dtype="int64"),
+                "side": pd.Series(dtype="int8"),
+                "feat": pd.Series(dtype=feat_dtype),
+            }
+        )
+
+    if pairs.count() == 0:
+        # zero candidates: the groupby path would produce a block-less
+        # dataset (and Ray's to_pandas drops columns on empty datasets) —
+        # return the typed empty frame from verify_fn directly (a pandas
+        # DataFrame is a valid query result per the driver contract)
+        empty_m = (
+            _typed_empty_halves()
+            .merge(_typed_empty_halves(), on=[key_a, key_b], suffixes=("_a", "_b"))
+        )
+        return verify_fn(empty_m)
 
     def explode_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch[key_a].to_numpy(dtype=np.int64)
@@ -265,7 +290,9 @@ def _endpoint_verify(
                 "side": np.concatenate(
                     [np.zeros(n, np.int8), np.ones(n, np.int8)]
                 ),
-                "feat": None,
+                # typed placeholder (matches the feature stream's dtype —
+                # an all-None object column breaks Ray's block size sampling)
+                "feat": [empty_feat] * (2 * n),
             }
         )
 
@@ -282,8 +309,12 @@ def _endpoint_verify(
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         is_feat = g["side"] == -1
-        m = dict(zip(g.loc[is_feat, "k"], g.loc[is_feat, "feat"]))
         p = g[~is_feat].drop_duplicates([key_a, key_b, "side"])
+        if not len(p):
+            # feature-only bucket: typed empty (a 0-row OBJECT column would
+            # break Ray's block-size sampling and degrade scheduling)
+            return _typed_empty_halves()
+        m = dict(zip(g.loc[is_feat, "k"], g.loc[is_feat, "feat"]))
         out = p[[key_a, key_b, "side"]].copy()
         out["feat"] = p["k"].map(m)
         return out
@@ -455,7 +486,11 @@ def q_embedding_near_dup(sf_dir: str):
 
     return local_topk(
         _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
-            BlockScorer, batch_format="pyarrow", concurrency=2
+            # task-based with a per-worker cached instance — the 2-actor
+            # pool this replaced paid ~1.5-3 s spin-up per run (the
+            # broadcast matrix is ~1 MB; re-hydrating it per worker is free)
+            per_worker(BlockScorer),
+            batch_format="pyarrow",
         ),
         by=["score", "vec_a", "vec_b"],
         descending=[True, False, False],
@@ -474,7 +509,7 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_embedding_near_dup_lsh(
     sf_dir: str,
-    threshold: float = 0.35,
+    threshold: float = 0.9,
     n_tables: int = 8,
     n_planes: int = 6,
     max_bucket: int = 512,
@@ -485,10 +520,11 @@ def q_embedding_near_dup_lsh(
     id pairs; the vectors then attach once per endpoint in the shared
     ``_endpoint_verify`` co-location rounds where the exact cosine runs.
 
-    The default threshold (0.35) is tuned to the synthetic random-gaussian
-    embeddings (max pairwise cosine ≈0.5 at test scales) so the registered
-    entry produces non-trivial output for the driver's rows check; a real
-    near-dup corpus would run 0.9 with more planes (both are knobs).
+    The default threshold (0.9) is the production near-dup regime; the
+    REGISTERED entry binds threshold=0.35 because the driver's synthetic
+    embeddings are random gaussians (max pairwise cosine ≈0.5 at test
+    scales) — that test-harness tuning lives at the registration site, not
+    in this default.
     """
     path = _t(sf_dir, "embeddings")
     emb_bytes = os.path.getsize(path)
@@ -513,19 +549,23 @@ def q_embedding_near_dup_lsh(
         )
 
     def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # shared pairing kernel with the MinHash path (sorted-unique ids,
+        # hot-bucket cap with the truncated flag, triu pairs); the flag is
+        # dropped here exactly as emit_pairs does
+        g = g.rename(columns={"vec_id": "doc_id"})
         outs = [
-            pd.DataFrame(
-                {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64)}
-            )
+            pairs_from_group(grp, max_group=max_bucket)
+            for _, grp in g.groupby(["t", "sig"], sort=False)
         ]
-        for _, grp in g.groupby(["t", "sig"], sort=False):
-            ids = np.sort(grp["vec_id"].unique())[:max_bucket]  # hot-bucket cap
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            outs.append(pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]}))
-        return pd.concat(outs, ignore_index=True).drop_duplicates(
-            ["vec_a", "vec_b"]
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pairs_from_group(g.iloc[:0])
+        )
+        return (
+            out.drop(columns=["truncated"])
+            .rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
+            .drop_duplicates(["vec_a", "vec_b"])
         )
 
     cands = bucketed_map_groups(
@@ -582,6 +622,7 @@ def q_embedding_near_dup_lsh(
         "vec_b",
         verify,
         input_bytes=emb_bytes,
+        empty_feat=b"",
     )
 
 
@@ -797,7 +838,12 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,
     "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # threshold tuned DOWN for the driver's random-gaussian embeddings (max
+    # pairwise cosine ≈0.5) so the rows check is non-vacuous; the library
+    # default stays at the production 0.9
+    "embedding_near_dup_lsh": lambda sf_dir: q_embedding_near_dup_lsh(
+        sf_dir, threshold=0.35
+    ),
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_features": q_multimodal_features,

@@ -79,6 +79,8 @@ def _compact(v) -> str:
         x = float(v)
     except (TypeError, ValueError):
         return html.escape(str(v))
+    if not np.isfinite(x):
+        return "—"
     if abs(x) >= 1e6:
         return f"{x / 1e6:.1f}M"
     if abs(x) >= 10_000:

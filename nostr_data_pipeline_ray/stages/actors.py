@@ -23,7 +23,10 @@ from collections import OrderedDict
 
 import ray
 
-_INSTANCES: dict = {}
+_INSTANCES: OrderedDict = OrderedDict()
+_INSTANCES_MAX = 8  # closure-defined classes are a NEW key per query call —
+# an unbounded cache would accumulate stale instances (and whatever
+# broadcast state they hydrated) in every long-lived worker
 _OBJECTS: OrderedDict = OrderedDict()
 _OBJECTS_MAX = 8
 
@@ -35,6 +38,10 @@ def per_worker(cls):
         inst = _INSTANCES.get(cls)
         if inst is None:
             inst = _INSTANCES.setdefault(cls, cls())
+            while len(_INSTANCES) > _INSTANCES_MAX:
+                _INSTANCES.popitem(last=False)
+        else:
+            _INSTANCES.move_to_end(cls)
         return inst(batch)
 
     fn.__name__ = f"per_worker_{cls.__name__}"

@@ -326,3 +326,91 @@ def test_point_lookup_beyond_4096_turns(tmp_path):
 
     got = read_conversation(lake_root, "conv-long")
     assert got["turn_idx"].to_pylist() == turns  # nothing silently missing
+
+
+def test_near_dup_zero_candidates_keeps_schema(tmp_path):
+    """A corpus with no LSH collisions must still yield the typed
+    (doc_a, doc_b, jaccard) / (vec_a, vec_b, score) schema — round-3 review
+    found the empty path returned a schema-less dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.dedup import (
+        q_embedding_near_dup_lsh,
+        q_minhash_near_dup,
+    )
+
+    rng = np.random.default_rng(5)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(rng.permutation([f"w{i}{j}" for j in range(30)]))
+                    for i in range(40)
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def cols(res):
+        # a Dataset keeps its schema even at 0 rows; the zero-candidate
+        # early path returns a typed pandas frame directly (Ray's
+        # to_pandas drops columns on block-less datasets)
+        if hasattr(res, "schema") and not isinstance(res, pa.Table):
+            return res.schema().names, res.count()
+        return list(res.columns), len(res)
+
+    names, n = cols(q_minhash_near_dup(str(tmp_path)))
+    assert names == ["doc_a", "doc_b", "jaccard"] and n == 0
+
+    emb = rng.standard_normal((16, 8))
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(16), pa.int64()),
+                  "embedding": pa.array(list(emb))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    names, n = cols(q_embedding_near_dup_lsh(str(tmp_path), threshold=0.9999))
+    assert names == ["vec_a", "vec_b", "score"] and n == 0
+
+
+def test_network_stats_handles_empty_blocks_and_odd_types(tmp_path):
+    """Empty Ray blocks must not crash the partial pass; comma-bearing and
+    NULL event types must count like the oracle's count(DISTINCT)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.analytics import ORACLE, q_network_stats
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["a,b", None, "c"]),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(['{"k": 1}'] * 3),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))  # 1-row-per-block read
+    got = q_network_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(ORACLE["network_stats"]).fetch_df()
+    con.close()
+    assert int(got["n_event_types"][0]) == int(want["n_event_types"][0]) == 2
+    assert int(got["total_events"][0]) == 3
+
+
+def test_compact_report_handles_nan():
+    from nostr_data_pipeline_ray.report import _compact
+
+    assert _compact(float("nan")) == "—"
+    assert _compact(float("inf")) == "—"
+    assert _compact(12934) == "12.9K"
