@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["cdc_apply"] = _flag.q_cdc_apply
     qs["cdc_apply_delta"] = _flag.q_cdc_apply_delta  # LSM path, same oracle
     qs["conv_turn_counts"] = _flag.q_conv_turn_counts
+    # incrementally maintained view, same aggregate + same oracle
+    qs["conv_turn_counts_ivm"] = _flag.q_conv_turn_counts_ivm
     qs["approx_distinct_users"] = _an.q_approx_distinct_users  # rows-only: HLL sketch
     qs["price_stats_tdigest"] = _an.q_price_stats_tdigest  # rows-only: t-digest
     qs["changelog_filter"] = _flag.q_changelog_filter
@@ -62,6 +64,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_apply_delta"] = out["cdc_apply"]  # same stream, same LWW oracle
     out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
+    out["conv_turn_counts_ivm"] = out["conv_turn_counts"]  # IVM ≡ recompute
     try:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd
 

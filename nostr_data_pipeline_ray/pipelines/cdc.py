@@ -271,19 +271,21 @@ class SplitStage:
             )
         pk = batch["pkey"].to_numpy(zero_copy_only=False)
         order = np.argsort(pk, kind="stable")
-        batch = batch.take(order).drop_columns(["pkey"])
-        pk = pk[order]
-        # per-row identity hash for the filename digest, computed once per
-        # block (vectorized) and sliced per partition below
+        batch = batch.take(order)
+        # per-row identity hash for the filename digest: reuses the khash
+        # string hash add_pkey already computed (hashing conv_id twice per
+        # row measurably slowed the low-core delta phase)
         row_hash = (
             pd.util.hash_array(batch["lsn"].to_numpy(zero_copy_only=False))
-            ^ pd.util.hash_array(batch["conv_id"].to_numpy(zero_copy_only=False))
+            ^ batch["khash"].to_numpy(zero_copy_only=False)
             * np.uint64(0x9E3779B97F4A7C15)
             ^ pd.util.hash_array(
                 batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
             * np.uint64(0xC2B2AE3D27D4EB4F)
         )
+        batch = batch.drop_columns(["pkey", "khash"])
+        pk = pk[order]
         bounds = np.flatnonzero(np.diff(pk)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(pk)]])

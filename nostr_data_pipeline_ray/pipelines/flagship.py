@@ -210,3 +210,17 @@ def q_lake_stats(sf_dir: str):
 
     q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
     return lake_lineage(lake_dir_for(sf_dir))
+
+
+def q_conv_turn_counts_ivm(sf_dir: str):
+    """The SAME per-conversation aggregate as ``conv_turn_counts`` but via
+    the INCREMENTALLY MAINTAINED view (pipelines/ivm.py): per-partition
+    sub-aggregates refreshed only for partitions whose parts changed since
+    the view's epoch, then summed. Checked against the same DuckDB LWW
+    oracle — the IVM path must be indistinguishable from full recompute."""
+    from .ivm import read_turn_counts, refresh_turn_counts
+
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    view_root = lake_dir_for(sf_dir) + "-view"
+    refresh_turn_counts(view_root, lake_dir_for(sf_dir))
+    return read_turn_counts(view_root)

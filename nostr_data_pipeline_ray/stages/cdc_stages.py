@@ -46,8 +46,17 @@ def partition_key(
 
 
 def add_pkey(batch: pa.Table, *, num_partitions: int, turn_bucket: int) -> pa.Table:
-    pk = partition_key(batch["conv_id"], batch["turn_idx"], num_partitions, turn_bucket)
-    return batch.append_column("pkey", pa.array(pk, pa.int32()))
+    """Adds ``pkey`` and ``khash`` (the conv_id string hash, reused by
+    SplitStage's filename digest so the expensive string hash runs once
+    per row, not twice; both columns are stripped before staging)."""
+    h = hash_conv(batch["conv_id"])
+    bucket = (
+        batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ) // np.uint64(turn_bucket)
+    pk = ((h ^ (bucket * _GOLDEN)) % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column("pkey", pa.array(pk, pa.int32())).append_column(
+        "khash", pa.array(h)
+    )
 
 
 def _key_codes(batch: pa.Table) -> np.ndarray:

@@ -387,6 +387,9 @@ def test_staged_files_never_collide_across_blocks(tmp_path):
     from nostr_data_pipeline_ray.pipelines.cdc import SplitStage
 
     def block(conv_ids):
+        import numpy as np
+        import pandas as pd
+
         n = len(conv_ids)
         return pa.table(
             {
@@ -399,6 +402,9 @@ def test_staged_files_never_collide_across_blocks(tmp_path):
                 "op": pa.array(["insert"] * n),
                 "lsn": pa.array([100, 200], pa.int64()),  # same range both blocks
                 "pkey": pa.array([3] * n, pa.int32()),
+                "khash": pa.array(
+                    pd.util.hash_array(np.asarray(conv_ids, dtype=object))
+                ),
             }
         )
 
