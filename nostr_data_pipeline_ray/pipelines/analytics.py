@@ -1040,24 +1040,8 @@ def q_network_stats(sf_dir: str):
     driver combines one small partial row per block)."""
     ev_bytes = os.path.getsize(_t(sf_dir, "events"))
 
-    # pass 1 — per-user: the grouped result is both the distinct-user count
-    # and (rounded, tie-broken) the top user by total value
-    per_user = bucketed_sum_count(
-        _read(sf_dir, "events", columns=["user_id", "value"]),
-        keys=["user_id"],
-        sums={"value": "sv"},
-        count_as="c",
-        input_bytes=ev_bytes,
-    ).materialize()
-    n_users = per_user.count()
-    top_user = local_topk(
-        per_user.map_batches(partial(_round_col, col="sv"), batch_format="pyarrow"),
-        by=["sv", "user_id"],
-        descending=[True, False],
-        k=1,
-    ).take(1)[0]
-
-    # pass 2 — everything scalar, one partial row per batch
+    # pass A — everything scalar, one partial row per batch (runs FIRST so
+    # an empty events table short-circuits before the per-user pass)
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):  # Ray can hand an empty block; emit no partial row
             return pd.DataFrame(
@@ -1076,9 +1060,12 @@ def q_network_stats(sf_dir: str):
             (-b["event_id"].to_numpy(), -ts.astype("datetime64[us]").astype(np.int64))
         )
         li = order[0]  # latest: ts DESC, event_id DESC
-        # distinct types wire format: \x1f-joined (a comma could appear IN a
-        # type name); nulls dropped like the oracle's count(DISTINCT)
-        kinds = "\x1f".join(sorted(set(b["event_type"].dropna())))
+        # distinct types wire format: a JSON list (unambiguous for commas,
+        # separators AND the empty-string type — count(DISTINCT) counts '');
+        # nulls dropped like the oracle's count(DISTINCT)
+        import json as _json
+
+        kinds = _json.dumps(sorted(set(b["event_type"].dropna())))
         return pd.DataFrame(
             {
                 "n": [len(b)],
@@ -1097,13 +1084,45 @@ def q_network_stats(sf_dir: str):
         .to_pandas()  # bounded: one row per block
     )
     if not len(parts):
-        raise ValueError("network_stats: events table has no rows")
+        # match the oracle on an empty table: one row, zero counts, NULL
+        # aggregates (SQL scalar subqueries over empty inputs yield NULLs)
+        return pa.table(
+            {
+                "total_events": pa.array([0], pa.int64()),
+                "n_users": pa.array([0], pa.int64()),
+                "n_event_types": pa.array([0], pa.int64()),
+                "first_ts": pa.array([None], pa.timestamp("us")),
+                "last_ts": pa.array([None], pa.timestamp("us")),
+                "total_value": pa.array([None], pa.float64()),
+                "top_user_id": pa.array([None], pa.int64()),
+                "latest_event_id": pa.array([None], pa.int64()),
+            }
+        )
+    import json as _json
+
     latest_row = parts.sort_values(
         ["latest_ts", "latest_id"], ascending=[False, False]
     ).iloc[0]
     n_event_types = len(
-        {t for joined in parts["types"] for t in joined.split("\x1f") if t}
+        {t for joined in parts["types"] for t in _json.loads(joined)}
     )
+
+    # pass B — per-user: the grouped result is both the distinct-user count
+    # and (rounded, tie-broken) the top user by total value
+    per_user = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["user_id", "value"]),
+        keys=["user_id"],
+        sums={"value": "sv"},
+        count_as="c",
+        input_bytes=ev_bytes,
+    ).materialize()
+    n_users = per_user.count()
+    top_user = local_topk(
+        per_user.map_batches(partial(_round_col, col="sv"), batch_format="pyarrow"),
+        by=["sv", "user_id"],
+        descending=[True, False],
+        k=1,
+    ).take(1)[0]
     return pa.table(
         {
             "total_events": pa.array([int(parts["n"].sum())], pa.int64()),

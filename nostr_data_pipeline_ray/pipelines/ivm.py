@@ -96,9 +96,30 @@ def refresh_turn_counts(view_root: str, lake_root: str) -> dict[str, Any]:
     if m is None:
         return {"epoch": None, "refreshed": 0, "carried": 0}
     epoch = int(m["epoch"])
+    # the view is tied to the lake BUILD, not just an epoch number: a lake
+    # rebuilt in place reuses epoch numbers and part paths, so an epoch-only
+    # comparison would silently serve aggregates of the previous build. The
+    # view records the commit timestamp of the epoch it refreshed at; if
+    # that epoch's manifest no longer carries the same timestamp (rebuilt
+    # lake, or the manifest was vacuumed away so currency can't be
+    # verified), fall back to a FULL refresh — never a stale read.
     vm = _view_manifest(view_root)
+    if int(vm["epoch"]) >= 0:
+        anchor = os.path.join(
+            lake.root, "manifests", f"epoch-{int(vm['epoch'])}.json"
+        )
+        same_build = False
+        if os.path.exists(anchor):
+            with open(anchor) as f:
+                same_build = json.load(f).get("committed_at") == vm.get(
+                    "lake_commit"
+                )
+        if not same_build:
+            vm = {"epoch": -1, "files": {}}  # unverifiable → full refresh
     if int(vm["epoch"]) == epoch:
         return {"epoch": epoch, "refreshed": 0, "carried": len(vm["files"])}
+    if int(vm["epoch"]) > epoch:
+        vm = {"epoch": -1, "files": {}}
 
     files = m["files"]
     deltas = m.get("deltas", {})
@@ -154,7 +175,13 @@ def refresh_turn_counts(view_root: str, lake_root: str) -> dict[str, Any]:
     tmp = os.path.join(view_root, "_view.json.tmp")
     with open(tmp, "w") as f:
         json.dump(
-            {"epoch": epoch, "files": vfiles, "committed_at": time.time()}, f
+            {
+                "epoch": epoch,
+                "lake_commit": m.get("committed_at"),  # build-identity anchor
+                "files": vfiles,
+                "committed_at": time.time(),
+            },
+            f,
         )
     os.replace(tmp, os.path.join(view_root, "_view.json"))  # commit point
 

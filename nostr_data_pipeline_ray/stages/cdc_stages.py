@@ -28,6 +28,7 @@ def partition_key(
     turn_idx: pa.ChunkedArray | pa.Array,
     num_partitions: int,
     turn_bucket: int,
+    conv_hash: np.ndarray | None = None,
 ) -> np.ndarray:
     """pkey = hash(conv_id, turn_idx // turn_bucket) % P.
 
@@ -36,8 +37,13 @@ def partition_key(
     repartitioning for hot-conversation skew: a conversation with thousands
     of hot turns spreads over ~max_turn/turn_bucket partitions instead of
     landing on one reducer (cf. SURVEY.md §4.2 item 4).
+
+    This mix expression is the persisted partition mapping — the point-read
+    and pruning paths re-derive it, so it must exist exactly once.
+    ``conv_hash`` lets a caller that already hashed conv_id skip the second
+    (expensive) string-hash pass.
     """
-    h = hash_conv(conv_id)
+    h = hash_conv(conv_id) if conv_hash is None else conv_hash
     bucket = (turn_idx.to_numpy(zero_copy_only=False).astype(np.uint64)) // np.uint64(
         turn_bucket
     )
@@ -50,10 +56,9 @@ def add_pkey(batch: pa.Table, *, num_partitions: int, turn_bucket: int) -> pa.Ta
     SplitStage's filename digest so the expensive string hash runs once
     per row, not twice; both columns are stripped before staging)."""
     h = hash_conv(batch["conv_id"])
-    bucket = (
-        batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    ) // np.uint64(turn_bucket)
-    pk = ((h ^ (bucket * _GOLDEN)) % np.uint64(num_partitions)).astype(np.int32)
+    pk = partition_key(
+        batch["conv_id"], batch["turn_idx"], num_partitions, turn_bucket, conv_hash=h
+    )
     return batch.append_column("pkey", pa.array(pk, pa.int32())).append_column(
         "khash", pa.array(h)
     )

@@ -414,3 +414,69 @@ def test_compact_report_handles_nan():
     assert _compact(float("nan")) == "—"
     assert _compact(float("inf")) == "—"
     assert _compact(12934) == "12.9K"
+
+
+def test_network_stats_empty_events_matches_oracle(tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.analytics import ORACLE, q_network_stats
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_network_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(ORACLE["network_stats"]).fetch_df()
+    con.close()
+    assert int(got["total_events"][0]) == int(want["total_events"][0]) == 0
+    assert int(got["n_users"][0]) == 0 and got["first_ts"].isna().all()
+
+
+def test_ivm_view_detects_rebuilt_lake(tmp_path):
+    """A lake rebuilt in place reuses epoch numbers; the view must detect
+    the new build (manifest commit anchor) and fully refresh, never serving
+    the previous build's aggregates."""
+    import shutil
+
+    from nostr_data_pipeline_ray.config import EngineConfig
+    from nostr_data_pipeline_ray.pipelines.cdc import apply_changelog
+    from nostr_data_pipeline_ray.pipelines.ivm import (
+        read_turn_counts,
+        refresh_turn_counts,
+    )
+    from nostr_data_pipeline_ray.synth import ChangelogSpec, generate_changelog
+
+    cfg = EngineConfig(num_partitions=4, turn_bucket=16, epoch_segments=4)
+    b1 = generate_changelog(
+        str(tmp_path / "s1"),
+        ChangelogSpec(n_events=1_500, n_convs=60, n_segments=3, seed=1),
+    )
+    b2 = generate_changelog(
+        str(tmp_path / "s2"),
+        ChangelogSpec(n_events=1_500, n_convs=90, n_segments=3, seed=2),
+    )
+    lake, view = str(tmp_path / "lake"), str(tmp_path / "view")
+    apply_changelog(lake, b1, cfg)
+    refresh_turn_counts(view, lake)
+    n1 = read_turn_counts(view).count()
+    # rebuild the lake in place from a DIFFERENT stream (same epoch numbers)
+    shutil.rmtree(lake)
+    apply_changelog(lake, b2, cfg)
+    out = refresh_turn_counts(view, lake)
+    assert out["refreshed"] > 0  # NOT treated as current
+    n2 = read_turn_counts(view).count()
+    assert n2 == 90 and n1 == 60
