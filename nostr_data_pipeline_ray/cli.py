@@ -62,6 +62,14 @@ def cmd_apply(args) -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, merge_policy=args.merge_policy)
+
+    def refresh_view():
+        if args.view:
+            from .pipelines.ivm import refresh_turn_counts
+
+            print(json.dumps({"view": refresh_turn_counts(args.view, args.lake)}),
+                  flush=True)
+
     if args.follow:
         # always-on tail: SIGTERM/SIGINT request a clean stop at the next
         # epoch boundary (mid-epoch work is re-done idempotently on restart)
@@ -74,6 +82,10 @@ def cmd_apply(args) -> int:
 
         signal.signal(signal.SIGTERM, _request_stop)
         signal.signal(signal.SIGINT, _request_stop)
+        def on_epoch(r):
+            print(json.dumps(r), flush=True)
+            refresh_view()  # keep the maintained view current per pass
+
         out = follow_changelog(
             args.lake,
             args.binlog,
@@ -81,11 +93,12 @@ def cmd_apply(args) -> int:
             poll_interval=args.poll_interval,
             idle_timeout=args.idle_timeout,
             stop=lambda: stopping["flag"],
-            on_epoch=lambda r: print(json.dumps(r), flush=True),
+            on_epoch=on_epoch,
             compact_after=args.compact_after,
         )
     else:
         out = apply_changelog(args.lake, args.binlog, cfg)
+        refresh_view()
     print(json.dumps(out))
     return 0
 
@@ -231,6 +244,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="(delta policy) compact when a partition has this many pending deltas")
     a.add_argument("--merge-policy", choices=["rewrite", "delta"], default=None,
                    help="copy-on-write base rewrite (default) or merge-on-read deltas")
+    a.add_argument("--view", default=None, metavar="DIR",
+                   help="maintain the incremental turn-count view here "
+                        "(refreshed after each apply / follow pass)")
     a.set_defaults(fn=cmd_apply)
 
     s = sub.add_parser("synth", help="generate a deterministic changelog")

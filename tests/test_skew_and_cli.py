@@ -1,6 +1,7 @@
 """Hot-conversation skew handling + lake utilities + CLI smoke."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -130,9 +131,13 @@ def test_cli_smoke(tmp_path):
     binlog = json.loads(out.stdout)["binlog"]
 
     lake = str(tmp_path / "cli_lake")
-    out = run("apply", "--lake", lake, "--binlog", binlog)
+    view = str(tmp_path / "cli_view")
+    out = run("apply", "--lake", lake, "--binlog", binlog, "--view", view)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert json.loads(out.stdout.strip().splitlines()[-1])["segments_applied"] == 4
+    lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert lines[-1]["segments_applied"] == 4
+    assert any("view" in ln and ln["view"]["refreshed"] > 0 for ln in lines[:-1])
+    assert os.path.exists(os.path.join(view, "_view.json"))
 
     out = run("stats", "--lake", lake)
     assert out.returncode == 0
