@@ -101,4 +101,27 @@ print("point lookup conv-7:", conv.num_rows, "turns (merged base+deltas)")
 print("compact:", compact(lake))
 print("export:", export_snapshot(lake, f"{BASE}/export"))
 
+# 6. incremental materialized view: per-conversation turn counts maintained
+#    from changed partitions only (O(changed), not O(lake)); a second
+#    refresh with nothing new is a metadata no-op
+from nostr_data_pipeline_ray.pipelines.ivm import (
+    read_turn_counts,
+    refresh_turn_counts,
+)
+
+view = f"{BASE}/view"
+print("\nview refresh:", refresh_turn_counts(view, lake))
+print("view no-op:  ", refresh_turn_counts(view, lake))
+print("view rows:   ", read_turn_counts(view).count())
+
+# 7. the dashboard: one self-contained HTML file (inline SVG, no deps)
+import __ray_entry__ as entrymod
+
+from nostr_data_pipeline_ray.report import render_html
+
+html_doc = render_html("/root/testdata/sf0.001", entrymod.queries())
+with open(f"{BASE}/report.html", "w") as f:
+    f.write(html_doc)
+print("dashboard:   ", f"{BASE}/report.html", f"({len(html_doc)} bytes)")
+
 ray.shutdown()
