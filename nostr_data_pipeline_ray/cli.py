@@ -64,11 +64,18 @@ def cmd_apply(args) -> int:
         cfg = dataclasses.replace(cfg, merge_policy=args.merge_policy)
 
     def refresh_view():
-        if args.view:
-            from .pipelines.ivm import refresh_turn_counts
+        if not args.view:
+            return
+        from .pipelines.ivm import refresh_turn_counts
 
+        # the view is derived state — a failed refresh (full disk, bad dir)
+        # must neither kill the always-on follow loop nor mask a lake apply
+        # that already committed; the next pass retries from the manifest
+        try:
             print(json.dumps({"view": refresh_turn_counts(args.view, args.lake)}),
                   flush=True)
+        except Exception as e:  # noqa: BLE001 — reported, not fatal
+            print(json.dumps({"view_error": str(e)}), file=sys.stderr, flush=True)
 
     if args.follow:
         # always-on tail: SIGTERM/SIGINT request a clean stop at the next

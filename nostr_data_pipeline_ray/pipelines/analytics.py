@@ -14,6 +14,7 @@ order-dependence of distributed double summation.
 
 from __future__ import annotations
 
+import json
 import os
 from functools import partial
 
@@ -1055,25 +1056,35 @@ def q_network_stats(sf_dir: str):
                     "types": pd.Series(dtype="str"),
                 }
             )
-        ts = b["ts"].to_numpy()
-        order = np.lexsort(
-            (-b["event_id"].to_numpy(), -ts.astype("datetime64[us]").astype(np.int64))
-        )
-        li = order[0]  # latest: ts DESC, event_id DESC
+        # latest: ts DESC, event_id DESC — over non-null ts like the
+        # oracle's NULLS-LAST ordering (a NaT would negate to INT64_MIN and
+        # masquerade as the maximum); an all-null batch falls back to
+        # event_id alone (the oracle's tie order when every ts is NULL)
+        sub = b[b["ts"].notna()]
+        if not len(sub):
+            sub = b
+            order = np.argsort(-sub["event_id"].to_numpy())
+        else:
+            ts = sub["ts"].to_numpy()
+            order = np.lexsort(
+                (
+                    -sub["event_id"].to_numpy(),
+                    -ts.astype("datetime64[us]").astype(np.int64),
+                )
+            )
+        li = order[0]
         # distinct types wire format: a JSON list (unambiguous for commas,
         # separators AND the empty-string type — count(DISTINCT) counts '');
         # nulls dropped like the oracle's count(DISTINCT)
-        import json as _json
-
-        kinds = _json.dumps(sorted(set(b["event_type"].dropna())))
+        kinds = json.dumps(sorted(set(b["event_type"].dropna())))
         return pd.DataFrame(
             {
                 "n": [len(b)],
                 "min_ts": [b["ts"].min()],
                 "max_ts": [b["ts"].max()],
                 "sum_value": [b["value"].to_numpy(dtype=np.float64).sum()],
-                "latest_ts": [b["ts"].iloc[li]],
-                "latest_id": [int(b["event_id"].iloc[li])],
+                "latest_ts": [sub["ts"].iloc[li]],
+                "latest_id": [int(sub["event_id"].iloc[li])],
                 "types": [kinds],
             }
         )
@@ -1098,13 +1109,11 @@ def q_network_stats(sf_dir: str):
                 "latest_event_id": pa.array([None], pa.int64()),
             }
         )
-    import json as _json
-
     latest_row = parts.sort_values(
         ["latest_ts", "latest_id"], ascending=[False, False]
     ).iloc[0]
     n_event_types = len(
-        {t for joined in parts["types"] for t in _json.loads(joined)}
+        {t for joined in parts["types"] for t in json.loads(joined)}
     )
 
     # pass B — per-user: the grouped result is both the distinct-user count

@@ -98,22 +98,27 @@ def refresh_turn_counts(view_root: str, lake_root: str) -> dict[str, Any]:
     epoch = int(m["epoch"])
     # the view is tied to the lake BUILD, not just an epoch number: a lake
     # rebuilt in place reuses epoch numbers and part paths, so an epoch-only
-    # comparison would silently serve aggregates of the previous build. The
-    # view records the commit timestamp of the epoch it refreshed at; if
-    # that epoch's manifest no longer carries the same timestamp (rebuilt
-    # lake, or the manifest was vacuumed away so currency can't be
-    # verified), fall back to a FULL refresh — never a stale read.
+    # comparison would silently serve aggregates of the previous build.
+    # Primary anchor: the lake_id minted at epoch 0 and carried through
+    # every manifest (survives vacuum retention). Fallback for legacy lakes
+    # without lake_id: the commit timestamp of the epoch the view refreshed
+    # at, verified against that epoch's manifest — missing/absent values
+    # NEVER count as a match, and an unverifiable anchor means a FULL
+    # refresh, never a stale read.
     vm = _view_manifest(view_root)
     if int(vm["epoch"]) >= 0:
-        anchor = os.path.join(
-            lake.root, "manifests", f"epoch-{int(vm['epoch'])}.json"
-        )
-        same_build = False
-        if os.path.exists(anchor):
-            with open(anchor) as f:
-                same_build = json.load(f).get("committed_at") == vm.get(
-                    "lake_commit"
-                )
+        lake_id = m.get("lake_id")
+        if lake_id is not None:
+            same_build = vm.get("lake_id") == lake_id
+        else:
+            anchor = os.path.join(
+                lake.root, "manifests", f"epoch-{int(vm['epoch'])}.json"
+            )
+            same_build = False
+            if os.path.exists(anchor):
+                with open(anchor) as f:
+                    stamp = json.load(f).get("committed_at")
+                same_build = stamp is not None and stamp == vm.get("lake_commit")
         if not same_build:
             vm = {"epoch": -1, "files": {}}  # unverifiable → full refresh
     if int(vm["epoch"]) == epoch:
@@ -177,7 +182,8 @@ def refresh_turn_counts(view_root: str, lake_root: str) -> dict[str, Any]:
         json.dump(
             {
                 "epoch": epoch,
-                "lake_commit": m.get("committed_at"),  # build-identity anchor
+                "lake_id": m.get("lake_id"),  # build identity (primary)
+                "lake_commit": m.get("committed_at"),  # legacy fallback anchor
                 "files": vfiles,
                 "committed_at": time.time(),
             },

@@ -203,6 +203,12 @@ class Lake:
 
         manifest = {
             "epoch": epoch,
+            # per-BUILD identity, minted at epoch 0 and carried forward: a
+            # lake rebuilt in place reuses epoch numbers and part paths, so
+            # downstream consumers (e.g. incremental views) need an anchor
+            # that survives manifest retention (vacuum prunes old epochs)
+            "lake_id": (prev.get("lake_id") if prev else None)
+            or f"{time.time_ns():x}",
             "committed_at": time.time(),
             "files": files,
             "deltas": {k: v for k, v in deltas.items() if v},
