@@ -444,7 +444,19 @@ def q_simhash_documents(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_embedding_near_dup(sf_dir: str):
+def q_embedding_near_dup(sf_dir: str, max_rows: int = 200_000):
+    """Exact all-pairs cosine top-50 — the ORACLE ANCHOR for the LSH scale
+    path. Broadcasting the full matrix is O(N·dim) memory per worker and
+    O(N²) compute, so it refuses inputs beyond ``max_rows`` instead of
+    silently melting a cluster; production near-dup mining at scale is
+    ``q_embedding_near_dup_lsh``."""
+    n = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup is the exact all-pairs anchor (N={n} > "
+            f"max_rows={max_rows}); use embedding_near_dup_lsh for the "
+            "bucketed scale path, or raise max_rows explicitly"
+        )
     emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids = emb["vec_id"].to_numpy(zero_copy_only=False)
     dim = len(emb["embedding"][0])
