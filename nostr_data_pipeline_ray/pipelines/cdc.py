@@ -55,6 +55,7 @@ from ..stages.cdc_stages import (
     precombine,
     watermark_filter,
 )
+from ..state import bloom
 from ..state.lake import Lake
 
 
@@ -332,6 +333,16 @@ class SplitStage:
         )
 
 
+def _write_part(table: pa.Table, abspath: str) -> None:
+    """Write a lake part file plus its conv_id bloom sidecar. All part
+    writers (merge, compact, delete) go through here so every committed
+    part is point-read skippable; both writes are deterministic, keeping
+    phase-1 tasks idempotent under retry."""
+    os.makedirs(os.path.dirname(abspath), exist_ok=True)
+    pq.write_table(table, abspath)
+    bloom.write_sidecar(abspath, table["conv_id"])
+
+
 class MergeTask:
     """Per-partition reduce (phase 1 of the two-phase commit; idempotent
     under retry — deterministic output paths). Two policies:
@@ -419,8 +430,7 @@ class MergeTask:
                 "parts", f"epoch-{self.epoch}", f"delta-{pkey:05d}.parquet"
             )
             abspath = os.path.join(self.lake.root, rel)
-            os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            pq.write_table(out, abspath)
+            _write_part(out, abspath)
             return self._lineage_row(
                 pkey, rows_in, out.num_rows, max_lsn, abspath, rel, t0,
                 int(pc.max(out["turn_idx"]).as_py() or 0),
@@ -462,8 +472,7 @@ class MergeTask:
 
         rel = self.lake.part_path(self.epoch, pkey)
         abspath = os.path.join(self.lake.root, rel)
-        os.makedirs(os.path.dirname(abspath), exist_ok=True)
-        pq.write_table(alive, abspath)
+        _write_part(alive, abspath)
         return self._lineage_row(
             pkey, rows_in, alive.num_rows, max_lsn, abspath, rel, t0,
             int(pc.max(merged["turn_idx"]).as_py() or 0),
@@ -706,9 +715,21 @@ def materialize_partition(
     if "op" not in target.names:
         target = target.append(pa.field("op", pa.string()))
     filt = [("conv_id", "==", conv_filter)] if conv_filter is not None else None
+    # point reads skip whole chain files via the conv_id bloom sidecar
+    # (false ⇒ provably no row OR tombstone of this conv in the file); the
+    # schema union above still covers skipped files, so the output schema
+    # is identical with and without sidecars
+    read_paths = (
+        paths
+        if conv_filter is None
+        else [p for p in paths if bloom.may_contain(p, conv_filter)]
+    )
     tables = [
-        conform_schema(pq.read_table(p, filters=filt), target=target) for p in paths
+        conform_schema(pq.read_table(p, filters=filt), target=target)
+        for p in read_paths
     ]
+    if not tables:
+        return target.empty_table().drop_columns(["op"])
     merged = pa.concat_tables(tables)
     # concat order (base, delta_0, …, delta_n) + stable position tie-break
     # keeps the deterministic total order even on duplicate lsn delivery
@@ -869,8 +890,7 @@ def _delete_where_locked(lake: Lake, predicate) -> dict[str, Any]:
             kept = conform_schema(t.filter(pc.invert(mask)), target=target)
             new_rel = Lake(root).part_path(epoch, pkey)
             abspath = os.path.join(root, new_rel)
-            os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            pq.write_table(kept, abspath)
+            _write_part(kept, abspath)
             out.append({"pkey": pkey, "rel": new_rel, "deleted": int(n_hit),
                         "rewritten": True})
         return pa.Table.from_pylist(out)
@@ -1024,8 +1044,7 @@ def compact(lake_root: str, partitions: list[int] | None = None) -> dict[str, An
                 t = conform_schema(t, target=target)
                 new_rel = Lake(root).part_path(epoch, pk)
                 dst = os.path.join(root, new_rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                pq.write_table(t, dst)
+                _write_part(t, dst)
                 mx = pc.max(t["turn_idx"]).as_py() if t.num_rows else None
                 out.append({
                     "pkey": pk, "rel": new_rel,

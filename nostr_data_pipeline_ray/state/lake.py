@@ -300,7 +300,8 @@ class Lake:
         for dirpath, _dirs, fnames in os.walk(parts_root, topdown=False):
             for fn in fnames:
                 p = os.path.join(dirpath, fn)
-                if p not in live:
+                # a .bloom sidecar lives and dies with its part file
+                if p.removesuffix(".bloom") not in live and p not in live:
                     os.unlink(p)
                     removed.append(p)
             if not os.listdir(dirpath) and dirpath != parts_root:
