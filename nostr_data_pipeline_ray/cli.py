@@ -58,10 +58,15 @@ def cmd_apply(args) -> int:
     from .pipelines.cdc import apply_changelog, follow_changelog
 
     cfg = EngineConfig.from_env()
-    if args.merge_policy:
+    if args.merge_policy or args.cache_mb is not None:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, merge_policy=args.merge_policy)
+        repl = {}
+        if args.merge_policy:
+            repl["merge_policy"] = args.merge_policy
+        if args.cache_mb is not None:
+            repl["snapshot_cache_mb"] = args.cache_mb
+        cfg = dataclasses.replace(cfg, **repl)
 
     def refresh_view():
         if not args.view:
@@ -249,6 +254,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="exit after this many idle seconds (default: run forever)")
     a.add_argument("--compact-after", type=int, default=None,
                    help="(delta policy) compact when a partition has this many pending deltas")
+    a.add_argument("--cache-mb", type=int, default=None, metavar="MB",
+                   help="per-merge-actor snapshot cache for --follow "
+                        "(rewrite policy): keeps each partition's base part "
+                        "in actor memory between epochs (0 = off)")
     a.add_argument("--merge-policy", choices=["rewrite", "delta"], default=None,
                    help="copy-on-write base rewrite (default) or merge-on-read deltas")
     a.add_argument("--view", default=None, metavar="DIR",

@@ -63,6 +63,14 @@ class EngineConfig:
     #       cost tracks the DELTA, not the partition snapshot — the
     #       high-frequency follow-mode / micro-batch policy.
     merge_policy: str = "rewrite"
+    # follow-mode snapshot cache (rewrite policy only): per-merge-actor LRU
+    # byte budget for keeping each partition's CURRENT base part in actor
+    # memory between epochs, so the per-epoch merge re-reads only the staged
+    # delta, not the whole base. 0 disables (one-shot applies gain nothing;
+    # stateless tasks stay the default). Routed pkey % n_actors so the same
+    # actor owns a partition across epochs; entries are keyed by the base
+    # part's manifest path, so an external compact/delete simply misses.
+    snapshot_cache_mb: int = 0
 
     @staticmethod
     def from_env() -> "EngineConfig":
@@ -75,4 +83,5 @@ class EngineConfig:
             staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
             staged_dict=bool(int(os.environ.get("NDP_STAGED_DICT", "0"))),
             merge_policy=os.environ.get("NDP_MERGE_POLICY", "rewrite"),
+            snapshot_cache_mb=int(os.environ.get("NDP_SNAPSHOT_CACHE_MB", 0)),
         )

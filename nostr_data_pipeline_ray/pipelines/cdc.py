@@ -45,6 +45,7 @@ import pyarrow.compute as pc
 import pyarrow.feather as feather
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from ..config import EngineConfig
@@ -364,12 +365,14 @@ class MergeTask:
         staged_root: str,
         data_schema: pa.Schema,
         policy: str = "rewrite",
+        cache: "_SnapshotCache | None" = None,
     ):
         self.lake = Lake(lake_root)
         self.epoch = epoch
         self.staged_root = staged_root
         self.data_schema = data_schema
         self.policy = policy
+        self.cache = cache
 
     def __call__(self, items: pa.Table) -> pa.Table:
         rows = []
@@ -439,12 +442,10 @@ class MergeTask:
         # rewrite: fold base + pending deltas (oldest first) + staged rows
         prior = []
         if snap_rel:
-            prior.append(
-                conform_schema(
-                    pq.read_table(os.path.join(self.lake.root, snap_rel)),
-                    target=self.data_schema,
-                )
-            )
+            base = self.cache.get(pkey, snap_rel) if self.cache else None
+            if base is None:
+                base = pq.read_table(os.path.join(self.lake.root, snap_rel))
+            prior.append(conform_schema(base, target=self.data_schema))
         for rel in delta_rels:
             prior.append(
                 conform_schema(
@@ -473,14 +474,144 @@ class MergeTask:
         rel = self.lake.part_path(self.epoch, pkey)
         abspath = os.path.join(self.lake.root, rel)
         _write_part(alive, abspath)
+        if self.cache is not None:
+            # the table just written IS the next epoch's base read
+            self.cache.put(pkey, rel, alive)
         return self._lineage_row(
             pkey, rows_in, alive.num_rows, max_lsn, abspath, rel, t0,
             int(pc.max(merged["turn_idx"]).as_py() or 0),
         )
 
 
+class _SnapshotCache:
+    """LRU byte-bounded pkey → (base part rel, table) cache held inside one
+    merge actor. Entries are keyed by the MANIFEST path of the base part
+    (part paths are immutable once committed), so any external rewrite —
+    compact, delete_where, another writer — changes the rel and turns into
+    a plain cache miss, never a stale read."""
+
+    def __init__(self, limit_bytes: int):
+        from collections import OrderedDict
+
+        self.limit = limit_bytes
+        self.entries: "OrderedDict[int, tuple[str, pa.Table]]" = OrderedDict()
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, pkey: int, rel: str) -> pa.Table | None:
+        ent = self.entries.get(pkey)
+        if ent is None or ent[0] != rel:
+            self.misses += 1
+            return None
+        self.entries.move_to_end(pkey)
+        self.hits += 1
+        return ent[1]
+
+    def put(self, pkey: int, rel: str, table: pa.Table) -> None:
+        old = self.entries.pop(pkey, None)
+        if old is not None:
+            self.bytes -= old[1].nbytes
+        self.entries[pkey] = (rel, table)
+        self.bytes += table.nbytes
+        while self.bytes > self.limit and len(self.entries) > 1:
+            _, (_, evicted) = self.entries.popitem(last=False)
+            self.bytes -= evicted.nbytes
+
+
+@ray.remote
+class _MergeActor:
+    """One shard of the follow-mode merge pool. The pool routes
+    ``pkey % n_actors`` so this actor merges the SAME partitions every
+    epoch and its snapshot cache keeps hitting. This is the one stage
+    where raw actors beat ``map_batches``: Ray Data cannot pin a group
+    key to a worker across separate pipeline runs."""
+
+    def __init__(self, lake_root: str, cache_mb: int):
+        self.lake_root = lake_root
+        self.cache = _SnapshotCache(cache_mb << 20)
+
+    def merge(
+        self,
+        epoch: int,
+        staged_root: str,
+        data_schema: pa.Schema,
+        policy: str,
+        items: list[dict],
+    ) -> pa.Table:
+        mt = MergeTask(
+            self.lake_root, epoch, staged_root, data_schema, policy,
+            cache=self.cache,
+        )
+        return pa.concat_tables(
+            mt._merge_one(int(it["pkey"]), it["snap"], it["deltas"] or [])
+            for it in items
+        )
+
+    def cache_stats(self) -> dict:
+        return {
+            "hits": self.cache.hits,
+            "misses": self.cache.misses,
+            "bytes": self.cache.bytes,
+            "entries": len(self.cache.entries),
+        }
+
+
+class MergePool:
+    """Persistent pkey-routed merge actors for follow mode (rewrite policy).
+
+    One-shot ``apply_changelog`` keeps the stateless task fan-out (an actor
+    pool pays 1.5–3 s spin-up and caches nothing useful across a single
+    replay); a long-running ``follow_changelog`` amortizes the spin-up and
+    turns every epoch's base-part read into an actor-memory hit. Reference
+    analog: the profile-merge read-modify-write cache the DB gave the
+    reference for free (src/nostr_pipeline/loaders/event_loader.py:60-87).
+    """
+
+    def __init__(self, lake_root: str, n_actors: int, cache_mb: int):
+        self.n = max(1, n_actors)
+        self.actors = [
+            _MergeActor.remote(lake_root, cache_mb) for _ in range(self.n)
+        ]
+
+    def merge(
+        self,
+        epoch: int,
+        staged_root: str,
+        data_schema: pa.Schema,
+        policy: str,
+        items: list[dict],
+    ) -> list[dict]:
+        shards: list[list[dict]] = [[] for _ in range(self.n)]
+        for it in items:
+            shards[int(it["pkey"]) % self.n].append(it)
+        refs = [
+            self.actors[i].merge.remote(
+                epoch, staged_root, data_schema, policy, shard
+            )
+            for i, shard in enumerate(shards)
+            if shard
+        ]
+        return pa.concat_tables(ray.get(refs)).to_pylist()
+
+    def cache_stats(self) -> dict:
+        per = ray.get([a.cache_stats.remote() for a in self.actors])
+        return {
+            "hits": sum(p["hits"] for p in per),
+            "misses": sum(p["misses"] for p in per),
+            "bytes": sum(p["bytes"] for p in per),
+            "entries": sum(p["entries"] for p in per),
+        }
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 def apply_epoch(
-    lake: Lake, segment_paths: list[str], config: EngineConfig
+    lake: Lake, segment_paths: list[str], config: EngineConfig,
+    merge_pool: MergePool | None = None,
 ) -> dict[str, Any]:
     """Apply one epoch (a micro-batch of binlog segments) exactly once."""
     t0 = time.time()
@@ -606,16 +737,23 @@ def apply_epoch(
         }
         for pk in touched
     ]
-    mt = MergeTask(lake.root, epoch, staged_root, data_schema, config.merge_policy)
+    if merge_pool is not None and config.merge_policy == "rewrite":
+        # follow mode: pkey-routed persistent actors with base-part caching
+        lineage_rows = merge_pool.merge(
+            epoch, staged_root, data_schema, config.merge_policy, items
+        )
+    else:
+        mt = MergeTask(lake.root, epoch, staged_root, data_schema,
+                       config.merge_policy)
 
-    def merge_task(batch: pa.Table) -> pa.Table:
-        return mt(batch)
+        def merge_task(batch: pa.Table) -> pa.Table:
+            return mt(batch)
 
-    lineage_rows = (
-        rd.from_items(items, override_num_blocks=len(items))
-        .map_batches(merge_task, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
+        lineage_rows = (
+            rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(merge_task, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
     t_merge = time.time() - t0 - t_delta
 
     if config.merge_policy == "delta":
@@ -657,7 +795,8 @@ def apply_epoch(
 
 
 def apply_changelog(
-    lake_root: str, binlog_dir: str, config: EngineConfig | None = None
+    lake_root: str, binlog_dir: str, config: EngineConfig | None = None,
+    merge_pool: MergePool | None = None,
 ) -> dict[str, Any]:
     """Tail the binlog: apply all not-yet-committed segments, epoch by epoch.
 
@@ -678,7 +817,8 @@ def apply_changelog(
         prefetch_segment_meta(pending)  # parallel JSONL parse + cache evict
         raw_events = sum(_segment_rows(p) for p in pending)
         for i in range(0, len(pending), config.epoch_segments):
-            out = apply_epoch(lake, pending[i : i + config.epoch_segments], config)
+            out = apply_epoch(lake, pending[i : i + config.epoch_segments],
+                              config, merge_pool=merge_pool)
             total_rows += out["rows_applied"]
             epochs.append(out)
     seconds = time.time() - t0
@@ -773,8 +913,15 @@ def follow_changelog(
     last_new = time.time()
     passes, results = 0, []
     compactions = 0
+    pool = None
+    if config.snapshot_cache_mb > 0 and config.merge_policy == "rewrite":
+        n_actors = config.merge_concurrency or max(
+            1, min(config.num_partitions,
+                   int(ray.cluster_resources().get("CPU", 8)))
+        )
+        pool = MergePool(lake_root, n_actors, config.snapshot_cache_mb)
     while True:
-        out = apply_changelog(lake_root, binlog_dir, config)
+        out = apply_changelog(lake_root, binlog_dir, config, merge_pool=pool)
         passes += 1
         if out["segments_applied"] > 0:
             results.append(out)
@@ -795,6 +942,10 @@ def follow_changelog(
             reason = "idle"
             break
         time.sleep(poll_interval)
+    cache_stats = None
+    if pool is not None:
+        cache_stats = pool.cache_stats()
+        pool.shutdown()
     return {
         "reason": reason,
         "passes": passes,
@@ -802,6 +953,7 @@ def follow_changelog(
         "segments_applied": sum(r["segments_applied"] for r in results),
         "rows_applied": sum(r["rows_applied"] for r in results),
         "compactions": compactions,
+        "snapshot_cache": cache_stats,
         "seconds": time.time() - t0,
     }
 
