@@ -504,6 +504,83 @@ def q_customer_order_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# semi / anti joins — existence probes as distributed joins. The reference's
+# only anti-join is the insert-time PK existence probe
+# (loaders/event_loader.py:35-38); here the probe is a first-class operator:
+# both sides hash into the SAME single bucketed exchange as an inner join
+# (no driver-side distinct-key set, no broadcast), and inside each bucket
+# the right side collapses to distinct keys before the indicator merge —
+# right-side multiplicity can never duplicate left rows.
+# ---------------------------------------------------------------------------
+
+
+def q_lapsed_customers(sf_dir: str):
+    """Anti-join: customers with NO order on/after 2000-01-01 (fixed anchor
+    per the no-wall-clock rule). The recency filter pushes before the
+    exchange, so the probe side ships only recent order keys."""
+    customers = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    cutoff = pa.scalar(np.datetime64("2000-01-01", "us"), pa.timestamp("us"))
+
+    def recent(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["o_orderdate"], cutoff))
+        return batch.select(["o_custkey"])
+
+    recent_orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent, batch_format="pyarrow")
+    return bucketed_hash_join(
+        customers, recent_orders, left_on=["c_custkey"], right_on=["o_custkey"],
+        how="left_anti", input_bytes=_tbytes(sf_dir, "orders"),
+    )
+
+
+def q_customers_with_big_orders(sf_dir: str):
+    """Semi-join: customers with at least one order over 300k (selective
+    right side — the filter pushes before the exchange, so the shuffle
+    carries only qualifying keys)."""
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["o_totalprice"], 300000.0))
+        return batch.select(["o_custkey"])
+
+    big_orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(big, batch_format="pyarrow")
+    return bucketed_hash_join(
+        customers, big_orders, left_on=["c_custkey"], right_on=["o_custkey"],
+        how="left_semi", input_bytes=_tbytes(sf_dir, "orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantile — A4's per-group form: median retail price per
+# brand. Exact (sort-free bucketed per-group median inside map_groups);
+# the global t-digest sketch (stages/sketches.py) is the approximate scale
+# path when group cardinality explodes.
+# ---------------------------------------------------------------------------
+
+
+def q_median_price_per_brand(sf_dir: str):
+    def med(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("p_brand", sort=False)["p_retailprice"]
+        out = g.median().reset_index(name="median_price")
+        out["n_parts"] = g.size().values
+        # inputs are 2-decimal; an even-count median averages two of them →
+        # exact at 3 decimals on both engines
+        out["median_price"] = _round_away(out["median_price"], 3)
+        return out
+
+    return bucketed_map_groups(
+        _read(sf_dir, "part", columns=["p_brand", "p_retailprice"]),
+        keys=["p_brand"],
+        fn=med,
+    )
+
+
+# ---------------------------------------------------------------------------
 # K4 — per-group top-k (reference: analytics/query.py:157-163)
 # ---------------------------------------------------------------------------
 
@@ -1326,6 +1403,23 @@ ORACLE: dict[str, str] = {
     "nation_region": """
         SELECT n_nationkey, n_name, r_name
         FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "lapsed_customers": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    "customers_with_big_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    """,
+    "median_price_per_brand": """
+        SELECT p_brand, round(median(p_retailprice), 3) AS median_price,
+               count(*) AS n_parts
+        FROM part GROUP BY p_brand
     """,
     "price_band_totals": """
         WITH bands(band, lo, hi) AS (VALUES

@@ -120,7 +120,22 @@ def bucketed_hash_join(
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
         l = bucket[bucket["_side"] == 0][lcols]
         r = bucket[bucket["_side"] == 1][rcols]
-        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        if how in ("left_semi", "left_anti"):
+            # existence probe, not a widening join: dedup the right keys so
+            # multiplicity can't duplicate left rows, then keep/drop by
+            # match indicator. Same single exchange as the inner join — no
+            # driver-side distinct-key broadcast (SURVEY §2.4: the
+            # reference's only anti-join is the PK existence probe,
+            # event_loader.py:35-38).
+            rk = r[right_on].drop_duplicates()
+            probed = l.merge(
+                rk, left_on=left_on, right_on=right_on, how="left",
+                indicator="_m",
+            )
+            want = "both" if how == "left_semi" else "left_only"
+            out = probed[probed["_m"] == want][lcols]
+        else:
+            out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         # the all-NA padding upcast int columns to nullable/float across the
         # union; restore exact integer dtypes (inner joins leave no NA)
         for c, t in {**ltypes, **rtypes}.items():

@@ -169,3 +169,28 @@ def test_doc_extract_on_planted_content(tmp_path):
     assert bool(by_id.loc[1, "has_media"])  # .JPG case-insensitive + #frag
     assert by_id.loc[2, "mention_count"] == 3  # occurrences, not distinct
     assert by_id.loc[3, "hashtag_count"] == 0 and not bool(by_id.loc[3, "has_media"])
+
+
+def test_semi_anti_join_right_multiplicity_never_duplicates():
+    """left_semi/left_anti are existence probes: three matching right rows
+    must yield exactly one left row (semi) / zero (anti), and left columns
+    pass through unchanged."""
+    import ray.data as rd
+
+    from nostr_data_pipeline_ray.stages.joins import bucketed_hash_join
+
+    left = rd.from_items(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}]
+    )
+    right = rd.from_items([{"rk": 2}, {"rk": 2}, {"rk": 2}, {"rk": 9}])
+    semi = bucketed_hash_join(
+        left, right, left_on=["k"], right_on=["rk"], how="left_semi",
+        num_buckets=2,
+    ).to_pandas()
+    assert semi.to_dict("records") == [{"k": 2, "v": "b"}]
+    anti = bucketed_hash_join(
+        left, right, left_on=["k"], right_on=["rk"], how="left_anti",
+        num_buckets=2,
+    ).to_pandas()
+    assert sorted(anti["k"].tolist()) == [1, 3]
+    assert list(semi.columns) == ["k", "v"] == list(anti.columns)
