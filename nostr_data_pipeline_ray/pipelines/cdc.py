@@ -1472,6 +1472,97 @@ def read_final(
     return ds
 
 
+def read_final_ordered(
+    lake_root: str, columns: list[str] | None = None,
+    num_ranges: int | None = None,
+) -> "rd.Dataset":
+    """Globally (conv_id, turn_idx)-ordered read WITHOUT a sort shuffle.
+
+    Every part file is already sorted by (conv_id, turn_idx) (the merge
+    writes them that way), so a global order needs only a RANGE
+    partitioning over conv_id: boundaries come from parquet row-group
+    statistics (each row group holds ~equal rows, so row-group minima
+    sample the key distribution for free — no data read), then one task
+    per range does a filtered read of every file, pruning to the row
+    groups overlapping its range, and sorts its own slice. Blocks come
+    back in range order, so the Dataset iterates globally ordered.
+
+    vs ``read_final(sort=True)`` (Ray's sort): no all-to-all exchange —
+    each range task pulls only its key range straight from storage
+    (row-group stats make the per-file probe cheap), which is exactly the
+    ordered-export shape you want at 100 TB. Falls back to the sort
+    shuffle while the lake has pending delta parts (tombstones must fold
+    before any ordered scan; run ``compact`` first for the fast path).
+    """
+    lake = Lake(lake_root)
+    if lake.has_deltas():
+        return read_final(lake_root, sort=True, columns=columns)
+    files = lake.snapshot_files()
+    if not files:
+        return rd.from_arrow(LAKE_SCHEMA.empty_table())
+
+    # range boundaries from row-group conv_id minima (footer-only)
+    minima: list[str] = []
+    total_rgs = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        sch = md.schema.to_arrow_schema()
+        ci = sch.get_field_index("conv_id")
+        for rg in range(md.num_row_groups):
+            total_rgs += 1
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                minima.append(st.min)
+    minima.sort()
+    if num_ranges is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_ranges = max(1, min(cpus * 2, total_rgs))
+    bounds = sorted(
+        {minima[(len(minima) * i) // num_ranges] for i in range(1, num_ranges)}
+    ) if minima else []
+    # half-open conv_id ranges (None = open end); a conversation's turns
+    # all land in exactly one range
+    ranges = []
+    lo = None
+    for b in bounds:
+        ranges.append({"lo": lo, "hi": b})
+        lo = b
+    ranges.append({"lo": lo, "hi": None})
+
+    distinct = _snapshot_schemas(files)
+    target = pa.unify_schemas(distinct, promote_options="permissive")
+    if "pkey" in target.names:
+        target = target.remove(target.get_field_index("pkey"))
+    if columns is not None:
+        target = pa.schema([target.field(c) for c in columns])
+
+    def read_range(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in batch["i"].to_pylist():
+            lo, hi = ranges[i]["lo"], ranges[i]["hi"]
+            filt = []
+            if lo is not None:
+                filt.append(("conv_id", ">=", lo))
+            if hi is not None:
+                filt.append(("conv_id", "<", hi))
+            for f in files:
+                t = pq.read_table(f, filters=filt or None)
+                if t.num_rows:
+                    outs.append(conform_schema(t, target=target))
+        if not outs:
+            return target.empty_table()
+        t = pa.concat_tables(outs)
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ))
+
+    # ship only the range INDEX (mixed None/str bounds would make Ray's
+    # per-block schema inference flip between null and string)
+    return rd.from_items(
+        [{"i": i} for i in range(len(ranges))], override_num_blocks=len(ranges)
+    ).map_batches(read_range, batch_format="pyarrow", batch_size=None)
+
+
 def final_table(lake_root: str) -> pa.Table:
     """Driver-side sorted snapshot for tests/oracle comparison (small scales)."""
     import ray

@@ -435,3 +435,52 @@ def test_shared_scratch_dir_exchange(binlog, tmp_path):
     # post-commit cleanup: no epoch delta dirs left behind on the shared
     # scratch (the lake namespace dir itself may remain)
     assert _glob.glob(os.path.join(scratch, "lake-*", "epoch-*")) == []
+
+
+def test_read_final_ordered_range_partitioned(binlog, tmp_path):
+    """Shuffle-free ordered read: range tasks over already-sorted parts must
+    reproduce final_table exactly, block order = global order."""
+    import ray
+
+    from nostr_data_pipeline_ray.pipelines.cdc import (
+        final_table,
+        read_final_ordered,
+    )
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    want = final_table(lake_root)
+    ds = read_final_ordered(lake_root, num_ranges=5)
+    got = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows],
+        promote_options="permissive",
+    )
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+    # column pruning path
+    pruned = read_final_ordered(lake_root, columns=["conv_id", "turn_idx"],
+                                num_ranges=3)
+    assert pruned.schema().names == ["conv_id", "turn_idx"]
+    assert pruned.count() == want.num_rows
+
+
+def test_read_final_ordered_delta_lake_falls_back(binlog, tmp_path):
+    """Pending delta chains (tombstones not yet folded) must take the
+    sort-shuffle path and still produce the exact ordered state."""
+    import dataclasses
+
+    from nostr_data_pipeline_ray.pipelines.cdc import (
+        final_table,
+        read_final_ordered,
+    )
+
+    lake_root = str(tmp_path / "lake")
+    cfg = dataclasses.replace(CFG, merge_policy="delta")
+    apply_changelog(lake_root, binlog, cfg)
+    want = final_table(lake_root)
+    got = read_final_ordered(lake_root).to_pandas()
+    assert len(got) == want.num_rows
+    assert got["conv_id"].is_monotonic_increasing or got.sort_values(
+        ["conv_id", "turn_idx"]
+    )[["conv_id", "turn_idx"]].reset_index(drop=True).equals(
+        got[["conv_id", "turn_idx"]].reset_index(drop=True)
+    )
