@@ -1501,12 +1501,15 @@ def read_final_ordered(
     if not files:
         return rd.from_arrow(LAKE_SCHEMA.empty_table())
 
-    # range boundaries from row-group conv_id minima (footer-only)
+    # range boundaries from row-group conv_id minima (footer-only); keep
+    # each file's column list so the range reads can prune at the scan
     minima: list[str] = []
     total_rgs = 0
+    file_names: dict[str, list[str]] = {}
     for f in files:
         md = pq.read_metadata(f)
         sch = md.schema.to_arrow_schema()
+        file_names[f] = sch.names
         ci = sch.get_field_index("conv_id")
         for rg in range(md.num_row_groups):
             total_rgs += 1
@@ -1533,8 +1536,15 @@ def read_final_ordered(
     target = pa.unify_schemas(distinct, promote_options="permissive")
     if "pkey" in target.names:
         target = target.remove(target.get_field_index("pkey"))
+    keys = ["conv_id", "turn_idx"]
     if columns is not None:
-        target = pa.schema([target.field(c) for c in columns])
+        # read the sort keys regardless (the per-range sort needs them),
+        # project to the caller's columns after sorting
+        read_names = list(dict.fromkeys(list(columns) + keys))
+        target = pa.schema([target.field(c) for c in read_names])
+        out_schema = pa.schema([target.field(c) for c in columns])
+    else:
+        out_schema = target
 
     def read_range(batch: pa.Table) -> pa.Table:
         outs = []
@@ -1546,21 +1556,34 @@ def read_final_ordered(
             if hi is not None:
                 filt.append(("conv_id", "<", hi))
             for f in files:
-                t = pq.read_table(f, filters=filt or None)
+                # prune at the scan: only requested columns + keys leave
+                # storage (evolved files read the subset they have; conform
+                # null-fills the rest)
+                cols = (
+                    [c for c in target.names if c in file_names[f]]
+                    if columns is not None
+                    else None
+                )
+                t = pq.read_table(f, filters=filt or None, columns=cols)
                 if t.num_rows:
                     outs.append(conform_schema(t, target=target))
         if not outs:
-            return target.empty_table()
+            return out_schema.empty_table()
         t = pa.concat_tables(outs)
-        return t.take(pc.sort_indices(
+        t = t.take(pc.sort_indices(
             t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         ))
+        return t.select(out_schema.names)
 
     # ship only the range INDEX (mixed None/str bounds would make Ray's
     # per-block schema inference flip between null and string)
-    return rd.from_items(
+    ds = rd.from_items(
         [{"i": i} for i in range(len(ranges))], override_num_blocks=len(ranges)
     ).map_batches(read_range, batch_format="pyarrow", batch_size=None)
+    # the whole contract is block order == range order; Ray's streaming
+    # executor reorders completed blocks unless told otherwise
+    ds.context.execution_options.preserve_order = True
+    return ds
 
 
 def final_table(lake_root: str) -> pa.Table:

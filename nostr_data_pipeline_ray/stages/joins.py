@@ -127,7 +127,11 @@ def bucketed_hash_join(
             # driver-side distinct-key broadcast (SURVEY §2.4: the
             # reference's only anti-join is the PK existence probe,
             # event_loader.py:35-38).
-            rk = r[right_on].drop_duplicates()
+            # SQL EXISTS semantics: a NULL key never matches anything
+            # (pandas merge would match NA==NA), so null-keyed right rows
+            # can't witness existence; null-keyed left rows fall out as
+            # left_only (kept by anti, dropped by semi) — same as NOT EXISTS
+            rk = r[right_on].dropna().drop_duplicates()
             probed = l.merge(
                 rk, left_on=left_on, right_on=right_on, how="left",
                 indicator="_m",

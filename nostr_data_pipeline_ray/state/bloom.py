@@ -19,24 +19,29 @@ Design constraints:
 * **Optional** — a missing/corrupt sidecar means "read the file"; readers
   never fail because of a sidecar, and old lakes keep working.
 
-Format (little-endian): magic ``b"NBLM1"`` + uint32 k + uint64 m_bits +
-packed bit array.  Double hashing (Kirsch–Mitzenmacher) over a 16-byte
-blake2b digest: bit_i = (h1 + i*h2) mod m.
+Format (little-endian): magic ``b"NBLM2"`` + uint32 k + uint64 m_bits +
+packed bit array.  Double hashing (Kirsch–Mitzenmacher) over two
+independent 64-bit siphashes (``pd.util.hash_array`` with two fixed keys —
+deterministic across processes, vectorized over the whole column):
+bit_i = (h1 + i*h2) mod m.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import struct
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_MAGIC = b"NBLM1"
+_MAGIC = b"NBLM2"
 _BITS_PER_KEY = 10  # ~1% false-positive rate at k=7
 _K = 7
+_KEY1 = "nblm-sidecar-h1."  # 16 bytes each, fixed — sidecars must hash
+_KEY2 = "nblm-sidecar-h2."  # identically in every process and session
+_MAX_K = 64
 
 #: process-local read diagnostics (driver-side point reads only; tests and
 #: the CLI report read them — not a distributed metric)
@@ -47,10 +52,11 @@ def sidecar_path(part_path: str) -> str:
     return part_path + ".bloom"
 
 
-def _hash_pair(value: str) -> tuple[int, int]:
-    d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
-    h1, h2 = struct.unpack("<QQ", d)
-    return h1, h2 | 1  # odd h2 ⇒ full-cycle stride for power-of-two m
+def _hash_pairs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hashes per value, vectorized."""
+    h1 = pd.util.hash_array(values, hash_key=_KEY1, categorize=False)
+    h2 = pd.util.hash_array(values, hash_key=_KEY2, categorize=False)
+    return h1, h2 | np.uint64(1)  # odd stride ⇒ full cycle for pow-2 m
 
 
 def build(conv_ids: pa.Array | pa.ChunkedArray) -> bytes:
@@ -61,10 +67,11 @@ def build(conv_ids: pa.Array | pa.ChunkedArray) -> bytes:
     n = max(1, len(distinct))
     m = 1 << max(6, (n * _BITS_PER_KEY - 1).bit_length())  # pow2 ≥ 10n, ≥64
     bits = np.zeros(m, dtype=bool)
-    for v in distinct.to_pylist():
-        h1, h2 = _hash_pair(v)
-        for i in range(_K):
-            bits[(h1 + i * h2) & (m - 1)] = True
+    if len(distinct):
+        h1, h2 = _hash_pairs(np.asarray(distinct.to_pylist(), dtype=object))
+        mask = np.uint64(m - 1)
+        for i in range(_K):  # k vector ops, no per-value Python
+            bits[(h1 + np.uint64(i) * h2) & mask] = True
     return _MAGIC + struct.pack("<IQ", _K, m) + np.packbits(bits, bitorder="little").tobytes()
 
 
@@ -74,14 +81,18 @@ def contains(blob: bytes, value: str) -> bool:
     if len(blob) < len(_MAGIC) + 12 or not blob.startswith(_MAGIC):
         return True
     k, m = struct.unpack_from("<IQ", blob, len(_MAGIC))
-    if m == 0 or m & (m - 1) or len(blob) < len(_MAGIC) + 12 + m // 8:
+    if (k == 0 or k > _MAX_K or m == 0 or m & (m - 1)
+            or len(blob) < len(_MAGIC) + 12 + m // 8):
         return True
     bits = np.unpackbits(
         np.frombuffer(blob, dtype=np.uint8, count=m // 8, offset=len(_MAGIC) + 12),
         bitorder="little",
     )
-    h1, h2 = _hash_pair(value)
-    return all(bits[(h1 + i * h2) & (m - 1)] for i in range(_K))
+    h1a, h2a = _hash_pairs(np.asarray([value], dtype=object))
+    # Python ints: uint64 wraparound is intended, numpy scalar ops warn on it
+    h1, h2 = int(h1a[0]), int(h2a[0])
+    # probe with the k the WRITER used (stored in the header), not _K
+    return all(bits[(h1 + i * h2) % (1 << 64) & (m - 1)] for i in range(k))
 
 
 def write_sidecar(part_path: str, conv_ids: pa.Array | pa.ChunkedArray) -> None:

@@ -70,10 +70,14 @@ def test_lake_lineage_and_vacuum(tmp_path):
             os.path.exists(os.path.join(lake_root, r)) for r in man["files"].values()
         )
 
-    # keep_manifests=1 collapses history: epoch-0's 8 superseded parts AND
-    # its manifest JSON go; the current epoch stays readable
+    # keep_manifests=1 collapses history: epoch-0's 8 superseded parts, their
+    # bloom sidecars, AND its manifest JSON go; the current epoch stays readable
     removed = lake.vacuum(keep_manifests=1)
-    assert len(removed) == 9
+    parts = [r for r in removed if r.endswith(".parquet")]
+    blooms = [r for r in removed if r.endswith(".bloom")]
+    manifests = [r for r in removed if r.endswith(".json")]
+    assert len(parts) == 8 and len(manifests) == 1
+    assert len(blooms) == len(parts)  # sidecars never outlive their parts
     assert not os.path.exists(os.path.join(lake_root, "manifests", "epoch-0.json"))
     import nostr_data_pipeline_ray.pipelines.cdc as cdc
 
