@@ -514,7 +514,10 @@ class _SnapshotCache:
             self.bytes -= old[1].nbytes
         self.entries[pkey] = (rel, table)
         self.bytes += table.nbytes
-        while self.bytes > self.limit and len(self.entries) > 1:
+        # evict LRU-first; a single over-budget table evicts ITSELF (the
+        # limit is an OOM guard on long-running follow daemons — holding
+        # one 8x-over-budget base per actor would defeat it)
+        while self.bytes > self.limit and self.entries:
             _, (_, evicted) = self.entries.popitem(last=False)
             self.bytes -= evicted.nbytes
 
@@ -910,16 +913,31 @@ def follow_changelog(
     config = config or EngineConfig()
     stop = stop or (lambda: False)
     t0 = time.time()
+    pool = None
+    if config.snapshot_cache_mb > 0 and config.merge_policy == "rewrite":
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_actors = config.merge_concurrency or max(
+            1, min(config.num_partitions, cpus)
+        )
+        pool = MergePool(lake_root, n_actors, config.snapshot_cache_mb)
+    try:
+        return _follow_loop(
+            lake_root, binlog_dir, config, pool, stop, idle_timeout,
+            poll_interval, compact_after, on_epoch, t0,
+        )
+    finally:
+        if pool is not None:
+            pool.shutdown()
+
+
+def _follow_loop(
+    lake_root, binlog_dir, config, pool, stop, idle_timeout,
+    poll_interval, compact_after, on_epoch, t0,
+):
     last_new = time.time()
     passes, results = 0, []
     compactions = 0
-    pool = None
-    if config.snapshot_cache_mb > 0 and config.merge_policy == "rewrite":
-        n_actors = config.merge_concurrency or max(
-            1, min(config.num_partitions,
-                   int(ray.cluster_resources().get("CPU", 8)))
-        )
-        pool = MergePool(lake_root, n_actors, config.snapshot_cache_mb)
     while True:
         out = apply_changelog(lake_root, binlog_dir, config, merge_pool=pool)
         passes += 1
@@ -942,10 +960,8 @@ def follow_changelog(
             reason = "idle"
             break
         time.sleep(poll_interval)
-    cache_stats = None
-    if pool is not None:
-        cache_stats = pool.cache_stats()
-        pool.shutdown()
+    # the caller's finally owns the shutdown; only read stats here
+    cache_stats = pool.cache_stats() if pool is not None else None
     return {
         "reason": reason,
         "passes": passes,
@@ -1496,6 +1512,13 @@ def read_final_ordered(
     """
     lake = Lake(lake_root)
     if lake.has_deltas():
+        # the sort needs the keys even when the caller didn't ask for them:
+        # read keys + columns, sort, project back to the caller's list
+        if columns is not None:
+            read_cols = list(dict.fromkeys(
+                list(columns) + ["conv_id", "turn_idx"]))
+            ds = read_final(lake_root, sort=True, columns=read_cols)
+            return ds.select_columns(columns)
         return read_final(lake_root, sort=True, columns=columns)
     files = lake.snapshot_files()
     if not files:

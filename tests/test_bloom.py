@@ -90,8 +90,12 @@ def test_missing_sidecars_fall_back_to_full_read(lake_and_binlog):
     got = read_conversation(lake_root, cid)
     exp = want.filter(pa.compute.equal(want["conv_id"], cid))
     assert got.num_rows == exp.num_rows
-    # restore for any later test using the shared lake
-    apply_changelog  # (sidecars regenerate on the next write epoch)
+    # rebuild the sidecars so the shared module fixture is order-robust
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(lake_root, "parts", "**", "*.parquet"),
+                       recursive=True):
+        bloom.write_sidecar(f, pq.read_table(f, columns=["conv_id"])["conv_id"])
 
 
 def test_vacuum_keeps_live_sidecars_drops_dead_ones(tmp_path):

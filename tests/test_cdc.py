@@ -479,8 +479,12 @@ def test_read_final_ordered_delta_lake_falls_back(binlog, tmp_path):
     want = final_table(lake_root)
     got = read_final_ordered(lake_root).to_pandas()
     assert len(got) == want.num_rows
-    assert got["conv_id"].is_monotonic_increasing or got.sort_values(
+    # full (conv_id, turn_idx) order — not just conv_id monotonicity
+    assert got.sort_values(["conv_id", "turn_idx"])[
         ["conv_id", "turn_idx"]
-    )[["conv_id", "turn_idx"]].reset_index(drop=True).equals(
+    ].reset_index(drop=True).equals(
         got[["conv_id", "turn_idx"]].reset_index(drop=True)
     )
+    # ...and key-free column projection works on the fallback path too
+    texts = read_final_ordered(lake_root, columns=["text"]).to_pandas()
+    assert list(texts.columns) == ["text"] and len(texts) == want.num_rows

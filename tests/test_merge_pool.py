@@ -44,6 +44,12 @@ def test_cache_lru_eviction_and_rel_keying():
     assert c.get(2, "parts/epoch-1/part-00002.parquet") is None
     assert c.get(3, "r3") is t_small
     assert c.bytes <= c.limit
+    # a single table larger than the whole budget must not be retained
+    # (the limit is an OOM guard — the newest entry is not exempt)
+    t_big = pa.table({"x": list(range(10_000))})
+    c.put(4, "r4", t_big)
+    assert c.get(4, "r4") is None
+    assert c.bytes <= c.limit and c.bytes >= 0
 
 
 def test_pool_merges_exactly_and_hits_across_epochs(tmp_path):
