@@ -233,6 +233,14 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    from .state.fsck import check_lake
+
+    report = check_lake(args.lake, deep=args.deep)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def cmd_version(_args) -> int:
     from . import __version__
 
@@ -299,6 +307,12 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="delete part files no manifest references")
     v.add_argument("--lake", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    fs = sub.add_parser("fsck", help="audit lake integrity (health-check analog)")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--deep", action="store_true",
+                    help="also scan every part file (parallel Ray job)")
+    fs.set_defaults(fn=cmd_fsck)
 
     ver = sub.add_parser("version")
     ver.set_defaults(fn=cmd_version)
