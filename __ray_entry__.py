@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["changelog_filter"] = _flag.q_changelog_filter
     qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
     qs["lake_health"] = _flag.q_lake_health  # rows-only: F4 over lineage
+    qs["lake_fsck"] = _flag.q_lake_fsck  # rows-only: deep integrity audit
     # rows-only extras (no SQL oracle) are registered by their modules below
     try:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd

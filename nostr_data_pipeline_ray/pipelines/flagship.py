@@ -212,6 +212,37 @@ def q_lake_stats(sf_dir: str):
     return lake_lineage(lake_dir_for(sf_dir))
 
 
+def q_lake_fsck(sf_dir: str):
+    """Deep integrity audit of this scale point's lake (state/fsck.py): the
+    parallel per-part scan plus the metadata tier, folded into one summary
+    row. Rows-only by design (the values are audit counters, not data), but
+    NOT vacuous: any error row flips ``ok`` to false and the row carries the
+    first failing check, so the driver's rows-only gate still witnesses a
+    healthy lake every round."""
+    import pyarrow as pa
+
+    from ..state.fsck import check_lake
+
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    report = check_lake(lake_dir_for(sf_dir), deep=True)
+    return pa.table(
+        {
+            "ok": pa.array([report["ok"]], pa.bool_()),
+            "epoch": pa.array([report["info"].get("epoch", -1)], pa.int64()),
+            "parts_deep_checked": pa.array(
+                [report["info"].get("parts_deep_checked", 0)], pa.int64()
+            ),
+            "orphans": pa.array([report["info"].get("orphans", 0)], pa.int64()),
+            "n_errors": pa.array([len(report["errors"])], pa.int64()),
+            "n_warnings": pa.array([len(report["warnings"])], pa.int64()),
+            "first_error": pa.array(
+                [report["errors"][0]["check"] if report["errors"] else None],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def q_conv_turn_counts_ivm(sf_dir: str):
     """The SAME per-conversation aggregate as ``conv_turn_counts`` but via
     the INCREMENTALLY MAINTAINED view (pipelines/ivm.py): per-partition
