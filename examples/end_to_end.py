@@ -114,7 +114,17 @@ print("\nview refresh:", refresh_turn_counts(view, lake))
 print("view no-op:  ", refresh_turn_counts(view, lake))
 print("view rows:   ", read_turn_counts(view).count())
 
-# 7. the dashboard: one self-contained HTML file (inline SVG, no deps)
+# 7. audit the lake before handing it to consumers: shallow metadata tier
+#    + deep parallel per-part scan (sort order, pkey routing, watermarks,
+#    sidecar false negatives) — the DB health-check analog
+from nostr_data_pipeline_ray.state.fsck import check_lake
+
+audit = check_lake(lake, deep=True)
+print("\nfsck:", "ok" if audit["ok"] else audit["errors"],
+      "| parts scanned:", audit["info"]["parts_deep_checked"],
+      "| orphans:", audit["info"]["orphans"])
+
+# 8. the dashboard: one self-contained HTML file (inline SVG, no deps)
 import __ray_entry__ as entrymod
 
 from nostr_data_pipeline_ray.report import render_html

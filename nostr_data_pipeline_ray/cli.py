@@ -234,8 +234,11 @@ def cmd_vacuum(args) -> int:
 
 
 def cmd_fsck(args) -> int:
-    from .state.fsck import check_lake
+    from .state.fsck import check_lake, repair_sidecars
 
+    if args.repair:
+        rebuilt = repair_sidecars(args.lake)
+        print(json.dumps({"sidecars_rebuilt": rebuilt}))
     report = check_lake(args.lake, deep=args.deep)
     print(json.dumps(report, indent=2))
     return 0 if report["ok"] else 1
@@ -312,6 +315,8 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--lake", required=True)
     fs.add_argument("--deep", action="store_true",
                     help="also scan every part file (parallel Ray job)")
+    fs.add_argument("--repair", action="store_true",
+                    help="rebuild missing/corrupt bloom sidecars first")
     fs.set_defaults(fn=cmd_fsck)
 
     ver = sub.add_parser("version")

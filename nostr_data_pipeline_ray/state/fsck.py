@@ -208,6 +208,42 @@ def _deep_check_parts(batch: pa.Table) -> pa.Table:
     })
 
 
+def repair_sidecars(lake_root: str) -> int:
+    """Rebuild missing/corrupt bloom sidecars for every committed part —
+    the one repair that is always safe (sidecars are derived, deterministic
+    accelerators; rebuild = read conv_id column + atomic tmp-rename write).
+    Parallel Ray tasks, one per part slice. Returns the rebuild count.
+    Everything else fsck finds needs an operator decision (restore from a
+    retained manifest, re-apply the binlog, or vacuum) — never auto-fixed."""
+    import ray.data as rd
+
+    from . import bloom
+
+    lake = Lake(lake_root)
+    todo = []
+    for _pk, (base, ds) in lake.partition_files().items():
+        for p in ([base] if base else []) + ds:
+            sp = bloom.sidecar_path(p)
+            ok = False
+            if os.path.exists(sp):
+                with open(sp, "rb") as f:
+                    ok = f.read(len(bloom._MAGIC)) == bloom._MAGIC
+            if os.path.exists(p) and not ok:
+                todo.append({"path": p})
+    if not todo:
+        return 0
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        for path in batch["path"].to_pylist():
+            bloom.write_sidecar(path, pq.read_table(path, columns=["conv_id"])["conv_id"])
+        return batch
+
+    rd.from_items(todo).map_batches(
+        rebuild, batch_format="pyarrow", batch_size=4
+    ).materialize()
+    return len(todo)
+
+
 def check_lake(lake_root: str, deep: bool = False) -> dict[str, Any]:
     """Audit a lake; returns ``{"ok", "errors", "warnings", "info"}``.
     Shallow tier is metadata-only; ``deep=True`` adds a Ray Data scan of

@@ -107,6 +107,25 @@ def test_detects_misrouted_rows_and_lsn_beyond_watermark(tmp_path, binlog):
     assert "lsn_watermark" in checks
 
 
+def test_repair_rebuilds_missing_and_corrupt_sidecars(tmp_path, binlog):
+    from nostr_data_pipeline_ray.state.fsck import repair_sidecars
+
+    lake_root = _fresh_lake(tmp_path, binlog)
+    lake = Lake(lake_root)
+    files = lake.snapshot_files()
+    os.unlink(files[0] + ".bloom")
+    with open(files[1] + ".bloom", "wb") as f:
+        f.write(b"garbage")
+    assert any(
+        w["check"] == "bloom_sidecars_missing"
+        for w in check_lake(lake_root)["warnings"]
+    )
+    assert repair_sidecars(lake_root) == 2
+    report = check_lake(lake_root, deep=True)
+    assert report["ok"] and report["warnings"] == []
+    assert repair_sidecars(lake_root) == 0  # idempotent
+
+
 def test_detects_broken_pointer_and_missing_watermark(tmp_path, binlog):
     lake_root = _fresh_lake(tmp_path, binlog)
     man_path = os.path.join(lake_root, "_manifest.json")
