@@ -95,6 +95,31 @@ def contains(blob: bytes, value: str) -> bool:
     return all(bits[(h1 + i * h2) % (1 << 64) & (m - 1)] for i in range(k))
 
 
+def contains_all(blob: bytes, values: np.ndarray) -> bool:
+    """Vectorized membership: True iff EVERY value probes positive.
+    The bulk twin of ``contains`` (fsck's no-false-negative audit probes
+    every distinct conv_id of a part — per-value scalar probes would be
+    O(n) Python at millions of conversations per part)."""
+    if len(blob) < len(_MAGIC) + 12 or not blob.startswith(_MAGIC):
+        return True
+    k, m = struct.unpack_from("<IQ", blob, len(_MAGIC))
+    if (k == 0 or k > _MAX_K or m == 0 or m & (m - 1)
+            or len(blob) < len(_MAGIC) + 12 + m // 8):
+        return True
+    if len(values) == 0:
+        return True
+    bits = np.unpackbits(
+        np.frombuffer(blob, dtype=np.uint8, count=m // 8, offset=len(_MAGIC) + 12),
+        bitorder="little",
+    )
+    h1, h2 = _hash_pairs(values)
+    mask = np.uint64(m - 1)
+    hit = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        hit &= bits[(h1 + np.uint64(i) * h2) & mask].astype(bool)
+    return bool(hit.all())
+
+
 def write_sidecar(part_path: str, conv_ids: pa.Array | pa.ChunkedArray) -> None:
     """Write ``part_path + '.bloom'`` atomically (tmp + rename, idempotent
     under task retry because the content is deterministic)."""

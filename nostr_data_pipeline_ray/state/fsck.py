@@ -35,6 +35,7 @@ import json
 import os
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -190,15 +191,18 @@ def _deep_check_parts(batch: pa.Table) -> pa.Table:
                             "detail": f"{bad} rows route elsewhere",
                             "severity": "error"})
         # bloom sidecar: false negatives would silently drop point reads
+        # (vectorized bulk probe — parts hold millions of conversations)
         sp = bloom.sidecar_path(path)
         if os.path.exists(sp):
             with open(sp, "rb") as f:
                 blob = f.read()
-            for cid in pc.unique(t["conv_id"]).to_pylist():
-                if not bloom.contains(blob, cid):
-                    out.append({"check": "bloom_false_negative", "file": path,
-                                "pkey": pkey, "detail": cid, "severity": "error"})
-                    break
+            distinct = np.asarray(pc.unique(t["conv_id"]).to_pylist(),
+                                  dtype=object)
+            if not bloom.contains_all(blob, distinct):
+                out.append({"check": "bloom_false_negative", "file": path,
+                            "pkey": pkey,
+                            "detail": "sidecar misses committed conv_ids",
+                            "severity": "error"})
     return pa.table({
         "check": pa.array([r["check"] for r in out], pa.string()),
         "file": pa.array([r["file"] for r in out], pa.string()),

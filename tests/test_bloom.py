@@ -56,6 +56,32 @@ def test_malformed_sidecar_never_skips():
     assert bloom.contains(bloom._MAGIC + b"\x00" * 4, "x")
 
 
+def test_bulk_probe_matches_scalar_probe():
+    """contains_all must agree with per-value contains — including unicode
+    keys and values absent from the filter (fail-open on garbage blobs is
+    covered by test_malformed_sidecar_never_skips)."""
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        members=st.lists(st.text(min_size=1, max_size=40), min_size=1,
+                         max_size=50, unique=True),
+        probes=st.lists(st.text(min_size=1, max_size=40), max_size=20),
+    )
+    def check(members, probes):
+        blob = bloom.build(pa.array(members))
+        vals = members + probes
+        scalar = all(bloom.contains(blob, v) for v in vals)
+        assert bloom.contains_all(blob, np.asarray(vals, dtype=object)) == scalar
+        # members alone can never produce a false negative
+        assert bloom.contains_all(blob, np.asarray(members, dtype=object))
+
+    check()
+
+
 def test_every_part_has_a_sidecar(lake_and_binlog):
     lake_root, _ = lake_and_binlog
     parts = glob.glob(os.path.join(lake_root, "parts", "**", "*.parquet"),

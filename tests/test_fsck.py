@@ -107,6 +107,19 @@ def test_detects_misrouted_rows_and_lsn_beyond_watermark(tmp_path, binlog):
     assert "lsn_watermark" in checks
 
 
+def test_deep_detects_bloom_false_negative(tmp_path, binlog):
+    from nostr_data_pipeline_ray.state import bloom
+
+    lake_root = _fresh_lake(tmp_path, binlog)
+    victim = Lake(lake_root).snapshot_files()[0]
+    # a well-formed sidecar built from the WRONG ids: point reads would
+    # silently skip this part — exactly what deep fsck must catch
+    with open(bloom.sidecar_path(victim), "wb") as f:
+        f.write(bloom.build(pa.array(["not-a-real-conv"])))
+    report = check_lake(lake_root, deep=True)
+    assert any(e["check"] == "bloom_false_negative" for e in report["errors"])
+
+
 def test_repair_rebuilds_missing_and_corrupt_sidecars(tmp_path, binlog):
     from nostr_data_pipeline_ray.state.fsck import repair_sidecars
 
