@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     qs["cdc_apply"] = _flag.q_cdc_apply
     qs["cdc_apply_delta"] = _flag.q_cdc_apply_delta  # LSM path, same oracle
+    qs["cdc_ordered_head"] = _flag.q_cdc_ordered_head  # shuffle-free order
     qs["conv_turn_counts"] = _flag.q_conv_turn_counts
     # incrementally maintained view, same aggregate + same oracle
     qs["conv_turn_counts_ivm"] = _flag.q_conv_turn_counts_ivm
@@ -63,6 +64,9 @@ def oracle_sql() -> dict[str, str]:
     # disk; generate it now so the SQL is runnable whenever the driver calls it
     out["cdc_apply"] = _flag.cdc_oracle_sql("/root/testdata/sf0.01")
     out["cdc_apply_delta"] = out["cdc_apply"]  # same stream, same LWW oracle
+    out["cdc_ordered_head"] = _flag.cdc_ordered_head_oracle_sql(
+        "/root/testdata/sf0.01"
+    )
     out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts_ivm"] = out["conv_turn_counts"]  # IVM ≡ recompute

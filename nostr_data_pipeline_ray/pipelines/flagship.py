@@ -87,6 +87,39 @@ def q_cdc_apply_delta(sf_dir: str):
     return read_final(lake, sort=False)
 
 
+def q_cdc_ordered_head(sf_dir: str):
+    """First 1,000 rows of the GLOBALLY ORDERED final state via the
+    range-partitioned ordered read (cdc.py:read_final_ordered — range
+    boundaries from row-group stats, per-range filtered reads, NO sort
+    shuffle). The LIMIT makes global order semantically checkable under the
+    driver's order-insensitive hash: a wrong range order changes WHICH rows
+    land in the head. Early-exit consumption: iteration stops once the head
+    is full, so only the first range tasks are drained."""
+    import pyarrow as pa
+
+    from .cdc import read_final_ordered
+
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    ds = read_final_ordered(
+        lake_dir_for(sf_dir), columns=["conv_id", "turn_idx", "text", "lsn"]
+    )
+    out, n = [], 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        out.append(b)
+        n += b.num_rows
+        if n >= 1000:
+            break
+    return pa.concat_tables(out).slice(0, 1000)
+
+
+def cdc_ordered_head_oracle_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT conv_id, turn_idx, text, lsn FROM (
+            {expected_final_state_sql(binlog_dir_for(sf_dir))}
+        ) ORDER BY conv_id, turn_idx LIMIT 1000
+    """
+
+
 def q_changelog_filter(sf_dir: str):
     """Source-side predicate pushdown (S3 analog): roles+op+LSN window pushed
     into the Parquet scan, whole segments pruned by footer stats."""
