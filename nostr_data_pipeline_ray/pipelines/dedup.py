@@ -21,6 +21,7 @@ import ray
 import ray.data as rd
 
 from ..stages.actors import cached_get, per_worker
+from ..stages.joins import bucketed_hash_join
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
 from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
 
@@ -130,10 +131,12 @@ def _explode_bigrams(batch: pa.Table) -> pa.Table:
     return t.group_by(["doc_id", "word"]).aggregate([])
 
 
-def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = None):
-    """Exact set-Jaccard top-k pairs over any per-doc feature extractor via
-    an inverted index (explode → per-feature pairing → co-occurrence counts
-    → jaccard from broadcast set sizes → pruned top-k).
+def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
+    """Exact set-Jaccard over all co-occurring doc pairs via an inverted
+    index (explode → per-feature pairing → co-occurrence counts → jaccard
+    from broadcast set sizes). Returns a Dataset ``(doc_a, doc_b, jaccard)``
+    with jaccard rounded to 6dp — callers prune to top-k (pair reports) or
+    filter by threshold (dedup edges).
 
     ``max_df`` drops features whose document frequency exceeds the cap
     BEFORE pairing — the per-feature pair fan-out is quadratic in df, so a
@@ -205,8 +208,12 @@ def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = Non
         batch["jaccard"] = _round6(c * 1.0 / (na + nb - c))
         return batch[["doc_a", "doc_b", "jaccard"]]
 
+    return co.map_batches(jaccard, batch_format="pandas")
+
+
+def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = None):
     return local_topk(
-        co.map_batches(jaccard, batch_format="pandas"),
+        _jaccard_scored(sf_dir, explode_fn, max_df=max_df),
         by=["jaccard", "doc_a", "doc_b"],
         descending=[True, False, False],
         k=k,
@@ -221,6 +228,99 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     """Word-2-gram Jaccard top-50 — order-sensitive near-dup signal (the
     1-gram variant is bag-of-words; bigrams catch phrase-level copies)."""
     return _jaccard_topk(sf_dir, _explode_bigrams)
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: pair edges → connected components → canonical survivor.
+# Near-dup pairs alone don't define dedup groups (a~b, b~c must collapse
+# into one group even when a~c was never emitted); components do. Min-id
+# member = canonical, matching the exact-dedup first-writer-wins convention.
+# Oracle: DuckDB recursive CTE computing reachability min over the same
+# bigram-Jaccard edge set.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_labels(sf_dir: str, threshold: float):
+    """(node, label) for every document that has at least one near-dup edge
+    — bigram Jaccard ≥ threshold — via distributed min-label propagation.
+    Documents with no edge are singletons handled by the callers' left
+    join / anti join (the component loop never touches the corpus)."""
+    from ..stages.graph import connected_components
+
+    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
+    edges = (
+        _jaccard_scored(sf_dir, _explode_bigrams)
+        .map_batches(
+            lambda b: b.loc[b["jaccard"] >= threshold, ["doc_a", "doc_b"]].rename(
+                columns={"doc_a": "src", "doc_b": "dst"}
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if edges.count() == 0:
+        return None
+    return connected_components(edges, input_bytes=doc_bytes)
+
+
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-dup cluster id per document (cluster_id = min doc_id of the
+    connected component of the bigram-Jaccard ≥ threshold graph;
+    is_canonical marks the survivor). The sf0.01 corpus plants 25 pair
+    edges, one of which chains into a 3-doc component — the oracle check
+    fails unless transitive closure is actually computed."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    labels = _cluster_labels(sf_dir, threshold)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b["label"].fillna(b["doc_id"]).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "cluster_id": cl,
+                "is_canonical": (cl == b["doc_id"]).astype(bool),
+            }
+        )
+
+    if labels is None:
+        return docs.map_batches(
+            lambda b: finish(b.assign(label=pd.array([pd.NA] * len(b), "Int64"))),
+            batch_format="pandas",
+        )
+    joined = bucketed_hash_join(
+        docs,
+        labels,
+        left_on=["doc_id"],
+        right_on=["node"],
+        how="left",
+        input_bytes=os.path.getsize(_t(sf_dir, "documents")),
+    )
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_dedup_survivors(sf_dir: str, threshold: float = 0.5):
+    """The deduplicated corpus: drop every non-canonical member of a
+    near-dup cluster, keep everything else — the actual output a training-
+    data pipeline feeds downstream. One bucketed anti join of the corpus
+    against the loser set (cluster members whose label isn't their own)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    labels = _cluster_labels(sf_dir, threshold)
+    if labels is None:
+        return docs
+    losers = labels.map_batches(
+        lambda b: pd.DataFrame(
+            {"loser_id": b.loc[b["node"] != b["label"], "node"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_hash_join(
+        docs,
+        losers,
+        left_on=["doc_id"],
+        right_on=["loser_id"],
+        how="left_anti",
+        input_bytes=os.path.getsize(_t(sf_dir, "documents")),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -847,6 +947,8 @@ QUERIES = {
     "doc_enrich": q_doc_enrich,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,
     "embedding_near_dup": q_embedding_near_dup,
@@ -861,7 +963,50 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
 }
 
+# shared edge CTE for the clustering oracles: bigram-Jaccard pairs at the
+# registered threshold (0.5), same feature definition as ngram_jaccard_pairs
+_CC_EDGE_CTES = """
+    dg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM dg a JOIN dg b USING (gram)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+    ), e AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.doc_id
+    ), cc AS (
+        SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    )
+"""
+
 ORACLE = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_CC_EDGE_CTES}
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+        FROM cc
+    """,
+    "dedup_survivors": f"""
+        WITH RECURSIVE {_CC_EDGE_CTES}
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN cc USING (doc_id)
+        WHERE cc.doc_id = cc.cluster_id
+    """,
     "ngram_jaccard_pairs": """
         WITH dg AS (
             SELECT DISTINCT doc_id,

@@ -1,0 +1,148 @@
+"""Distributed connected components — the clustering step of near-dup dedup.
+
+Pair mining (Jaccard / MinHash-LSH / embedding-LSH) emits EDGES between
+near-duplicate documents; turning pairs into dedup GROUPS is a connected-
+components problem (a~b, b~c must collapse into one group even when a~c was
+never emitted). The min-id member of each component is the canonical
+survivor — the convention the exact dedup sink already uses
+(pipelines/cdc.py first-writer-wins, analytics.q_dedup_documents_exact).
+
+Algorithm: min-label propagation WITH pointer jumping. Each round a node
+takes the min over its own label, its neighbors' labels, and its label's
+label — the pointer-jumping step that contracts chains geometrically (the
+hash-to-min idea of Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14). Both message kinds ride ONE bucketed hash join per
+round: the join relation is the edge set unioned with the REVERSED label
+edges (label(v) -> v), so joining on the source and sending to the
+destination delivers label(s) for a graph edge (s,d) and label(label(v))
+for a label edge — then one bucketed min-aggregate folds messages into the
+labels. All exchanges move the EDGE/LABEL set, never the corpus. Rounds =
+O(log diameter) thanks to the jump. The label sum is monotone
+non-increasing and strictly decreases until fixpoint, so a scalar ``Sum``
+aggregate is the convergence witness (no distributed equality join).
+
+Iteration state is CHECKPOINTED to staged parquet every round (the same
+staged-exchange pattern as the CDC merge, pipelines/cdc.py): each round's
+execution is rooted in files, never in the previous round's Dataset
+lineage. Two naive alternatives both degrade superlinearly on this Ray
+build — unioning last round's label Dataset into this round's plan doubles
+the block count per round (observed 3,000+ map tasks and a 28 GB
+driver-memory estimate by round 12 on a 5-edge graph), and even with
+blocks/rows pinned constant, carrying Dataset handles across rounds showed
+~2x per-round wall-time growth. File-rooted rounds are flat-cost, make the
+loop resumable after a crash (the highest-numbered checkpoint is the
+restart point), and on a multi-node cluster the scratch directory sits on
+shared storage exactly like the CDC staged exchange.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .joins import bucketed_hash_join
+from .shuffle import bucketed_map_groups
+
+
+def _min_by_node(g: pd.DataFrame) -> pd.DataFrame:
+    return g.groupby("node", sort=False)["label"].min().reset_index()
+
+
+def connected_components(
+    edges,
+    input_bytes: int | None = None,
+    max_rounds: int = 48,
+    scratch_dir: str | None = None,
+):
+    """Component label per node of an undirected edge Dataset.
+
+    ``edges``: Dataset with int64 columns ``src``/``dst``, one row per
+    undirected edge (orientation and duplicates don't matter). Returns a
+    Dataset ``(node, label)`` covering every node that appears in an edge —
+    isolated nodes are the caller's complement (a left join against the
+    corpus, null → own id), so the loop never touches the corpus itself.
+
+    ``input_bytes`` sizes the bucket count of every exchange (see
+    stages/shuffle.resolve_buckets); pass the pair-mining input size.
+    ``scratch_dir`` hosts the per-round label checkpoints (shared storage
+    on a real cluster); a fresh tempdir under /tmp by default. The final
+    label set is materialized before intermediates are deleted.
+    """
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="cc-", dir="/tmp")
+    os.makedirs(scratch, exist_ok=True)
+
+    def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"s": b["src"], "d": b["dst"]})
+        rev = pd.DataFrame({"s": b["dst"], "d": b["src"]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges_path = os.path.join(scratch, "edges")
+    edges.map_batches(symmetrize, batch_format="pandas").write_parquet(edges_path)
+
+    def labels_path(r: int) -> str:
+        return os.path.join(scratch, f"labels-{r}")
+
+    # initial labels: node -> min(node, smallest neighbor) — one exchange,
+    # already one propagation step ahead of the node->node identity start
+    bucketed_map_groups(
+        rd.read_parquet(edges_path).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["s"], "label": b[["s", "d"]].min(axis=1)}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["node"],
+        fn=_min_by_node,
+        pre=_min_by_node,
+        input_bytes=input_bytes,
+    ).write_parquet(labels_path(0))
+
+    prev_sum: int | None = None
+    for r in range(max_rounds):
+        labels = rd.read_parquet(labels_path(r))
+        # ONE join serves both propagation steps: the relation is the edge
+        # set PLUS the reversed label edges (label(v) -> v), so a message
+        # label(s) -> d delivers a neighbor's label when (s,d) is a graph
+        # edge and label(label(v)) -> v (the pointer jump) when s = label(v)
+        rel = rd.read_parquet(edges_path).union(
+            labels.map_batches(
+                lambda b: pd.DataFrame({"s": b["label"], "d": b["node"]}),
+                batch_format="pandas",
+            )
+        )
+        msgs = bucketed_hash_join(
+            rel,
+            labels,
+            left_on=["s"],
+            right_on=["node"],
+            input_bytes=input_bytes,
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": b["d"], "label": b["label"]}),
+            batch_format="pandas",
+        ).materialize()  # split consecutive all-to-alls (see shuffle.py note)
+        bucketed_map_groups(
+            labels.union(msgs),
+            keys=["node"],
+            fn=_min_by_node,
+            pre=_min_by_node,
+            input_bytes=input_bytes,
+        ).write_parquet(labels_path(r + 1))
+
+        done = rd.read_parquet(labels_path(r + 1))
+        cur = int(done.aggregate(Sum("label"))["sum(label)"])
+        shutil.rmtree(labels_path(r), ignore_errors=True)
+        if cur == prev_sum:
+            out = done.materialize()  # detach from scratch before cleanup
+            if scratch_dir is None:
+                shutil.rmtree(scratch, ignore_errors=True)
+            return out
+        prev_sum = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
