@@ -1225,7 +1225,104 @@ def q_network_stats(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data ops). Random sampling is useless in
+# a resumable pipeline — a retry would draw a different subset — so both
+# samplers key on a multiplicative integer hash of the event id (Knuth's
+# 2654435761, bijective mod 2^32 for odd multipliers, so distinct ids never
+# collide): reproducible across runs, partitionings, and cluster sizes, and
+# expressible in exact SQL integer arithmetic for the oracle. Pure
+# map-side filter / map-side-pruned group top-k — no RNG state, no shuffle
+# for the fraction sampler.
+# ---------------------------------------------------------------------------
+
+_KNUTH = np.uint64(2654435761)
+_HASH_MOD = np.uint64(1) << np.uint64(32)
+
+# per-10,000 keep rates by stratum: class rebalancing (rare purchases kept
+# at 50%, noisy error events cut to 5%) — the knob a curriculum/cleaning
+# pipeline turns per source or label
+_STRATUM_RATES = {"purchase": 5000, "signup": 3000, "error": 500}
+_STRATUM_DEFAULT = 1000
+
+
+def _id_hash(ids: np.ndarray) -> np.ndarray:
+    # uint64 multiply wraps mod 2^64; 2^32 divides 2^64, so the mod-2^32
+    # residue equals DuckDB's exact HUGEINT arithmetic
+    return (ids.astype(np.uint64) * _KNUTH) % _HASH_MOD
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum fraction sampling: keep an event iff its id-hash bucket
+    (of 10,000) falls under its event_type's rate. Embarrassingly parallel
+    — a pure per-batch filter at any scale."""
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hash(batch["event_id"].to_numpy()) % np.uint64(10000)
+        rates = (
+            batch["event_type"]
+            .map(_STRATUM_RATES)
+            .fillna(_STRATUM_DEFAULT)
+            .to_numpy(dtype=np.uint64)
+        )
+        return batch[h < rates]
+
+    return _read(sf_dir, "events").map_batches(pick, batch_format="pandas")
+
+
+def q_sample_per_group(sf_dir: str, k: int = 200):
+    """Exactly-k-per-stratum sampling (deterministic reservoir analog):
+    the k events with the smallest id-hash per event_type. Map-side
+    partial top-k prunes each batch to k rows per stratum before the
+    exchange, so the shuffle moves O(k · strata · blocks) rows."""
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def add_h(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["_h"] = _id_hash(batch["event_id"].to_numpy()).astype(np.int64)
+        return batch
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["_h", "event_id"])
+            .groupby("event_type", sort=False, observed=True)
+            .head(k)
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=cols).map_batches(
+            add_h, batch_format="pandas"
+        ),
+        keys=["event_type"],
+        fn=lambda g: head_k(g)[cols],
+        pre=head_k,
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "stratified_sample": """
+        SELECT * FROM events
+        WHERE (event_id::HUGEINT * 2654435761) % 4294967296 % 10000 <
+              CASE event_type
+                  WHEN 'purchase' THEN 5000
+                  WHEN 'signup' THEN 3000
+                  WHEN 'error' THEN 500
+                  ELSE 1000
+              END
+    """,
+    "sample_per_group": """
+        SELECT event_id, ts, user_id, event_type, value FROM (
+            SELECT event_id, ts, user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY (event_id::HUGEINT * 2654435761) % 4294967296,
+                                event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 200
+    """,
     "network_stats": """
         SELECT (SELECT count(*) FROM events) AS total_events,
                (SELECT count(DISTINCT user_id) FROM events) AS n_users,

@@ -194,3 +194,24 @@ def test_semi_anti_join_right_multiplicity_never_duplicates():
     ).to_pandas()
     assert sorted(anti["k"].tolist()) == [1, 3]
     assert list(semi.columns) == ["k", "v"] == list(anti.columns)
+
+
+def test_samplers_deterministic_and_partition_invariant():
+    """The id-hash samplers must return the SAME subset across reruns and
+    across different block layouts — the property that makes a resumed or
+    re-scaled 100-TB run reproduce its training subset."""
+    a = _ray_result("stratified_sample").sort_values("event_id").reset_index(drop=True)
+    b = _ray_result("stratified_sample").sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # stratum rates actually differ (purchase kept ~5x more than error)
+    by_type = a.groupby("event_type").size()
+    full = _oracle("SELECT event_type, count(*) AS n FROM events GROUP BY 1")
+    full = dict(zip(full["event_type"], full["n"]))
+    assert by_type["purchase"] / full["purchase"] > 3 * by_type["error"] / full["error"]
+
+    g1 = _ray_result("sample_per_group").sort_values("event_id").reset_index(drop=True)
+    g2 = _ray_result("sample_per_group").sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g1, g2)
+    sizes = g1.groupby("event_type").size()
+    for t, n in sizes.items():
+        assert n == min(200, full[t])  # exactly k per stratum, capped by stratum size
