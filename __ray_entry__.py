@@ -55,6 +55,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_dd.QUERIES)
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.pack as _pk
+
+        qs.update(_pk.QUERIES)  # rows-only: greedy packing has no SQL form
+    except ImportError:
+        pass
     return qs
 
 
