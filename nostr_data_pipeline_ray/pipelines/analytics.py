@@ -1226,6 +1226,34 @@ def q_network_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Quality-percentile corpus filter (training-data op): keep documents whose
+# quality score clears the exact p75 of the corpus — the "top-quartile
+# corpus" cut a pre-training cleaning pipeline applies. The threshold uses
+# the same truncating sorted-index convention as q_price_stats; at 10^10
+# docs the t-digest sketch (q_price_stats_tdigest) supplies the threshold
+# without the distributed sort — the formula and filter stages are shared.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_filter(sf_dir: str, q: float = 0.75):
+    scores = q_doc_quality(sf_dir)
+    n = scores.count()
+    if n == 0:
+        return scores
+    idx = min(int(n * q), n - 1)
+    # element at sorted index idx = first row of the split starting there
+    thr = (
+        scores.sort("quality_score")
+        .split_at_indices([idx])[1]
+        .take(1)[0]["quality_score"]
+    )
+    return q_doc_quality(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["quality_score"], thr)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling (training-data ops). Random sampling is useless in
 # a resumable pipeline — a retry would draw a different subset — so both
 # samplers key on a multiplicative integer hash of the event id (Knuth's
@@ -1302,6 +1330,27 @@ def q_sample_per_group(sf_dir: str, k: int = 200):
 
 
 ORACLE: dict[str, str] = {
+    "quality_filter": """
+        WITH q AS (
+            SELECT doc_id,
+                   round(0.3 * (CASE
+                       WHEN n_chars < 50 THEN n_chars / 50.0 * 50.0
+                       WHEN n_chars <= 500 THEN 50.0 + (n_chars - 50.0) / 450.0 * 50.0
+                       ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
+                   END), 2) AS quality_score
+            FROM documents
+        ), r AS (
+            SELECT quality_score,
+                   row_number() OVER (ORDER BY quality_score) AS rn,
+                   count(*) OVER () AS n
+            FROM q
+        )
+        SELECT doc_id, quality_score FROM q
+        WHERE quality_score >= (
+            SELECT quality_score FROM r
+            WHERE rn - 1 = least(CAST(floor(n * 0.75) AS BIGINT), n - 1)
+        )
+    """,
     "stratified_sample": """
         SELECT * FROM events
         WHERE (event_id::HUGEINT * 2654435761) % 4294967296 % 10000 <
