@@ -126,22 +126,24 @@ def connected_components(
             lambda b: pd.DataFrame({"node": b["d"], "label": b["label"]}),
             batch_format="pandas",
         ).materialize()  # split consecutive all-to-alls (see shuffle.py note)
-        bucketed_map_groups(
+        # one heavy execution for the min pass; the convergence aggregate
+        # and the checkpoint write both run off the materialized result
+        # (cross-ROUND lineage stays file-rooted — only intra-round reuse)
+        new_labels = bucketed_map_groups(
             labels.union(msgs),
             keys=["node"],
             fn=_min_by_node,
             pre=_min_by_node,
             input_bytes=input_bytes,
-        ).write_parquet(labels_path(r + 1))
-
-        done = rd.read_parquet(labels_path(r + 1))
-        cur = int(done.aggregate(Sum("label"))["sum(label)"])
-        shutil.rmtree(labels_path(r), ignore_errors=True)
+        ).materialize()
+        cur = int(new_labels.aggregate(Sum("label"))["sum(label)"])
         if cur == prev_sum:
-            out = done.materialize()  # detach from scratch before cleanup
+            shutil.rmtree(labels_path(r), ignore_errors=True)
             if scratch_dir is None:
                 shutil.rmtree(scratch, ignore_errors=True)
-            return out
+            return new_labels
+        new_labels.write_parquet(labels_path(r + 1))
+        shutil.rmtree(labels_path(r), ignore_errors=True)
         prev_sum = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
