@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     "multimodal_features",
     "network_stats",
     "price_stats_tdigest",
+    # round-3 training-data ops (dedup_clusters/survivors excluded: their
+    # exact bigram-Jaccard edge miner is the same all-pairs oracle plan as
+    # ngram_jaccard_pairs — correctness-only at sf0.01)
+    "stratified_sample",
+    "sample_per_group",
+    "quality_filter",
+    "pack_sequences",
 ]
 
 
@@ -139,8 +146,14 @@ def run_bench() -> dict:
     # criterion is about the CDC apply) ------------------------------------
     queries: dict[str, float] = {}
     if not os.environ.get("NDP_BENCH_CDC_ONLY"):
+        from nostr_data_pipeline_ray.pipelines import pack as pk
+
         for name in BENCH_QUERIES:
-            fn = getattr(an, f"q_{name}", None) or dd.QUERIES[name]
+            fn = (
+                getattr(an, f"q_{name}", None)
+                or dd.QUERIES.get(name)
+                or pk.QUERIES[name]
+            )
             t0 = time.time()
             consume(fn(SF_DIR))
             queries[name] = round(time.time() - t0, 3)
