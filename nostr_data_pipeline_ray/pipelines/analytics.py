@@ -27,7 +27,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.joins import broadcast_join, bucketed_hash_join
-from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
+from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, id_hash, local_topk
 
 
 
@@ -1236,7 +1236,10 @@ def q_network_stats(sf_dir: str):
 
 
 def q_quality_filter(sf_dir: str, q: float = 0.75):
-    scores = q_doc_quality(sf_dir)
+    # one scoring execution serves the count, the threshold sort, and the
+    # final filter (re-deriving from the lazy plan would re-read + re-score
+    # the corpus three times)
+    scores = q_doc_quality(sf_dir).materialize()
     n = scores.count()
     if n == 0:
         return scores
@@ -1247,7 +1250,7 @@ def q_quality_filter(sf_dir: str, q: float = 0.75):
         .split_at_indices([idx])[1]
         .take(1)[0]["quality_score"]
     )
-    return q_doc_quality(sf_dir).map_batches(
+    return scores.map_batches(
         lambda b: b.filter(pc.greater_equal(b["quality_score"], thr)),
         batch_format="pyarrow",
     )
@@ -1264,20 +1267,11 @@ def q_quality_filter(sf_dir: str, q: float = 0.75):
 # for the fraction sampler.
 # ---------------------------------------------------------------------------
 
-_KNUTH = np.uint64(2654435761)
-_HASH_MOD = np.uint64(1) << np.uint64(32)
-
 # per-10,000 keep rates by stratum: class rebalancing (rare purchases kept
 # at 50%, noisy error events cut to 5%) — the knob a curriculum/cleaning
 # pipeline turns per source or label
 _STRATUM_RATES = {"purchase": 5000, "signup": 3000, "error": 500}
 _STRATUM_DEFAULT = 1000
-
-
-def _id_hash(ids: np.ndarray) -> np.ndarray:
-    # uint64 multiply wraps mod 2^64; 2^32 divides 2^64, so the mod-2^32
-    # residue equals DuckDB's exact HUGEINT arithmetic
-    return (ids.astype(np.uint64) * _KNUTH) % _HASH_MOD
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1286,7 +1280,7 @@ def q_stratified_sample(sf_dir: str):
     — a pure per-batch filter at any scale."""
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _id_hash(batch["event_id"].to_numpy()) % np.uint64(10000)
+        h = id_hash(batch["event_id"].to_numpy()) % np.uint64(10000)
         rates = (
             batch["event_type"]
             .map(_STRATUM_RATES)
@@ -1298,17 +1292,19 @@ def q_stratified_sample(sf_dir: str):
     return _read(sf_dir, "events").map_batches(pick, batch_format="pandas")
 
 
-def q_sample_per_group(sf_dir: str, k: int = 200):
-    """Exactly-k-per-stratum sampling (deterministic reservoir analog):
-    the k events with the smallest id-hash per event_type. Map-side
-    partial top-k prunes each batch to k rows per stratum before the
-    exchange, so the shuffle moves O(k · strata · blocks) rows."""
+def sample_per_group(ds, k: int = 200, input_bytes: int | None = None):
+    """Exactly-k-per-stratum sampling of an event Dataset (deterministic
+    reservoir analog): the k events with the smallest id-hash per
+    event_type. Map-side partial top-k prunes each batch to k rows per
+    stratum before the exchange, so the shuffle moves
+    O(k · strata · blocks) rows. Block-layout invariant: the selected set
+    depends only on the id-hash order, never on partitioning."""
 
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
 
     def add_h(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy(deep=False)
-        batch["_h"] = _id_hash(batch["event_id"].to_numpy()).astype(np.int64)
+        batch["_h"] = id_hash(batch["event_id"].to_numpy()).astype(np.int64)
         return batch
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
@@ -1319,12 +1315,19 @@ def q_sample_per_group(sf_dir: str, k: int = 200):
         )
 
     return bucketed_map_groups(
-        _read(sf_dir, "events", columns=cols).map_batches(
-            add_h, batch_format="pandas"
-        ),
+        ds.map_batches(add_h, batch_format="pandas"),
         keys=["event_type"],
         fn=lambda g: head_k(g)[cols],
         pre=head_k,
+        input_bytes=input_bytes,
+    )
+
+
+def q_sample_per_group(sf_dir: str, k: int = 200):
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    return sample_per_group(
+        _read(sf_dir, "events", columns=cols),
+        k=k,
         input_bytes=_tbytes(sf_dir, "events"),
     )
 

@@ -240,6 +240,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# memo for the label set: q_dedup_clusters and q_dedup_survivors both need
+# it, and a driver round runs both back-to-back — without the memo each
+# would re-run the dominant quadratic edge mining AND the CC loop. Keyed on
+# the corpus identity (path + mtime + size) so a rewritten table misses;
+# bounded to a handful of (sf_dir, threshold) combinations.
+_LABEL_MEMO: dict[tuple, object] = {}
+
+
 def _cluster_labels(sf_dir: str, threshold: float):
     """(node, label) for every document that has at least one near-dup edge
     — bigram Jaccard ≥ threshold — via distributed min-label propagation.
@@ -247,7 +255,12 @@ def _cluster_labels(sf_dir: str, threshold: float):
     join / anti join (the component loop never touches the corpus)."""
     from ..stages.graph import connected_components
 
-    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
+    path = _t(sf_dir, "documents")
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size, threshold)
+    if key in _LABEL_MEMO:
+        return _LABEL_MEMO[key]
+
     edges = (
         _jaccard_scored(sf_dir, _explode_bigrams)
         .map_batches(
@@ -258,9 +271,15 @@ def _cluster_labels(sf_dir: str, threshold: float):
         )
         .materialize()
     )
-    if edges.count() == 0:
-        return None
-    return connected_components(edges, input_bytes=doc_bytes)
+    labels = (
+        None
+        if edges.count() == 0
+        else connected_components(edges, input_bytes=st.st_size)
+    )
+    if len(_LABEL_MEMO) >= 4:
+        _LABEL_MEMO.pop(next(iter(_LABEL_MEMO)))
+    _LABEL_MEMO[key] = labels
+    return labels
 
 
 def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):

@@ -31,10 +31,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from ..stages.shuffle import bucketed_map_groups
-
-_KNUTH = np.uint64(2654435761)
-_HASH_MOD = np.uint64(1) << np.uint64(32)
+from ..stages.shuffle import bucketed_map_groups, id_hash
 
 
 def _t(sf_dir: str, table: str) -> str:
@@ -86,8 +83,7 @@ def pack_documents(
 
     def shard(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
-        ids = b["doc_id"].to_numpy().astype(np.uint64)
-        b["_shard"] = (((ids * _KNUTH) % _HASH_MOD) % shards).astype(np.int64)
+        b["_shard"] = (id_hash(b["doc_id"].to_numpy()) % shards).astype(np.int64)
         return b
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
@@ -118,9 +114,11 @@ def pack_documents(
 
 def q_pack_sequences(sf_dir: str, budget: int = 256):
     """Pack the documents table into ``budget``-token training sequences.
-    Token counts are whitespace words (the doc_token_stats ``word_count``
-    convention) — swap in a real tokenizer's counts per-batch when one is
-    available; the packing plumbing is tokenizer-agnostic."""
+    Token counts are whitespace-split words (the ``string_split(text, ' ')``
+    convention the Jaccard miners use; note doc_token_stats' ``word_count``
+    counts regex ``\\w+`` matches, which differs on punctuation) — swap in
+    a real tokenizer's counts per-batch when one is available; the packing
+    plumbing is tokenizer-agnostic."""
     import pyarrow.compute as pc
 
     def count_tokens(batch):

@@ -71,37 +71,58 @@ def connected_components(
     ``input_bytes`` sizes the bucket count of every exchange (see
     stages/shuffle.resolve_buckets); pass the pair-mining input size.
     ``scratch_dir`` hosts the per-round label checkpoints (shared storage
-    on a real cluster); a fresh tempdir under /tmp by default. The final
-    label set is materialized before intermediates are deleted.
+    on a real cluster); a fresh tempdir under /tmp by default, removed on
+    every exit path — success, non-convergence, or a mid-round error. The
+    final label set is materialized before intermediates are deleted.
+    (The checkpoints bound what a crashed run loses to one round; the loop
+    itself always starts from round 0 — automatic restart-from-checkpoint
+    is not implemented.)
     """
     scratch = scratch_dir or tempfile.mkdtemp(prefix="cc-", dir="/tmp")
     os.makedirs(scratch, exist_ok=True)
+    try:
+        return _cc_loop(edges, scratch, input_bytes, max_rounds)
+    finally:
+        if scratch_dir is None:
+            shutil.rmtree(scratch, ignore_errors=True)
 
+
+def _fresh_write(ds, path: str) -> None:
+    # write_parquet appends into an existing dir — a rerun pointed at the
+    # same scratch must not union two runs' files
+    shutil.rmtree(path, ignore_errors=True)
+    ds.write_parquet(path)
+
+
+def _cc_loop(edges, scratch: str, input_bytes: int | None, max_rounds: int):
     def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"s": b["src"], "d": b["dst"]})
         rev = pd.DataFrame({"s": b["dst"], "d": b["src"]})
         return pd.concat([fwd, rev], ignore_index=True)
 
     edges_path = os.path.join(scratch, "edges")
-    edges.map_batches(symmetrize, batch_format="pandas").write_parquet(edges_path)
+    _fresh_write(edges.map_batches(symmetrize, batch_format="pandas"), edges_path)
 
     def labels_path(r: int) -> str:
         return os.path.join(scratch, f"labels-{r}")
 
     # initial labels: node -> min(node, smallest neighbor) — one exchange,
     # already one propagation step ahead of the node->node identity start
-    bucketed_map_groups(
-        rd.read_parquet(edges_path).map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b["s"], "label": b[["s", "d"]].min(axis=1)}
+    _fresh_write(
+        bucketed_map_groups(
+            rd.read_parquet(edges_path).map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["s"], "label": b[["s", "d"]].min(axis=1)}
+                ),
+                batch_format="pandas",
             ),
-            batch_format="pandas",
+            keys=["node"],
+            fn=_min_by_node,
+            pre=_min_by_node,
+            input_bytes=input_bytes,
         ),
-        keys=["node"],
-        fn=_min_by_node,
-        pre=_min_by_node,
-        input_bytes=input_bytes,
-    ).write_parquet(labels_path(0))
+        labels_path(0),
+    )
 
     prev_sum: int | None = None
     for r in range(max_rounds):
@@ -138,11 +159,8 @@ def connected_components(
         ).materialize()
         cur = int(new_labels.aggregate(Sum("label"))["sum(label)"])
         if cur == prev_sum:
-            shutil.rmtree(labels_path(r), ignore_errors=True)
-            if scratch_dir is None:
-                shutil.rmtree(scratch, ignore_errors=True)
-            return new_labels
-        new_labels.write_parquet(labels_path(r + 1))
+            return new_labels  # materialized — detached from scratch
+        _fresh_write(new_labels, labels_path(r + 1))
         shutil.rmtree(labels_path(r), ignore_errors=True)
         prev_sum = cur
     raise RuntimeError(

@@ -28,6 +28,20 @@ import pandas as pd
 
 _FNV = np.uint64(0xCBF29CE484222325)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_KNUTH = np.uint64(2654435761)
+_HASH_MOD = np.uint64(1) << np.uint64(32)
+
+
+def id_hash(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash of nonnegative int ids, mod 2^32 —
+    bijective (odd multiplier), so distinct ids never collide, and exactly
+    reproducible as DuckDB HUGEINT arithmetic
+    (``(id::HUGEINT * 2654435761) % 4294967296``): the shared key for the
+    deterministic samplers (pipelines/analytics.py) and the sequence
+    packer's sharding (pipelines/pack.py). uint64 multiply wraps mod 2^64,
+    and 2^32 divides 2^64, so the residue equals the exact-arithmetic
+    oracle."""
+    return (np.asarray(ids).astype(np.uint64) * _KNUTH) % _HASH_MOD
 
 # Each bucket is materialized as ONE pandas DataFrame inside map_groups, so
 # bucket count must scale with input size: ~64 MB of parquet (≈ a few hundred
