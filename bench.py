@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "sample_per_group",
     "quality_filter",
     "pack_sequences",
+    "contamination_flags",
 ]
 
 

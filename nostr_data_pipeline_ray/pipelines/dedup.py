@@ -104,31 +104,38 @@ def _explode_words(batch: pa.Table) -> pa.Table:
     return t.group_by(["doc_id", "word"]).aggregate([])
 
 
-def _explode_bigrams(batch: pa.Table) -> pa.Table:
-    """Distinct word 2-grams per doc (n-gram Jaccard feature set).
-
-    Vectorized: flatten all words once, join each word with its successor
-    where both belong to the same document — no per-doc Python loop."""
+def _explode_ngrams(batch: pa.Table, n: int) -> pa.Table:
+    """Distinct word n-grams per doc, vectorized: flatten all words once,
+    join each word with its n-1 successors where the whole window belongs
+    to one document — no per-doc Python loop. ``list_parent_indices`` is
+    non-decreasing, so window membership reduces to comparing the two
+    endpoint parents."""
     words = pc.split_pattern(batch["text"], " ")  # matches the SQL string_split
     flat_list = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
     parents = pc.list_parent_indices(flat_list).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(flat_list)
-    if len(flat) == 0:
+    if len(flat) < n:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "word": pa.array([], pa.string())}
         )
-    grams = pc.binary_join_element_wise(
-        flat.slice(0, len(flat) - 1), flat.slice(1), " "
-    )
-    same_doc = parents[:-1] == parents[1:]
+    windows = [flat.slice(i, len(flat) - (n - 1)) for i in range(n)]
+    grams = pc.binary_join_element_wise(*windows, " ")
+    same_doc = parents[: len(parents) - (n - 1)] == parents[n - 1 :]
     t = pa.table(
         {
-            "doc_id": batch["doc_id"].take(pa.array(parents[:-1][same_doc])),
+            "doc_id": batch["doc_id"].take(
+                pa.array(parents[: len(parents) - (n - 1)][same_doc])
+            ),
             "word": grams.filter(pa.array(same_doc)),
         }
     )
     # distinct within batch (cheap local pre-dedup; global distinct below)
     return t.group_by(["doc_id", "word"]).aggregate([])
+
+
+def _explode_bigrams(batch: pa.Table) -> pa.Table:
+    """Distinct word 2-grams per doc (n-gram Jaccard feature set)."""
+    return _explode_ngrams(batch, 2)
 
 
 def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
@@ -315,6 +322,59 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
         input_bytes=os.path.getsize(_t(sf_dir, "documents")),
     )
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents that share word
+# 5-grams with a held-out benchmark set (the train/test-overlap check every
+# LLM data pipeline runs before training). The benchmark is SMALL by
+# definition, so its distinct gram set is broadcast once (`ray.put`,
+# fetched once per worker) and the corpus side is a pure per-batch
+# vectorized membership test — ZERO shuffles at any scale.
+# ---------------------------------------------------------------------------
+
+_BENCHMARK_MAX_DOC_ID = 20  # stand-in benchmark: the first 20 documents
+
+
+def _benchmark_grams(sf_dir: str, n: int) -> set:
+    """Distinct word n-grams of the benchmark docs — a filtered point read
+    (row-group pruning via predicate pushdown), never a table scan."""
+    t = pq.read_table(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _BENCHMARK_MAX_DOC_ID)],
+    )
+    exploded = _explode_ngrams(t, n)
+    return set(exploded["word"].to_pylist())
+
+
+def q_contamination_flags(sf_dir: str, n: int = 5):
+    """(doc_id, n_shared) for every non-benchmark document sharing at least
+    one distinct word 5-gram with the benchmark set. A doc's grams explode
+    inside its own batch, so the shared-gram count is exact without any
+    cross-batch aggregation."""
+    grams_ref = ray.put(
+        pa.array(sorted(_benchmark_grams(sf_dir, n)), pa.string())
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch["doc_id"], _BENCHMARK_MAX_DOC_ID)
+        )
+        exploded = _explode_ngrams(batch, n)
+        mask = pc.is_in(exploded["word"], value_set=cached_get(grams_ref))
+        hits = exploded.filter(mask)
+        out = hits.group_by("doc_id").aggregate([("word", "count")])
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_shared": pc.cast(out["word_count"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
 
 
 def q_dedup_survivors(sf_dir: str, threshold: float = 0.5):
@@ -968,6 +1028,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "contamination_flags": q_contamination_flags,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1015,6 +1076,21 @@ _CC_EDGE_CTES = """
 """
 
 ORACLE = {
+    "contamination_flags": """
+        WITH g AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w) - 3),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ), b AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id < 20
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM g JOIN b USING (gram)
+        WHERE doc_id >= 20
+        GROUP BY doc_id
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_CC_EDGE_CTES}
         SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical

@@ -246,3 +246,39 @@ def test_multimodal_plumbing():
     assert all(len(f) == 4 for f in out["feat"])
     with pytest.raises(NotImplementedError):
         dd.decode_image(b"\x89PNG")
+
+
+def test_contamination_flags_planted(tmp_path):
+    """Docs >= 20 sharing a 5-gram window with any doc < 20 (the benchmark
+    stand-in) are flagged with the exact distinct-gram overlap count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.dedup import q_contamination_flags
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = {
+        0: bench,                                   # benchmark
+        1: "one two three four five six",           # benchmark
+        20: bench + " extra tail words here",       # 4 shared 5-grams
+        21: "alpha beta gamma delta epsilon",       # 1 shared 5-gram
+        22: "totally different content with no overlap at all",
+        23: "one two three four",                   # too short for a 5-gram
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array(list(rows.values()), pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["t"] * len(rows)),
+            "n_chars": pa.array([len(v) for v in rows.values()], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        q_contamination_flags(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["n_shared"]
+        .to_dict()
+    )
+    assert got == {20: 4, 21: 1}
