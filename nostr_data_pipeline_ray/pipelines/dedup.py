@@ -623,16 +623,16 @@ def q_simhash_documents(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_embedding_near_dup(sf_dir: str, max_rows: int = 200_000):
-    """Exact all-pairs cosine top-50 — the ORACLE ANCHOR for the LSH scale
-    path. Broadcasting the full matrix is O(N·dim) memory per worker and
-    O(N²) compute, so it refuses inputs beyond ``max_rows`` instead of
-    silently melting a cluster; production near-dup mining at scale is
-    ``q_embedding_near_dup_lsh``."""
+def _embedding_all_pairs(sf_dir: str, max_rows: int, threshold: float | None):
+    """Exact all-pairs cosine scores via the broadcast-matrix scorer.
+    ``threshold=None`` keeps a local top-50 per block (the near-dup-report
+    shape); a float keeps every pair at or above it (the clustering edge
+    shape). Refuses inputs beyond ``max_rows`` — this is the O(N²) oracle
+    anchor, not the scale path."""
     n = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
     if n > max_rows:
         raise ValueError(
-            f"embedding_near_dup is the exact all-pairs anchor (N={n} > "
+            f"embedding all-pairs scoring is the exact anchor (N={n} > "
             f"max_rows={max_rows}); use embedding_near_dup_lsh for the "
             "bucketed scale path, or raise max_rows explicitly"
         )
@@ -666,27 +666,89 @@ def q_embedding_near_dup(sf_dir: str, max_rows: int = 200_000):
             s = scores.ravel()
             mask = ai < bi
             ai, bi, s = ai[mask], bi[mask], _round6(s[mask])
-            top = np.lexsort((bi, ai, -s))[:50]  # local top-50, ties by ids
+            if threshold is None:
+                keep = np.lexsort((bi, ai, -s))[:50]  # local top-50, id ties
+            else:
+                keep = s >= threshold
             return pa.table(
                 {
-                    "vec_a": pa.array(ai[top], pa.int64()),
-                    "vec_b": pa.array(bi[top], pa.int64()),
-                    "score": pa.array(s[top], pa.float64()),
+                    "vec_a": pa.array(ai[keep], pa.int64()),
+                    "vec_b": pa.array(bi[keep], pa.int64()),
+                    "score": pa.array(s[keep], pa.float64()),
                 }
             )
 
+    return _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        # task-based with a per-worker cached instance — the 2-actor
+        # pool this replaced paid ~1.5-3 s spin-up per run (the
+        # broadcast matrix is ~1 MB; re-hydrating it per worker is free)
+        per_worker(BlockScorer),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_near_dup(sf_dir: str, max_rows: int = 200_000):
+    """Exact all-pairs cosine top-50 — the ORACLE ANCHOR for the LSH scale
+    path. Broadcasting the full matrix is O(N·dim) memory per worker and
+    O(N²) compute, so it refuses inputs beyond ``max_rows`` instead of
+    silently melting a cluster; production near-dup mining at scale is
+    ``q_embedding_near_dup_lsh``."""
     return local_topk(
-        _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
-            # task-based with a per-worker cached instance — the 2-actor
-            # pool this replaced paid ~1.5-3 s spin-up per run (the
-            # broadcast matrix is ~1 MB; re-hydrating it per worker is free)
-            per_worker(BlockScorer),
-            batch_format="pyarrow",
-        ),
+        _embedding_all_pairs(sf_dir, max_rows, threshold=None),
         by=["score", "vec_a", "vec_b"],
         descending=[True, False, False],
         k=50,
     )
+
+
+def q_dedup_clusters_embedding(
+    sf_dir: str, threshold: float = 0.42, max_rows: int = 200_000
+):
+    """Near-dup cluster id per VECTOR: the same connected-components
+    operator the text path uses (stages/graph.py), composed over
+    embedding-cosine edges instead of bigram-Jaccard ones — the dedup
+    grouping is modality-agnostic once pair mining emits edges. Exact
+    edge mining here (the oracle anchor, max_rows-guarded); at scale the
+    edge source is q_embedding_near_dup_lsh with the identical downstream."""
+    from ..stages.graph import connected_components
+
+    emb_bytes = os.path.getsize(_t(sf_dir, "embeddings"))
+    edges = (
+        _embedding_all_pairs(sf_dir, max_rows, threshold=threshold)
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b["vec_a"].astype("int64"), "dst": b["vec_b"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b["label"].fillna(b["vec_id"]).astype("int64")
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "cluster_id": cl,
+                "is_canonical": (cl == b["vec_id"]).astype(bool),
+            }
+        )
+
+    if edges.count() == 0:
+        return vecs.map_batches(
+            lambda b: finish(b.assign(label=pd.array([pd.NA] * len(b), "Int64"))),
+            batch_format="pandas",
+        )
+    labels = connected_components(edges, input_bytes=emb_bytes)
+    return bucketed_hash_join(
+        vecs,
+        labels,
+        left_on=["vec_id"],
+        right_on=["node"],
+        how="left",
+        input_bytes=emb_bytes,
+    ).map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -1028,6 +1090,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_clusters_embedding": q_dedup_clusters_embedding,
     "contamination_flags": q_contamination_flags,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,
@@ -1095,6 +1158,25 @@ ORACLE = {
         WITH RECURSIVE {_CC_EDGE_CTES}
         SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
         FROM cc
+    """,
+    "dedup_clusters_embedding": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42
+        ), e AS (
+            SELECT va AS s, vb AS d FROM pairs
+            UNION ALL
+            SELECT vb, va FROM pairs
+        ), reach(vec_id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.vec_id
+        )
+        SELECT vec_id, min(r) AS cluster_id,
+               vec_id = min(r) AS is_canonical
+        FROM reach GROUP BY vec_id
     """,
     "dedup_survivors": f"""
         WITH RECURSIVE {_CC_EDGE_CTES}
