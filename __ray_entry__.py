@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_pk.QUERIES)  # rows-only: greedy packing has no SQL form
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.dedup_index as _di
+
+        qs.update(_di.QUERIES)  # rows-only: incremental LSH index flow
+    except ImportError:
+        pass
     return qs
 
 

@@ -1,0 +1,72 @@
+"""Incremental near-dup index (pipelines/dedup_index.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from nostr_data_pipeline_ray.pipelines.dedup_index import MinHashIndex
+
+
+def _docs(rows: dict[int, str]):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": list(rows), "text": list(rows.values())})
+    ).repartition(2)
+
+
+BASE = {
+    i: f"unique document number {i} with entirely distinct filler words "
+    + " ".join(f"w{i}x{j}" for j in range(20))
+    for i in range(10)
+}
+
+
+def test_incremental_update_finds_new_pairs_only(tmp_path):
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    corpus1 = _docs(BASE)
+    first = idx.update(corpus1, corpus1)
+    first_df = first if isinstance(first, pd.DataFrame) else first.to_pandas()
+    assert len(first_df) == 0  # epoch 1: all distinct, no pairs
+    assert idx.stats()["n_docs"] == 10 and idx.stats()["n_updates"] == 1
+
+    new = {
+        100: BASE[3] + " tiny tail",          # near-copy of old doc 3
+        101: "fresh unseen content alpha beta gamma delta epsilon zeta eta",
+        102: "fresh unseen content alpha beta gamma delta epsilon zeta THETA",  # ~101
+        103: "completely solitary text with no twin anywhere at all",
+    }
+    all_docs = _docs({**BASE, **new})
+    out = idx.update(_docs(new), all_docs)
+    out_df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    pairs = set(zip(out_df["doc_a"], out_df["doc_b"]))
+    assert (3, 100) in pairs
+    assert (101, 102) in pairs
+    flat = set(out_df["doc_a"]) | set(out_df["doc_b"])
+    assert 103 not in flat
+    # never re-mines old×old: every pair has a NEW endpoint
+    assert all(a >= 100 or b >= 100 for a, b in pairs)
+    assert idx.stats()["n_docs"] == 14 and idx.stats()["n_updates"] == 2
+    assert (out_df["jaccard"] >= 0.5).all()
+
+
+def test_reopen_validates_parameters(tmp_path):
+    MinHashIndex(str(tmp_path / "idx"), num_perm=64, bands=16)
+    # same params reopen fine
+    MinHashIndex(str(tmp_path / "idx"), num_perm=64, bands=16)
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        MinHashIndex(str(tmp_path / "idx"), num_perm=32, bands=8)
+
+
+def test_empty_update_is_harmless(tmp_path):
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    corpus = _docs(BASE)
+    idx.update(corpus, corpus)
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "text": pd.Series(dtype="object")})
+    )
+    out = idx.update(empty, corpus)
+    out_df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(out_df) == 0
+    assert idx.stats()["n_docs"] == 10  # unchanged
