@@ -563,15 +563,39 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
         buckets, ["band", "band_hash"], emit_pairs, input_bytes=doc_bytes
     ).materialize()
 
+    return _endpoint_verify(
+        candidates,
+        docs.map_batches(make_shingle_rows(), batch_format="pandas"),
+        "doc_a",
+        "doc_b",
+        make_jaccard_verify(threshold),
+        input_bytes=doc_bytes,
+    )
+
+
+def make_shingle_rows(ngram: int = 3):
+    """(doc_id, text) batch → (k, feat) rows: the SEP-joined sorted shingle
+    set, the wire format `_endpoint_verify` attaches to candidate pairs.
+    Shared by the batch MinHash path and the incremental index."""
+
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "k": batch["doc_id"].astype("int64"),
                 "feat": [
-                    _SEP.join(sorted(word_shingles(t or ""))) for t in batch["text"]
+                    _SEP.join(sorted(word_shingles(t or "", ngram)))
+                    for t in batch["text"]
                 ],
             }
         )
+
+    return shingle_rows
+
+
+def make_jaccard_verify(threshold: float):
+    """Pair-group verifier for `_endpoint_verify`: exact shingle-set
+    Jaccard, keep >= threshold, 6dp rounding per the oracle float contract.
+    Shared by the batch MinHash path and the incremental index."""
 
     def verify(m: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -594,14 +618,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    return _endpoint_verify(
-        candidates,
-        docs.map_batches(shingle_rows, batch_format="pandas"),
-        "doc_a",
-        "doc_b",
-        verify,
-        input_bytes=doc_bytes,
-    )
+    return verify
 
 
 # ---------------------------------------------------------------------------
@@ -1139,7 +1156,7 @@ _CC_EDGE_CTES = """
 """
 
 ORACLE = {
-    "contamination_flags": """
+    "contamination_flags": f"""
         WITH g AS (
             SELECT DISTINCT doc_id,
                    unnest(list_transform(range(1, len(w) - 3),
@@ -1147,11 +1164,11 @@ ORACLE = {
                                || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         ), b AS (
-            SELECT DISTINCT gram FROM g WHERE doc_id < 20
+            SELECT DISTINCT gram FROM g WHERE doc_id < {_BENCHMARK_MAX_DOC_ID}
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
         FROM g JOIN b USING (gram)
-        WHERE doc_id >= 20
+        WHERE doc_id >= {_BENCHMARK_MAX_DOC_ID}
         GROUP BY doc_id
     """,
     "dedup_clusters": f"""

@@ -12,18 +12,24 @@ for buckets the new documents touch:
    and validated on reopen, because signatures from different parameter
    sets must never share an index);
 2. the touched-bucket key set is O(new · bands) — a broadcast SMALL side —
-   so the existing index is read with a map-side ``isin`` prefilter: only
-   rows of touched buckets cross the exchange (at real scale the row files
-   are written sorted by ``band_hash``, so parquet row-group min/max stats
-   additionally prune the read itself);
-3. one bucketed pass emits candidate pairs with at least one NEW endpoint
-   (new×old and new×new — never old×old, those were mined when the old
-   docs were new);
-4. the shared distributed `_endpoint_verify` attaches shingle sets and
-   keeps exact word-Jaccard ≥ threshold — nothing corpus-sized touches the
-   driver;
-5. the new signature rows are appended to the index (single-writer, like
-   the lake: the CDC apply loop calls this after its commit).
+   so the existing index is read with a parquet ``band_hash IN (...)``
+   predicate when the touched set is pushdown-sized (rows are written
+   sorted by ``band_hash``, so row-group min/max stats prune the read)
+   plus a vectorized packed-key ``np.isin`` residual filter: only rows of
+   touched buckets cross the exchange;
+3. one bucketed pass emits candidate pairs per (band, band_hash) LSH
+   bucket with at least one NEW endpoint (new×old and new×new — never
+   old×old, those were mined when the old docs were new; a re-ingested
+   doc never pairs with itself);
+4. the shared distributed verify (`dedup.make_jaccard_verify` through
+   `_endpoint_verify`) keeps exact word-Jaccard ≥ threshold — nothing
+   corpus-sized touches the driver;
+5. the new signature rows are committed like the lake commits epochs: each
+   update writes its own staged subdir, then the subdir is recorded in the
+   meta manifest atomically. Readers only see committed subdirs (a crash
+   mid-write leaves an orphan dir that the next attempt overwrites), and a
+   caller-supplied ``update_id`` makes retried epochs fold in exactly once
+   (mining is read-only and simply re-runs).
 
 The index grows by O(bands) rows per document — the same asymptotics as
 the lake itself.
@@ -33,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -41,10 +48,22 @@ import ray
 import ray.data as rd
 
 from ..stages.actors import cached_get, per_worker
-from ..stages.dedup_stages import MinHashLSH, word_shingles
+from ..stages.dedup_stages import MinHashLSH
 from ..stages.shuffle import bucketed_map_groups
 
-_MAX_BUCKET = 512  # hot-bucket cap, same rationale as pairs_from_group
+# above this many touched band_hash values, skip the parquet IN-predicate
+# (a huge DNF slows planning more than it saves) and rely on the
+# vectorized residual filter alone
+_PUSHDOWN_MAX_KEYS = 50_000
+
+# hot-bucket cap per side, same rationale as dedup_stages.pairs_from_group:
+# a degenerate band must not blow up quadratically
+_MAX_BUCKET = 512
+
+
+def _pack_keys(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """(band, band_hash) → one uint64 key (bands < 64, so 6 low bits)."""
+    return (band_hash.astype(np.uint64) << np.uint64(6)) | band.astype(np.uint64)
 
 
 class MinHashIndex:
@@ -60,12 +79,14 @@ class MinHashIndex:
         ngram: int = 3,
         seed: int = 7,
     ):
+        assert bands < 64, "packed bucket keys reserve 6 bits for the band"
         self.index_dir = index_dir
         self.rows_dir = os.path.join(index_dir, "rows")
         meta_path = os.path.join(index_dir, self.META)
         want = {"num_perm": num_perm, "bands": bands, "ngram": ngram, "seed": seed}
         if os.path.exists(meta_path):
-            have = json.load(open(meta_path))
+            with open(meta_path) as f:
+                have = json.load(f)
             mismatch = {k: (have.get(k), v) for k, v in want.items() if have.get(k) != v}
             if mismatch:
                 raise ValueError(
@@ -75,7 +96,7 @@ class MinHashIndex:
             self.meta = have
         else:
             os.makedirs(self.rows_dir, exist_ok=True)
-            self.meta = {**want, "n_updates": 0, "n_docs": 0}
+            self.meta = {**want, "n_docs": 0, "committed": [], "applied_ids": []}
             self._write_meta()
 
     def _write_meta(self) -> None:
@@ -102,13 +123,56 @@ class MinHashIndex:
         return _Hasher
 
     def _row_files(self) -> list[str]:
-        if not os.path.isdir(self.rows_dir):
-            return []
-        return sorted(
-            os.path.join(self.rows_dir, f)
-            for f in os.listdir(self.rows_dir)
-            if f.endswith(".parquet")
-        )
+        """Files of COMMITTED update subdirs only (the manifest view)."""
+        out: list[str] = []
+        for sub in self.meta["committed"]:
+            d = os.path.join(self.rows_dir, sub)
+            if os.path.isdir(d):
+                out.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    # -- write path ---------------------------------------------------------
+
+    def _signature_rows(self, docs):
+        return docs.map_batches(
+            per_worker(self._hasher_cls()), batch_format="pandas"
+        ).materialize()
+
+    def _fold_in(self, sig, update_id: str | None) -> None:
+        """Commit the signature rows: staged subdir + atomic meta append.
+        A repeated ``update_id`` is a no-op (the retried-epoch contract)."""
+        if update_id is not None and update_id in self.meta["applied_ids"]:
+            return
+        n_rows = sig.count()
+        sub = f"update-{len(self.meta['committed']):05d}"
+        target = os.path.join(self.rows_dir, sub)
+        shutil.rmtree(target, ignore_errors=True)  # orphan from a crash
+        if n_rows:
+            # sorted by band_hash so row-group min/max stats prune reads
+            sig.map_batches(
+                lambda b: b[["band", "band_hash", "doc_id"]],
+                batch_format="pandas",
+            ).sort("band_hash").write_parquet(target)
+        else:
+            os.makedirs(target, exist_ok=True)
+        self.meta["committed"].append(sub)
+        if update_id is not None:
+            self.meta["applied_ids"].append(update_id)
+        # every signed doc emits exactly `bands` rows
+        self.meta["n_docs"] += n_rows // self.meta["bands"]
+        self._write_meta()
+
+    def bootstrap(self, docs, update_id: str | None = None) -> None:
+        """Load an existing corpus into the index WITHOUT mining pairs —
+        the first epoch of a migration (its internal duplicates, if wanted,
+        are the batch path's job: q_minhash_near_dup)."""
+        self._fold_in(self._signature_rows(docs), update_id)
+
+    # -- incremental mining ---------------------------------------------------
 
     def update(
         self,
@@ -116,6 +180,7 @@ class MinHashIndex:
         corpus,
         threshold: float = 0.5,
         input_bytes: int | None = None,
+        update_id: str | None = None,
     ):
         """Mine verified near-dup pairs involving at least one NEW document,
         then fold the new docs into the index.
@@ -125,138 +190,131 @@ class MinHashIndex:
         Dataset[doc_id, text] covering every indexed doc plus the new ones
         (only candidate ENDPOINTS are attached from it — a bucketed
         semi-join, never a scan-side quadratic). Returns a materialized
-        Dataset[(doc_a, doc_b, jaccard)]."""
-        from .dedup import _SEP, _endpoint_verify, _round6
+        Dataset / DataFrame of (doc_a, doc_b, jaccard)."""
+        from .dedup import _endpoint_verify, make_jaccard_verify, make_shingle_rows
 
-        sig_new = (
-            new_docs.map_batches(
-                per_worker(self._hasher_cls()), batch_format="pandas"
-            )
-            .map_batches(
-                lambda b: b.assign(is_new=np.int8(1)), batch_format="pandas"
-            )
-            .materialize()
-        )
+        sig_new = self._signature_rows(new_docs)
 
         # touched-bucket key set: O(new · bands) — the broadcast small side
-        touched = set()
+        packed_parts, hash_parts = [], []
         for b in sig_new.iter_batches(batch_format="pandas"):
-            touched.update(
-                zip(b["band"].to_numpy().tolist(), b["band_hash"].to_numpy().tolist())
-            )
-        touched_ref = ray.put(touched)
+            band = b["band"].to_numpy()
+            bh = b["band_hash"].to_numpy()
+            packed_parts.append(_pack_keys(band, bh))
+            hash_parts.append(bh)
+        touched_packed = (
+            np.unique(np.concatenate(packed_parts))
+            if packed_parts
+            else np.array([], dtype=np.uint64)
+        )
+        touched_hashes = (
+            np.unique(np.concatenate(hash_parts))
+            if hash_parts
+            else np.array([], dtype=np.int64)
+        )
+        touched_ref = ray.put(touched_packed)
 
         files = self._row_files()
-        parts = [sig_new]
-        if files:
+        tagged = sig_new.map_batches(
+            lambda b: b.assign(is_new=np.int8(1)), batch_format="pandas"
+        )
+        if files and len(touched_hashes):
             def prefilter(b: pd.DataFrame) -> pd.DataFrame:
-                t = cached_get(touched_ref)
-                keys = list(zip(b["band"].to_numpy().tolist(),
-                                b["band_hash"].to_numpy().tolist()))
-                mask = np.fromiter((k in t for k in keys), bool, len(keys))
+                keys = _pack_keys(b["band"].to_numpy(), b["band_hash"].to_numpy())
+                mask = np.isin(keys, cached_get(touched_ref))
                 return b[mask].assign(is_new=np.int8(0))
 
-            parts.append(
-                rd.read_parquet(files).map_batches(prefilter, batch_format="pandas")
+            read_kwargs = {}
+            if len(touched_hashes) <= _PUSHDOWN_MAX_KEYS:
+                import pyarrow.compute as pc
+
+                read_kwargs["filter"] = pc.field("band_hash").isin(
+                    touched_hashes.tolist()
+                )
+            existing = rd.read_parquet(files, **read_kwargs).map_batches(
+                prefilter, batch_format="pandas"
             )
-        tagged = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            tagged = tagged.union(existing)
 
         def pairs_with_new(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.drop_duplicates("doc_id")
-            new = np.sort(g.loc[g["is_new"] == 1, "doc_id"].unique())[:_MAX_BUCKET]
-            old = np.sort(g.loc[g["is_new"] == 0, "doc_id"].unique())[:_MAX_BUCKET]
-            out_a, out_b = [], []
-            if len(new) >= 2:  # new×new
-                ia, ib = np.triu_indices(len(new), k=1)
-                out_a.append(new[ia]); out_b.append(new[ib])
-            if len(new) and len(old):  # new×old (never old×old)
-                aa = np.repeat(new, len(old))
-                bb = np.tile(old, len(new))
-                lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
-                out_a.append(lo); out_b.append(hi)
-            if not out_a:
-                return pd.DataFrame(
-                    {"doc_a": pd.Series(dtype="int64"),
-                     "doc_b": pd.Series(dtype="int64")}
-                )
-            return pd.DataFrame(
-                {"doc_a": np.concatenate(out_a).astype(np.int64),
-                 "doc_b": np.concatenate(out_b).astype(np.int64)}
-            ).drop_duplicates()
+            # one shuffle bucket holds MANY (band, band_hash) LSH buckets —
+            # regroup before pairing (pairing across LSH buckets would both
+            # invent candidates and misapply the hot-bucket cap); singleton
+            # buckets drop vectorized first
+            empty = pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64")}
+            )
+            sizes = g.groupby(["band", "band_hash"], sort=False)[
+                "doc_id"
+            ].transform("size")
+            hits = g[sizes >= 2]
+            outs = []
+            for _, grp in hits.groupby(["band", "band_hash"], sort=False):
+                # a re-ingested doc may appear as both new and old: classify
+                # by ANY new row, and never pair a doc with itself
+                per_doc = grp.groupby("doc_id", sort=False)["is_new"].max()
+                new = np.sort(per_doc[per_doc == 1].index.to_numpy())
+                old = np.sort(per_doc[per_doc == 0].index.to_numpy())
+                new, old = new[:_MAX_BUCKET], old[:_MAX_BUCKET]
+                if len(new) >= 2:
+                    ia, ib = np.triu_indices(len(new), k=1)
+                    outs.append(
+                        pd.DataFrame({"doc_a": new[ia], "doc_b": new[ib]})
+                    )
+                if len(new) and len(old):
+                    aa = np.repeat(new, len(old))
+                    bb = np.tile(old, len(new))
+                    keep = aa != bb
+                    aa, bb = aa[keep], bb[keep]
+                    outs.append(
+                        pd.DataFrame(
+                            {"doc_a": np.minimum(aa, bb),
+                             "doc_b": np.maximum(aa, bb)}
+                        )
+                    )
+            if not outs:
+                return empty
+            out = pd.concat(outs, ignore_index=True).drop_duplicates()
+            return out.astype({"doc_a": "int64", "doc_b": "int64"})
 
         candidates = bucketed_map_groups(
             tagged, ["band", "band_hash"], pairs_with_new, input_bytes=input_bytes
         ).materialize()
 
-        ngram = self.meta["ngram"]
-
-        def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "k": batch["doc_id"].astype("int64"),
-                    "feat": [
-                        _SEP.join(sorted(word_shingles(t or "", ngram)))
-                        for t in batch["text"]
-                    ],
-                }
-            )
-
-        def verify(m: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_b, out_j = [], [], []
-            for a, b_, sa, sb in zip(m["doc_a"], m["doc_b"], m["feat_a"], m["feat_b"]):
-                A = set(sa.split(_SEP)) if isinstance(sa, str) and sa else set()
-                B = set(sb.split(_SEP)) if isinstance(sb, str) and sb else set()
-                union = len(A | B)
-                j = len(A & B) / union if union else 0.0
-                if j >= threshold:
-                    out_a.append(a); out_b.append(b_); out_j.append(j)
-            return pd.DataFrame(
-                {
-                    "doc_a": np.array(out_a, dtype=np.int64),
-                    "doc_b": np.array(out_b, dtype=np.int64),
-                    "jaccard": _round6(np.array(out_j, dtype=np.float64)),
-                }
-            )
-
         verified = _endpoint_verify(
             candidates,
-            corpus.map_batches(shingle_rows, batch_format="pandas"),
+            corpus.map_batches(
+                make_shingle_rows(self.meta["ngram"]), batch_format="pandas"
+            ),
             "doc_a",
             "doc_b",
-            verify,
+            make_jaccard_verify(threshold),
             input_bytes=input_bytes,
         )
         if not isinstance(verified, pd.DataFrame):
             verified = verified.materialize()
 
-        # fold the new signatures in: Ray-side sorted write (rows sorted by
-        # band_hash so row-group min/max stats can prune future reads; the
-        # signature stream never collects on the driver)
-        n_rows = sig_new.count()
-        if n_rows:
-            sig_new.map_batches(
-                lambda b: b[["band", "band_hash", "doc_id"]],
-                batch_format="pandas",
-            ).sort("band_hash").write_parquet(self.rows_dir)
-        # every signed doc emits exactly `bands` rows
-        self.meta["n_updates"] += 1
-        self.meta["n_docs"] += n_rows // self.meta["bands"]
-        self._write_meta()
+        self._fold_in(sig_new, update_id)
         return verified
 
     def stats(self) -> dict:
-        return {**self.meta, "row_files": len(self._row_files())}
+        return {
+            **self.meta,
+            "n_updates": len(self.meta["committed"]),
+            "row_files": len(self._row_files()),
+        }
 
 
 def q_incremental_near_dup(sf_dir: str, threshold: float = 0.5):
     """Driver-facing demo of the incremental flow: bootstrap the index with
-    the first 80% of documents (epoch 1), then ingest the remaining 20% as
-    epoch 2 — the returned pairs are epoch-2's verified near-dups (new×old
-    and new×new), mined WITHOUT re-pairing the epoch-1 corpus against
-    itself. Rows-only (candidate-based, like the batch MinHash path); the
-    planted near-dup pairs straddling the boundary make the output
-    non-vacuous at every sf."""
-    import shutil
+    the first 80% of documents (epoch 1, signatures only — no mining), then
+    ingest the remaining 20% as epoch 2 — the returned pairs are epoch-2's
+    verified near-dups (new×old and new×new), mined WITHOUT re-pairing the
+    epoch-1 corpus against itself. Rows-only (candidate-based, like the
+    batch MinHash path); the planted near-dup pairs straddling the boundary
+    make the output non-vacuous at every sf."""
+    import shutil as _sh
     import tempfile
 
     import pyarrow.compute as pc
@@ -279,13 +337,15 @@ def q_incremental_near_dup(sf_dir: str, threshold: float = 0.5):
     work = tempfile.mkdtemp(prefix="mhidx-", dir="/tmp")
     try:
         idx = MinHashIndex(work)
-        idx.update(old, docs, threshold=threshold, input_bytes=nbytes)  # epoch 1
-        out = idx.update(new, docs, threshold=threshold, input_bytes=nbytes)
+        idx.bootstrap(old, update_id="epoch-1")
+        out = idx.update(
+            new, docs, threshold=threshold, input_bytes=nbytes, update_id="epoch-2"
+        )
         if not isinstance(out, pd.DataFrame):
             out = out.materialize()  # detach from the index files
         return out
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        _sh.rmtree(work, ignore_errors=True)
 
 
 QUERIES = {"incremental_near_dup": q_incremental_near_dup}

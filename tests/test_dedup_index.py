@@ -70,3 +70,39 @@ def test_empty_update_is_harmless(tmp_path):
     out_df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert len(out_df) == 0
     assert idx.stats()["n_docs"] == 10  # unchanged
+
+
+def test_update_id_idempotent_and_self_pair_guard(tmp_path):
+    """A retried epoch (same update_id) folds in exactly once, and a doc
+    re-delivered as 'new' while already indexed never pairs with itself."""
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    corpus = _docs(BASE)
+    idx.bootstrap(corpus, update_id="e1")
+    assert idx.stats()["n_docs"] == 10
+
+    redelivered = _docs({7: BASE[7]})  # doc 7 already indexed
+    all_docs = _docs(BASE)
+    out = idx.update(redelivered, all_docs, update_id="e2")
+    out_df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert not ((out_df["doc_a"] == 7) & (out_df["doc_b"] == 7)).any()
+    assert len(out_df) == 0  # no genuine near-dup of doc 7 exists
+    n_after = idx.stats()["n_docs"]
+
+    # retry the same epoch: mining re-runs, fold-in is a no-op
+    idx.update(redelivered, all_docs, update_id="e2")
+    assert idx.stats()["n_docs"] == n_after
+    assert idx.stats()["n_updates"] == len(idx.meta["committed"])
+
+
+def test_bootstrap_mines_nothing_but_indexes_everything(tmp_path):
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    dup_corpus = _docs({0: BASE[0], 1: BASE[0] + " x"})  # internal near-dups
+    idx.bootstrap(dup_corpus)
+    assert idx.stats()["n_docs"] == 2
+    # the bootstrap's internal pair surfaces as new x old on the NEXT epoch
+    new = {50: BASE[0] + " y"}
+    out = idx.update(_docs(new), _docs({**{0: BASE[0], 1: BASE[0] + " x"}, **new}))
+    out_df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    pairs = set(zip(out_df["doc_a"], out_df["doc_b"]))
+    assert (0, 50) in pairs and (1, 50) in pairs
+    assert (0, 1) not in pairs  # old x old stays unmined, by contract
