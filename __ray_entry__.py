@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_di.QUERIES)  # rows-only: incremental LSH index flow
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.curate as _cu
+
+        qs.update(_cu.QUERIES)  # the composed curation chain (oracle)
+    except ImportError:
+        pass
     return qs
 
 
@@ -86,6 +92,12 @@ def oracle_sql() -> dict[str, str]:
         import nostr_data_pipeline_ray.pipelines.dedup as _dd
 
         out.update(_dd.ORACLE)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.curate as _cu
+
+        out.update(_cu.ORACLE)
     except ImportError:
         pass
     return out

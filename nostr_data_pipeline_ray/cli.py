@@ -10,6 +10,7 @@ top-zapped/user/relays/version).
     python -m nostr_data_pipeline_ray export --lake DIR --out DIR
     python -m nostr_data_pipeline_ray report [--sf DIR]
     python -m nostr_data_pipeline_ray vacuum --lake DIR
+    python -m nostr_data_pipeline_ray curate --sf DIR --out DIR [--budget N]
     python -m nostr_data_pipeline_ray version
 
 Owns its Ray session (guarded init, shutdown at exit) — library code never
@@ -244,6 +245,16 @@ def cmd_fsck(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_curate(args) -> int:
+    """Composed training-data chain: dedup survivors → decontaminate →
+    p75 quality cut → write curated.parquet + packed training sequences."""
+    _ray()
+    from .pipelines.curate import curate_corpus
+
+    print(json.dumps(curate_corpus(args.sf, args.out, budget=args.budget)))
+    return 0
+
+
 def cmd_version(_args) -> int:
     from . import __version__
 
@@ -318,6 +329,15 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--repair", action="store_true",
                     help="rebuild missing/corrupt bloom sidecars first")
     fs.set_defaults(fn=cmd_fsck)
+
+    cu = sub.add_parser(
+        "curate",
+        help="dedup + decontaminate + quality-cut a documents table, pack sequences",
+    )
+    cu.add_argument("--sf", required=True, help="directory holding documents.parquet")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--budget", type=int, default=256, help="tokens per pack")
+    cu.set_defaults(fn=cmd_curate)
 
     ver = sub.add_parser("version")
     ver.set_defaults(fn=cmd_version)

@@ -79,3 +79,54 @@ def test_multi_shard_pack_ids_disjoint():
     assert set(shards) == set(range(7))
     per_pack = out.groupby("pack_id")["n_tokens"].sum()
     assert (per_pack <= 100).all()
+
+
+def test_curate_corpus_end_to_end(tmp_path):
+    """The composed curation sink: planted corpus with one near-dup pair,
+    one benchmark-contaminated doc, and mixed quality — writes curated docs
+    + pack assignments + a summary whose counts agree."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again today " * 6
+    texts = {}
+    # ids < 20 are the benchmark stand-in (dedup._BENCHMARK_MAX_DOC_ID)
+    texts[0] = "held out benchmark question about astronomy and orbits " * 5
+    for i in range(1, 20):
+        texts[i] = f"benchmark filler {i} " + " ".join(
+            f"b{i}q{j}" for j in range(30)
+        )
+    texts[20] = base + "alpha"
+    texts[21] = base + "alpha beta"  # near-dup of 20 -> dropped
+    texts[22] = "held out benchmark question about astronomy and orbits twice"  # contaminated
+    texts[23] = " ".join(f"unique{j}" for j in range(60))  # clean, long
+    texts[24] = "short"  # low quality
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(v) for v in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = tmp_path / "curated"
+    summary = curate_corpus(str(tmp_path), str(out), budget=64)
+    assert summary["input_docs"] == len(texts)
+    assert summary["curated_docs"] == summary["input_docs"] - summary["dropped"]
+
+    curated = pq.read_table(str(out / "curated.parquet")).to_pydict()
+    kept = set(curated["doc_id"])
+    assert 21 not in kept  # near-dup loser
+    assert 22 not in kept  # contaminated
+    assert 24 not in kept  # below the quality cut
+    assert 20 in kept and 23 in kept
+
+    packs = pq.read_table(str(out / "packs.parquet")).to_pydict()
+    assert sorted(packs["doc_id"]) == sorted(kept)
+    assert json.load(open(out / "curation_summary.json")) == summary
