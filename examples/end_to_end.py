@@ -134,4 +134,36 @@ with open(f"{BASE}/report.html", "w") as f:
     f.write(html_doc)
 print("dashboard:   ", f"{BASE}/report.html", f"({len(html_doc)} bytes)")
 
+# 9. training-data curation over the documents table: near-dup clusters ->
+#    canonical survivors -> drop benchmark-contaminated docs -> p75 quality
+#    cut -> pack into fixed-token-budget training sequences. The same chain
+#    is oracle-checked end-to-end as the `curated_corpus` query.
+from nostr_data_pipeline_ray.pipelines.curate import curate_corpus
+
+print("\ncurate:", curate_corpus("/root/testdata/sf0.001", f"{BASE}/curated"))
+
+# 10. incremental near-dup maintenance: index today's corpus once, then
+#     each ingest epoch mines pairs ONLY for its new docs (never old x old)
+import pandas as pd
+import ray.data as rd
+
+from nostr_data_pipeline_ray.pipelines.dedup_index import MinHashIndex
+
+docs = rd.read_parquet(
+    "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+)
+idx = MinHashIndex(f"{BASE}/neardup_index")
+idx.bootstrap(
+    docs.map_batches(lambda b: b[b["doc_id"] < 40], batch_format="pandas"),
+    update_id="epoch-0",
+)
+pairs = idx.update(
+    docs.map_batches(lambda b: b[b["doc_id"] >= 40], batch_format="pandas"),
+    docs,
+    update_id="epoch-1",
+)
+n_pairs = len(pairs) if isinstance(pairs, pd.DataFrame) else pairs.count()
+print("incremental near-dup pairs (new epoch only):", n_pairs,
+      "| index:", idx.stats()["n_docs"], "docs")
+
 ray.shutdown()
