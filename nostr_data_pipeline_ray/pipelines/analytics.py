@@ -1332,27 +1332,35 @@ def q_sample_per_group(sf_dir: str, k: int = 200):
     )
 
 
+# shared quality-cut SQL: the F5-length score table, its rank frame, and
+# the truncating-index p75 threshold — used by the quality_filter oracle
+# here and the composed curation oracle (pipelines/curate.py)
+QUALITY_SQL_CTES = """
+    q AS (
+        SELECT doc_id,
+               round(0.3 * (CASE
+                   WHEN n_chars < 50 THEN n_chars / 50.0 * 50.0
+                   WHEN n_chars <= 500 THEN 50.0 + (n_chars - 50.0) / 450.0 * 50.0
+                   ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
+               END), 2) AS quality_score
+        FROM documents
+    ), r AS (
+        SELECT quality_score,
+               row_number() OVER (ORDER BY quality_score) AS rn,
+               count(*) OVER () AS n
+        FROM q
+    )
+"""
+QUALITY_SQL_THRESHOLD = """(
+    SELECT quality_score FROM r
+    WHERE rn - 1 = least(CAST(floor(n * 0.75) AS BIGINT), n - 1)
+)"""
+
 ORACLE: dict[str, str] = {
-    "quality_filter": """
-        WITH q AS (
-            SELECT doc_id,
-                   round(0.3 * (CASE
-                       WHEN n_chars < 50 THEN n_chars / 50.0 * 50.0
-                       WHEN n_chars <= 500 THEN 50.0 + (n_chars - 50.0) / 450.0 * 50.0
-                       ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
-                   END), 2) AS quality_score
-            FROM documents
-        ), r AS (
-            SELECT quality_score,
-                   row_number() OVER (ORDER BY quality_score) AS rn,
-                   count(*) OVER () AS n
-            FROM q
-        )
+    "quality_filter": f"""
+        WITH {QUALITY_SQL_CTES}
         SELECT doc_id, quality_score FROM q
-        WHERE quality_score >= (
-            SELECT quality_score FROM r
-            WHERE rn - 1 = least(CAST(floor(n * 0.75) AS BIGINT), n - 1)
-        )
+        WHERE quality_score >= {QUALITY_SQL_THRESHOLD}
     """,
     "stratified_sample": """
         SELECT * FROM events

@@ -5,17 +5,22 @@ pre-training corpus actually receives:
 
 1. near-dup DEDUP: keep only each cluster's canonical member
    (connected components over bigram-Jaccard >= 0.5 edges — dedup.py);
-2. DECONTAMINATION: drop documents sharing a word 5-gram with the held-out
-   benchmark set (dedup.q_contamination_flags);
+2. DECONTAMINATION: drop the held-out benchmark documents themselves AND
+   every document sharing a word 5-gram with them (a training corpus must
+   contain neither the benchmark nor its paraphrases —
+   dedup.q_contamination_flags);
 3. QUALITY CUT: keep documents at or above the exact p75 quality score
    (analytics.q_quality_filter).
 
 `q_curated_corpus` is itself ORACLE-CHECKED: one DuckDB statement composes
 the recursive-CTE reachability closure, the 5-gram overlap semi-join, and
-the window-function percentile threshold — so the whole chain, not just
-its pieces, is pinned bit-for-bit. `curate_corpus` is the user-facing
-sink: it writes the curated documents plus their packed training-sequence
-assignment (pack.pack_documents) and returns per-stage counts.
+the window-function percentile threshold — assembled from the SAME SQL
+constants the standalone operators' oracles use (`dedup._CC_EDGE_CTES`,
+`dedup._GRAM5_CTES`, `analytics.QUALITY_SQL_CTES`), so the whole chain,
+not just its pieces, is pinned bit-for-bit and cannot silently diverge
+from them. `curate_corpus` is the user-facing sink: it writes the curated
+documents plus their packed training-sequence assignment
+(pack.pack_documents) and returns per-stage survivor counts.
 
 Shape at scale: each stage is a bucketed semi/anti join against a flag
 set that is small relative to the corpus (losers ~ dup rate, contaminated
@@ -28,8 +33,6 @@ from __future__ import annotations
 import json
 import os
 
-import pandas as pd
-
 import ray.data as rd
 
 from ..stages.joins import bucketed_hash_join
@@ -39,11 +42,19 @@ def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
-def q_curated_corpus(sf_dir: str):
+def q_curated_corpus(sf_dir: str, counts: dict | None = None):
     """(doc_id) of every document surviving dedup + decontamination + the
-    p75 quality cut."""
+    p75 quality cut. Pass ``counts`` (a dict) to receive per-stage survivor
+    counts — each stage is materialized anyway, so counting is free."""
+    import pyarrow.compute as pc
+
     from .analytics import _read, q_quality_filter
-    from .dedup import _cluster_labels, q_contamination_flags
+    from .dedup import (
+        _BENCHMARK_MAX_DOC_ID,
+        _cluster_labels,
+        loser_ids,
+        q_contamination_flags,
+    )
 
     nbytes = os.path.getsize(_docs_path(sf_dir))
     docs = _read(sf_dir, "documents", columns=["doc_id"])
@@ -51,18 +62,19 @@ def q_curated_corpus(sf_dir: str):
     # stage 1 — dedup: drop non-canonical cluster members
     labels = _cluster_labels(sf_dir, 0.5)
     if labels is not None:
-        losers = labels.map_batches(
-            lambda b: pd.DataFrame(
-                {"loser_id": b.loc[b["node"] != b["label"], "node"].astype("int64")}
-            ),
-            batch_format="pandas",
-        )
         docs = bucketed_hash_join(
-            docs, losers, left_on=["doc_id"], right_on=["loser_id"],
+            docs, loser_ids(labels), left_on=["doc_id"], right_on=["loser_id"],
             how="left_anti", input_bytes=nbytes,
         ).materialize()
+    if counts is not None:
+        counts["after_dedup"] = docs.count()
 
-    # stage 2 — decontamination: drop benchmark-overlapping docs
+    # stage 2 — decontamination: the held-out set itself never enters the
+    # training corpus, and neither does anything 5-gram-overlapping it
+    docs = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], _BENCHMARK_MAX_DOC_ID)),
+        batch_format="pyarrow",
+    )
     contam = q_contamination_flags(sf_dir).map_batches(
         lambda b: b.select(["doc_id"]).rename_columns(["bad_id"]),
         batch_format="pyarrow",
@@ -71,6 +83,8 @@ def q_curated_corpus(sf_dir: str):
         docs, contam, left_on=["doc_id"], right_on=["bad_id"],
         how="left_anti", input_bytes=nbytes,
     ).materialize()
+    if counts is not None:
+        counts["after_decontam"] = docs.count()
 
     # stage 3 — quality cut: keep the top quartile (threshold over the FULL
     # corpus, same convention as the standalone quality_filter oracle)
@@ -78,26 +92,33 @@ def q_curated_corpus(sf_dir: str):
         lambda b: b.select(["doc_id"]).rename_columns(["keep_id"]),
         batch_format="pyarrow",
     )
-    return bucketed_hash_join(
+    out = bucketed_hash_join(
         docs, keep, left_on=["doc_id"], right_on=["keep_id"],
         how="left_semi", input_bytes=nbytes,
     )
+    if counts is not None:
+        out = out.materialize()
+        counts["after_quality"] = out.count()
+    return out
 
 
 def curate_corpus(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
     """Run the curation chain and WRITE the results: ``curated.parquet``
     (the surviving documents) and ``packs.parquet`` (their training-
-    sequence assignment at ``budget`` tokens). Returns per-stage counts."""
+    sequence assignment at ``budget`` tokens). Returns per-stage survivor
+    counts plus pack stats."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from ..stages.shuffle import bucketed_sum_count
     from .pack import pack_documents
 
     os.makedirs(out_dir, exist_ok=True)
     nbytes = os.path.getsize(_docs_path(sf_dir))
     n_total = pq.read_metadata(_docs_path(sf_dir)).num_rows
 
-    kept_ids = q_curated_corpus(sf_dir).materialize()
+    stage_counts: dict = {}
+    kept_ids = q_curated_corpus(sf_dir, counts=stage_counts).materialize()
     n_kept = kept_ids.count()
 
     blocks = min(64, max(2, nbytes >> 20))
@@ -127,13 +148,15 @@ def curate_corpus(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
         input_bytes=nbytes,
     ).materialize()
     packed.write_parquet(os.path.join(out_dir, "packs.parquet"))
-    n_packs = packed.map_batches(
-        lambda b: pd.DataFrame({"p": b["pack_id"].unique()}),
-        batch_format="pandas",
-    ).to_pandas()["p"].nunique()
+    # distributed distinct count — pack ids are O(total_tokens/budget),
+    # never collected on the driver
+    n_packs = bucketed_sum_count(
+        packed, ["pack_id"], sums={}, count_as="c", input_bytes=nbytes
+    ).count()
 
     summary = {
         "input_docs": int(n_total),
+        **{k: int(v) for k, v in stage_counts.items()},
         "curated_docs": int(n_kept),
         "dropped": int(n_total - n_kept),
         "packs": int(n_packs),
@@ -145,49 +168,24 @@ def curate_corpus(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
     return summary
 
 
-# the composed-chain oracle: recursive CC closure + 5-gram contamination +
-# window-function percentile cut in ONE statement (pieces reused verbatim
-# from the standalone operators' oracles)
+# the composed-chain oracle, assembled from the standalone operators' own
+# SQL constants: recursive CC closure + 5-gram contamination + percentile
+# cut in ONE statement
 def _oracle() -> str:
-    from .dedup import _BENCHMARK_MAX_DOC_ID, _CC_EDGE_CTES
+    from .analytics import QUALITY_SQL_CTES, QUALITY_SQL_THRESHOLD
+    from .dedup import _BENCHMARK_MAX_DOC_ID, _CC_EDGE_CTES, _GRAM5_CTES
 
     return f"""
-        WITH RECURSIVE {_CC_EDGE_CTES},
-        g5 AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, len(w) - 3),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        ), contam AS (
-            SELECT DISTINCT g5.doc_id
-            FROM g5 JOIN (
-                SELECT DISTINCT gram FROM g5
-                WHERE doc_id < {_BENCHMARK_MAX_DOC_ID}
-            ) b USING (gram)
-            WHERE g5.doc_id >= {_BENCHMARK_MAX_DOC_ID}
-        ), q AS (
-            SELECT doc_id,
-                   round(0.3 * (CASE
-                       WHEN n_chars < 50 THEN n_chars / 50.0 * 50.0
-                       WHEN n_chars <= 500 THEN 50.0 + (n_chars - 50.0) / 450.0 * 50.0
-                       ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
-                   END), 2) AS quality_score
-            FROM documents
-        ), r AS (
-            SELECT quality_score,
-                   row_number() OVER (ORDER BY quality_score) AS rn,
-                   count(*) OVER () AS n
-            FROM q
-        )
+        WITH RECURSIVE {_CC_EDGE_CTES}, {_GRAM5_CTES}, {QUALITY_SQL_CTES}
         SELECT cc.doc_id FROM cc
         JOIN q USING (doc_id)
         WHERE cc.doc_id = cc.cluster_id
-          AND cc.doc_id NOT IN (SELECT doc_id FROM contam)
-          AND q.quality_score >= (
-              SELECT quality_score FROM r
-              WHERE rn - 1 = least(CAST(floor(n * 0.75) AS BIGINT), n - 1)
+          AND cc.doc_id >= {_BENCHMARK_MAX_DOC_ID}
+          AND cc.doc_id NOT IN (
+              SELECT DISTINCT g5.doc_id FROM g5 JOIN b5 USING (gram)
+              WHERE g5.doc_id >= {_BENCHMARK_MAX_DOC_ID}
           )
+          AND q.quality_score >= {QUALITY_SQL_THRESHOLD}
     """
 
 

@@ -377,6 +377,19 @@ def q_contamination_flags(sf_dir: str, n: int = 5):
     )
 
 
+def loser_ids(labels):
+    """(loser_id) of every cluster member whose label isn't its own id —
+    the docs dedup drops. Shared by q_dedup_survivors and the composed
+    curation chain (pipelines/curate.py) so the canonical-member
+    convention lives in one place."""
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {"loser_id": b.loc[b["node"] != b["label"], "node"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_dedup_survivors(sf_dir: str, threshold: float = 0.5):
     """The deduplicated corpus: drop every non-canonical member of a
     near-dup cluster, keep everything else — the actual output a training-
@@ -386,12 +399,7 @@ def q_dedup_survivors(sf_dir: str, threshold: float = 0.5):
     labels = _cluster_labels(sf_dir, threshold)
     if labels is None:
         return docs
-    losers = labels.map_batches(
-        lambda b: pd.DataFrame(
-            {"loser_id": b.loc[b["node"] != b["label"], "node"].astype("int64")}
-        ),
-        batch_format="pandas",
-    )
+    losers = loser_ids(labels)
     return bucketed_hash_join(
         docs,
         losers,
@@ -1155,19 +1163,26 @@ _CC_EDGE_CTES = """
     )
 """
 
+# shared 5-gram CTEs: the corpus gram table and the benchmark gram set —
+# used by the contamination oracle here and the composed curation oracle
+# (pipelines/curate.py), so the two can never diverge
+_GRAM5_CTES = f"""
+    g5 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w) - 3),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), b5 AS (
+        SELECT DISTINCT gram FROM g5 WHERE doc_id < {_BENCHMARK_MAX_DOC_ID}
+    )
+"""
+
 ORACLE = {
     "contamination_flags": f"""
-        WITH g AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, len(w) - 3),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        ), b AS (
-            SELECT DISTINCT gram FROM g WHERE doc_id < {_BENCHMARK_MAX_DOC_ID}
-        )
+        WITH {_GRAM5_CTES}
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        FROM g JOIN b USING (gram)
+        FROM g5 JOIN b5 USING (gram)
         WHERE doc_id >= {_BENCHMARK_MAX_DOC_ID}
         GROUP BY doc_id
     """,

@@ -70,6 +70,7 @@ class MinHashIndex:
     """Persisted LSH bucket table with incremental candidate mining."""
 
     META = "index_meta.json"
+    FORMAT = 2  # committed-subdir manifest; bump on incompatible layout changes
 
     def __init__(
         self,
@@ -87,6 +88,13 @@ class MinHashIndex:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 have = json.load(f)
+            if have.get("format") != self.FORMAT:
+                raise ValueError(
+                    f"index at {index_dir} uses on-disk format "
+                    f"{have.get('format')!r}, this code reads format "
+                    f"{self.FORMAT} — rebuild the index (bootstrap) rather "
+                    "than silently missing its rows"
+                )
             mismatch = {k: (have.get(k), v) for k, v in want.items() if have.get(k) != v}
             if mismatch:
                 raise ValueError(
@@ -96,7 +104,13 @@ class MinHashIndex:
             self.meta = have
         else:
             os.makedirs(self.rows_dir, exist_ok=True)
-            self.meta = {**want, "n_docs": 0, "committed": [], "applied_ids": []}
+            self.meta = {
+                **want,
+                "format": self.FORMAT,
+                "n_docs": 0,
+                "committed": [],
+                "applied_ids": [],
+            }
             self._write_meta()
 
     def _write_meta(self) -> None:

@@ -80,6 +80,13 @@ def bucketed_hash_join(
 
     right_on = right_on or left_on
     lschema, rschema = left.schema(), right.schema()
+    # an EMPTY Dataset (e.g. a flag set with no hits) has no inferable
+    # schema; existence probes have trivial answers there, so short-circuit
+    # instead of dereferencing None
+    if rschema is None and how in ("left_semi", "left_anti"):
+        return left if how == "left_anti" else left.limit(0)
+    if lschema is None and how in ("left_semi", "left_anti", "left", "inner"):
+        return left  # empty left: nothing to join, result is empty
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap = set(lcols) & set(rcols)
     assert not overlap, f"bucketed_hash_join needs disjoint columns, got {overlap}"

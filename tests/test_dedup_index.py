@@ -106,3 +106,15 @@ def test_bootstrap_mines_nothing_but_indexes_everything(tmp_path):
     pairs = set(zip(out_df["doc_a"], out_df["doc_b"]))
     assert (0, 50) in pairs and (1, 50) in pairs
     assert (0, 1) not in pairs  # old x old stays unmined, by contract
+
+
+def test_format_version_guard(tmp_path):
+    import json
+
+    d = tmp_path / "idx"
+    MinHashIndex(str(d))
+    meta = json.load(open(d / "index_meta.json"))
+    meta["format"] = 1  # simulate a legacy layout
+    json.dump(meta, open(d / "index_meta.json", "w"))
+    with pytest.raises(ValueError, match="on-disk format"):
+        MinHashIndex(str(d))
