@@ -289,39 +289,82 @@ def _cluster_labels(sf_dir: str, threshold: float):
     return labels
 
 
+def _clusters_output(entities, id_col: str, labels, input_bytes: int):
+    """Assemble the (id, cluster_id, is_canonical) result: left-join the
+    corpus against the component labels, null → own id (isolated nodes are
+    singletons). Shared by the bigram, MinHash and embedding cluster
+    variants — the clustering contract lives in one place."""
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b["label"].fillna(b[id_col]).astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].astype("int64"),
+                "cluster_id": cl,
+                "is_canonical": (cl == b[id_col]).astype(bool),
+            }
+        )
+
+    if labels is None:
+        return entities.map_batches(
+            lambda b: finish(b.assign(label=pd.array([pd.NA] * len(b), "Int64"))),
+            batch_format="pandas",
+        )
+    joined = bucketed_hash_join(
+        entities,
+        labels,
+        left_on=[id_col],
+        right_on=["node"],
+        how="left",
+        input_bytes=input_bytes,
+    )
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
     """Near-dup cluster id per document (cluster_id = min doc_id of the
     connected component of the bigram-Jaccard ≥ threshold graph;
     is_canonical marks the survivor). The sf0.01 corpus plants 25 pair
     edges, one of which chains into a 3-doc component — the oracle check
     fails unless transitive closure is actually computed."""
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    labels = _cluster_labels(sf_dir, threshold)
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        cl = b["label"].fillna(b["doc_id"]).astype("int64")
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"].astype("int64"),
-                "cluster_id": cl,
-                "is_canonical": (cl == b["doc_id"]).astype(bool),
-            }
-        )
-
-    if labels is None:
-        return docs.map_batches(
-            lambda b: finish(b.assign(label=pd.array([pd.NA] * len(b), "Int64"))),
-            batch_format="pandas",
-        )
-    joined = bucketed_hash_join(
-        docs,
-        labels,
-        left_on=["doc_id"],
-        right_on=["node"],
-        how="left",
-        input_bytes=os.path.getsize(_t(sf_dir, "documents")),
+    return _clusters_output(
+        _read(sf_dir, "documents", columns=["doc_id"]),
+        "doc_id",
+        _cluster_labels(sf_dir, threshold),
+        os.path.getsize(_t(sf_dir, "documents")),
     )
-    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_dedup_clusters_minhash(sf_dir: str, threshold: float = 0.5):
+    """The SCALE-PATH clustering: edges come from the MinHash-LSH miner's
+    verified pairs (candidate-based, linear-ish in the corpus) instead of
+    the exact inverted index — the same connected-components operator and
+    output contract downstream. Rows-only like the miner itself; agreement
+    with the exact-path clusters on the planted corpus is pinned by test."""
+    from ..stages.graph import connected_components
+
+    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
+    pairs = q_minhash_near_dup(sf_dir, threshold)
+    if isinstance(pairs, pd.DataFrame):  # zero-candidate typed frame
+        edges = None
+    else:
+        edges = pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b["doc_a"].astype("int64"), "dst": b["doc_b"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if edges.count() == 0:
+            edges = None
+    labels = (
+        None if edges is None else connected_components(edges, input_bytes=doc_bytes)
+    )
+    return _clusters_output(
+        _read(sf_dir, "documents", columns=["doc_id"]),
+        "doc_id",
+        labels,
+        doc_bytes,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -748,32 +791,17 @@ def q_dedup_clusters_embedding(
         )
         .materialize()
     )
-    vecs = _read(sf_dir, "embeddings", columns=["vec_id"])
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        cl = b["label"].fillna(b["vec_id"]).astype("int64")
-        return pd.DataFrame(
-            {
-                "vec_id": b["vec_id"].astype("int64"),
-                "cluster_id": cl,
-                "is_canonical": (cl == b["vec_id"]).astype(bool),
-            }
-        )
-
-    if edges.count() == 0:
-        return vecs.map_batches(
-            lambda b: finish(b.assign(label=pd.array([pd.NA] * len(b), "Int64"))),
-            batch_format="pandas",
-        )
-    labels = connected_components(edges, input_bytes=emb_bytes)
-    return bucketed_hash_join(
-        vecs,
+    labels = (
+        None
+        if edges.count() == 0
+        else connected_components(edges, input_bytes=emb_bytes)
+    )
+    return _clusters_output(
+        _read(sf_dir, "embeddings", columns=["vec_id"]),
+        "vec_id",
         labels,
-        left_on=["vec_id"],
-        right_on=["node"],
-        how="left",
-        input_bytes=emb_bytes,
-    ).map_batches(finish, batch_format="pandas")
+        emb_bytes,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1116,6 +1144,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_clusters_embedding": q_dedup_clusters_embedding,
+    "dedup_clusters_minhash": q_dedup_clusters_minhash,  # rows-only scale path
     "contamination_flags": q_contamination_flags,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_documents": q_simhash_documents,

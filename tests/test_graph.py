@@ -131,3 +131,41 @@ def test_dedup_clusters_no_edges(tmp_path):
     assert list(cl["cluster_id"]) == [0, 1, 2]
     assert cl["is_canonical"].all()
     assert len(q_dedup_survivors(str(tmp_path)).to_pandas()) == 3
+
+
+def test_minhash_cluster_path_agrees_with_exact(tmp_path):
+    """The LSH-mined scale path and the exact bigram path must produce the
+    same clusters on a corpus of obvious near-dups (MinHash recall on
+    ~0.95-Jaccard pairs is effectively 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.dedup import (
+        q_dedup_clusters,
+        q_dedup_clusters_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    texts = [
+        base + "alpha",
+        base + "alpha beta",
+        base + "alpha beta gamma",  # 3-doc chain
+        "completely different content about distributed dataflow engines",
+        "unrelated short text with its own vocabulary entirely",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["t"] * 5),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    exact = q_dedup_clusters(str(tmp_path)).to_pandas().sort_values("doc_id")
+    lsh = q_dedup_clusters_minhash(str(tmp_path)).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), lsh.reset_index(drop=True)
+    )
+    assert list(exact["cluster_id"]) == [0, 0, 0, 3, 4]
