@@ -319,6 +319,46 @@ class MinHashIndex:
             "row_files": len(self._row_files()),
         }
 
+    def fsck(self) -> dict:
+        """Integrity audit (the lake-fsck analog for the index): every
+        committed subdir must exist and the total committed row count must
+        equal n_docs · bands (each signed doc emits exactly one row per
+        band). Orphan subdirs (a crash between write and commit) are
+        reported, not errors — the next fold-in at that slot overwrites."""
+        import pyarrow.parquet as pq
+
+        errors, missing = [], []
+        total_rows = 0
+        for sub in self.meta["committed"]:
+            d = os.path.join(self.rows_dir, sub)
+            if not os.path.isdir(d):
+                missing.append(sub)
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total_rows += pq.read_metadata(os.path.join(d, f)).num_rows
+        if missing:
+            errors.append(f"committed subdirs missing on disk: {missing}")
+        want_rows = self.meta["n_docs"] * self.meta["bands"]
+        if not missing and total_rows != want_rows:
+            errors.append(
+                f"row count {total_rows} != n_docs*bands {want_rows} "
+                "(partial write inside a committed subdir?)"
+            )
+        orphans = [
+            s
+            for s in os.listdir(self.rows_dir)
+            if os.path.isdir(os.path.join(self.rows_dir, s))
+            and s not in self.meta["committed"]
+        ] if os.path.isdir(self.rows_dir) else []
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "committed": len(self.meta["committed"]),
+            "rows": total_rows,
+            "orphans": orphans,
+        }
+
 
 def q_incremental_near_dup(sf_dir: str, threshold: float = 0.5):
     """Driver-facing demo of the incremental flow: bootstrap the index with

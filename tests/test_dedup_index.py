@@ -118,3 +118,23 @@ def test_format_version_guard(tmp_path):
     json.dump(meta, open(d / "index_meta.json", "w"))
     with pytest.raises(ValueError, match="on-disk format"):
         MinHashIndex(str(d))
+
+
+def test_index_fsck(tmp_path):
+    import shutil
+
+    d = tmp_path / "idx"
+    idx = MinHashIndex(str(d))
+    idx.bootstrap(_docs(BASE), update_id="e1")
+    rep = idx.fsck()
+    assert rep["ok"] and rep["rows"] == 10 * idx.meta["bands"]
+
+    # an orphan subdir (crash between write and commit) is reported, not fatal
+    (d / "rows" / "update-99999").mkdir()
+    rep = idx.fsck()
+    assert rep["ok"] and rep["orphans"] == ["update-99999"]
+
+    # a vanished committed subdir is an error
+    shutil.rmtree(d / "rows" / idx.meta["committed"][0])
+    rep = idx.fsck()
+    assert not rep["ok"] and "missing on disk" in rep["errors"][0]
