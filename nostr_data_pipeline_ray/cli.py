@@ -237,6 +237,9 @@ def cmd_vacuum(args) -> int:
 def cmd_fsck(args) -> int:
     from .state.fsck import check_lake, repair_sidecars
 
+    if args.deep or args.repair:
+        _ray()  # both launch Ray Data jobs — same guarded session as the rest
+
     if args.repair:
         rebuilt = repair_sidecars(args.lake)
         print(json.dumps({"sidecars_rebuilt": rebuilt}))

@@ -1325,7 +1325,9 @@ def export_snapshot(
         )
     except Exception as e:  # vacuum raced us: re-resolve and retry
         if _retries > 0 and "FileNotFoundError" in repr(e):
-            return export_snapshot(lake_root, out_dir, _retries=_retries - 1)
+            return export_snapshot(
+                lake_root, out_dir, force=force, _retries=_retries - 1
+            )
         raise
     written = sum(1 for r in rows if r["written"])
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:

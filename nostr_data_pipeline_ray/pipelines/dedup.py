@@ -547,6 +547,19 @@ def _endpoint_verify(
         m = dict(zip(g.loc[is_feat, "k"], g.loc[is_feat, "feat"]))
         out = p[[key_a, key_b, "side"]].copy()
         out["feat"] = p["k"].map(m)
+        miss = out["feat"].isna()
+        if miss.any():
+            # a candidate endpoint with no feature row would verify as an
+            # empty set → similarity 0 → pair SILENTLY dropped; the feats
+            # stream (docstring contract) must cover every endpoint, so a
+            # gap is a caller bug (e.g. MinHashIndex.update given a corpus
+            # missing indexed docs) — fail loudly instead
+            bad = sorted(set(p.loc[miss.to_numpy(), "k"].tolist()))[:5]
+            raise ValueError(
+                f"{int(miss.sum())} candidate endpoint(s) have no feature "
+                f"row (ids e.g. {bad}) — the feats/corpus argument must "
+                "cover every candidate endpoint"
+            )
         return out
 
     halves = bucketed_map_groups(

@@ -75,15 +75,27 @@ def build(conv_ids: pa.Array | pa.ChunkedArray) -> bytes:
     return _MAGIC + struct.pack("<IQ", _K, m) + np.packbits(bits, bitorder="little").tobytes()
 
 
+def header_ok(blob: bytes) -> bool:
+    """Full header validation — the exact checks ``contains`` performs
+    before trusting a blob (magic, sane k, power-of-two m, body length).
+    A failing blob makes reads FAIL OPEN (never skip), which is correct
+    but silently loses all pruning — fsck flags it and ``repair_sidecars``
+    rebuilds it instead of treating magic-only blobs as healthy."""
+    if len(blob) < len(_MAGIC) + 12 or not blob.startswith(_MAGIC):
+        return False
+    k, m = struct.unpack_from("<IQ", blob, len(_MAGIC))
+    return not (
+        k == 0 or k > _MAX_K or m == 0 or m & (m - 1)
+        or len(blob) < len(_MAGIC) + 12 + m // 8
+    )
+
+
 def contains(blob: bytes, value: str) -> bool:
     """True if ``value`` MAY be present (false positives possible, false
     negatives not). Malformed blobs answer True (never skip on corruption)."""
-    if len(blob) < len(_MAGIC) + 12 or not blob.startswith(_MAGIC):
+    if not header_ok(blob):
         return True
     k, m = struct.unpack_from("<IQ", blob, len(_MAGIC))
-    if (k == 0 or k > _MAX_K or m == 0 or m & (m - 1)
-            or len(blob) < len(_MAGIC) + 12 + m // 8):
-        return True
     bits = np.unpackbits(
         np.frombuffer(blob, dtype=np.uint8, count=m // 8, offset=len(_MAGIC) + 12),
         bitorder="little",
@@ -100,12 +112,9 @@ def contains_all(blob: bytes, values: np.ndarray) -> bool:
     The bulk twin of ``contains`` (fsck's no-false-negative audit probes
     every distinct conv_id of a part — per-value scalar probes would be
     O(n) Python at millions of conversations per part)."""
-    if len(blob) < len(_MAGIC) + 12 or not blob.startswith(_MAGIC):
+    if not header_ok(blob):
         return True
     k, m = struct.unpack_from("<IQ", blob, len(_MAGIC))
-    if (k == 0 or k > _MAX_K or m == 0 or m & (m - 1)
-            or len(blob) < len(_MAGIC) + 12 + m // 8):
-        return True
     if len(values) == 0:
         return True
     bits = np.unpackbits(

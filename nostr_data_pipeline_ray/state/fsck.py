@@ -196,6 +196,15 @@ def _deep_check_parts(batch: pa.Table) -> pa.Table:
         if os.path.exists(sp):
             with open(sp, "rb") as f:
                 blob = f.read()
+            if not bloom.header_ok(blob):
+                # fail-open blob: reads stay correct but lose all pruning —
+                # contains_all would answer True trivially, so flag instead
+                out.append({"check": "bloom_fail_open", "file": path,
+                            "pkey": pkey,
+                            "detail": "sidecar header invalid — reads fail "
+                                      "open; run fsck --repair",
+                            "severity": "warning"})
+                continue
             distinct = np.asarray(pc.unique(t["conv_id"]).to_pylist(),
                                   dtype=object)
             if not bloom.contains_all(blob, distinct):
@@ -231,7 +240,10 @@ def repair_sidecars(lake_root: str) -> int:
             ok = False
             if os.path.exists(sp):
                 with open(sp, "rb") as f:
-                    ok = f.read(len(bloom._MAGIC)) == bloom._MAGIC
+                    # full header validation — a truncated body behind a
+                    # valid magic fails open on every read (permanent
+                    # silent pruning loss) and must be rebuilt too
+                    ok = bloom.header_ok(f.read())
             if os.path.exists(p) and not ok:
                 todo.append({"path": p})
     if not todo:

@@ -282,3 +282,22 @@ def test_contamination_flags_planted(tmp_path):
         .to_dict()
     )
     assert got == {20: 4, 21: 1}
+
+
+def test_endpoint_verify_raises_on_missing_feature():
+    """A candidate endpoint with no row in the feats stream used to verify
+    as an empty set (similarity 0 → pair silently dropped); the contract
+    violation must now fail loudly (ADVICE r3)."""
+    import ray.data as rd
+
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": [1], "doc_b": [2]}))
+    feats = rd.from_pandas(
+        pd.DataFrame({"k": [1], "feat": ["a b c"]})  # endpoint 2 missing
+    )
+    with pytest.raises(Exception) as ei:
+        out = dd._endpoint_verify(
+            pairs, feats, "doc_a", "doc_b", lambda m: m, input_bytes=1 << 20
+        )
+        if not isinstance(out, pd.DataFrame):
+            out.materialize()
+    assert "no feature row" in str(ei.value)

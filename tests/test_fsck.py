@@ -162,3 +162,29 @@ def test_detects_broken_pointer_and_missing_watermark(tmp_path, binlog):
     report2 = check_lake(lake_root)
     assert not report2["ok"]
     assert any(e["check"] == "pointer" for e in report2["errors"])
+
+
+def test_repair_rebuilds_truncated_body_with_valid_magic(tmp_path, binlog):
+    """A sidecar whose first bytes match the magic but whose body is
+    truncated fails open on every read (silent pruning loss): deep fsck
+    must flag it as a warning and --repair must rebuild it."""
+    from nostr_data_pipeline_ray.state import bloom
+    from nostr_data_pipeline_ray.state.fsck import repair_sidecars
+
+    lake_root = _fresh_lake(tmp_path, binlog)
+    victim = Lake(lake_root).snapshot_files()[0]
+    sp = bloom.sidecar_path(victim)
+    with open(sp, "rb") as f:
+        blob = f.read()
+    assert bloom.header_ok(blob)
+    truncated = blob[: len(bloom._MAGIC) + 4]  # valid magic, torn header
+    with open(sp, "wb") as f:
+        f.write(truncated)
+    assert not bloom.header_ok(truncated)
+    assert bloom.contains(truncated, "anything")  # reads still fail open
+
+    report = check_lake(lake_root, deep=True)
+    assert any(w["check"] == "bloom_fail_open" for w in report["warnings"])
+    assert repair_sidecars(lake_root) == 1
+    report = check_lake(lake_root, deep=True)
+    assert report["ok"] and report["warnings"] == []
