@@ -86,8 +86,9 @@ def _embedding_sample(path: str, max_rows: int) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # exact n-gram (word-set) Jaccard via inverted index — the oracle-checkable
-# baseline. Plan: explode distinct (word, doc) → self-pair within each word
-# group → count co-occurrences → jaccard from broadcast doc sizes → top-50.
+# baseline. Plan: explode distinct (word, doc, set-size) → self-pair within
+# each word group (sizes ride along) → count co-occurrences → jaccard from
+# the carried sizes → top-50. NOTHING corpus-sized touches the driver.
 # The per-word pair fan-out is the scale risk; stopword-ish hot words would
 # be dropped/salted at 100 TB (here the vocab is tiny and bounded).
 # ---------------------------------------------------------------------------
@@ -100,7 +101,8 @@ def _explode_words(batch: pa.Table) -> pa.Table:
     t = pa.table(
         {"doc_id": batch["doc_id"].take(parents), "word": pc.list_flatten(flat)}
     )
-    # distinct within batch (cheap local pre-dedup; global distinct below)
+    # distinct within batch == globally distinct (a doc is one input row,
+    # so all its postings are produced here)
     return t.group_by(["doc_id", "word"]).aggregate([])
 
 
@@ -129,7 +131,8 @@ def _explode_ngrams(batch: pa.Table, n: int) -> pa.Table:
             "word": grams.filter(pa.array(same_doc)),
         }
     )
-    # distinct within batch (cheap local pre-dedup; global distinct below)
+    # distinct within batch == globally distinct (a doc is one input row,
+    # so all its postings are produced here)
     return t.group_by(["doc_id", "word"]).aggregate([])
 
 
@@ -141,7 +144,8 @@ def _explode_bigrams(batch: pa.Table) -> pa.Table:
 def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
     """Exact set-Jaccard over all co-occurring doc pairs via an inverted
     index (explode → per-feature pairing → co-occurrence counts → jaccard
-    from broadcast set sizes). Returns a Dataset ``(doc_a, doc_b, jaccard)``
+    from set sizes carried through the exchange). Returns a Dataset
+    ``(doc_a, doc_b, jaccard)``
     with jaccard rounded to 6dp — callers prune to top-k (pair reports) or
     filter by threshold (dedup edges).
 
@@ -153,32 +157,46 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
     (the oracle-checked default at test scales)."""
 
     doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
-    dw = bucketed_map_groups(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-            explode_fn, batch_format="pyarrow"
-        ),
-        keys=["doc_id"],
-        fn=lambda g: g.drop_duplicates(["doc_id", "word"]),
-        pre=lambda b: b.drop_duplicates(["doc_id", "word"]),
-        input_bytes=doc_bytes,
-    )
-    dw = dw.materialize()  # reused twice (sizes + pairing); bounded: |docs|·|vocab|
 
-    # per-doc set sizes come from the FULL sets (Jaccard denominators keep
-    # capped words — only the intersection evidence is dropped)
-    sizes_df = bucketed_sum_count(
-        dw, ["doc_id"], sums={}, count_as="n", input_bytes=doc_bytes
-    ).to_pandas()
+    def explode_with_sizes(batch: pa.Table) -> pa.Table:
+        # attach the per-doc distinct-feature count n at explode time: a
+        # document is one input row, so ALL its postings land in this batch
+        # and the within-batch count IS the exact global set size. Carrying
+        # n on every posting row (8 bytes) replaces the former O(corpus)
+        # driver-built doc_id→n dict broadcast (the r3 scale hazard) AND a
+        # whole sizes all-to-all — the denominators now ride the exchanges
+        # the data already takes.
+        t = explode_fn(batch)
+        counts = t.group_by("doc_id").aggregate([("word", "count")])
+        return t.join(
+            counts.rename_columns(["doc_id", "n"]), keys="doc_id", join_type="inner"
+        )
+
+    # (doc_id, word) is globally distinct straight out of the explode (one
+    # row per doc; within-batch distinct) — no global dedup pass needed.
+    dw = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        explode_with_sizes, batch_format="pyarrow"
+    )
+    dw = dw.materialize()  # all-to-all follows; bounded: |docs|·|vocab| ids
 
     if max_df is not None:
         # map-side hot-word prefilter: the capped words' |docs|-sized
         # posting lists must not even CROSS the pairing shuffle (the
         # in-group guard below stays as the backstop). The hot list is tiny
-        # by definition (df > max_df) — a broadcast small side.
-        dfc = bucketed_sum_count(
-            dw, ["word"], sums={}, count_as="df", input_bytes=doc_bytes
-        ).to_pandas()
-        hot_ref = ray.put(set(dfc.loc[dfc["df"] > max_df, "word"]))
+        # by definition (df > max_df) — filter it DISTRIBUTED, collect only
+        # the survivors, broadcast. Jaccard denominators keep capped words
+        # (n was computed from the full set) — only intersection evidence
+        # is dropped.
+        hot_df = (
+            bucketed_sum_count(
+                dw, ["word"], sums={}, count_as="df", input_bytes=doc_bytes
+            )
+            .map_batches(
+                lambda b: b.loc[b["df"] > max_df, ["word"]], batch_format="pandas"
+            )
+            .to_pandas()
+        )
+        hot_ref = ray.put(set(hot_df["word"]))
 
         def drop_hot(batch: pd.DataFrame) -> pd.DataFrame:
             from ..stages.actors import cached_get
@@ -186,14 +204,19 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
             return batch[~batch["word"].isin(cached_get(hot_ref))]
 
         dw = dw.map_batches(drop_hot, batch_format="pandas").materialize()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
     def pair_docs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()
         if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "na": [], "nb": []}
+            ).astype("int64")
+        order = np.argsort(ids)
+        ids, ns = ids[order], g["n"].to_numpy()[order]
         ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "na": ns[ia], "nb": ns[ib]}
+        )
 
     # NB: materialize between consecutive all-to-alls — in this Ray version
     # chaining a second shuffle directly onto a map_groups output stalls the
@@ -202,15 +225,17 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
         dw.groupby("word").map_groups(pair_docs, batch_format="pandas").materialize()
     )
     # co-occurrence counts: bucketed two-phase aggregate (Ray's built-in
-    # groupby().aggregate() combine is per-key Python — 16x slower here)
+    # groupby().aggregate() combine is per-key Python — 16x slower here).
+    # na/nb are functionally dependent on doc_a/doc_b, so grouping by all
+    # four equals grouping by the pair while carrying the denominators.
     co = bucketed_sum_count(
-        pairs, ["doc_a", "doc_b"], sums={}, count_as="c", input_bytes=doc_bytes
+        pairs, ["doc_a", "doc_b", "na", "nb"], sums={}, count_as="c",
+        input_bytes=doc_bytes,
     )
 
     def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
-        sizes = ray.get(sizes_ref)
-        na = batch["doc_a"].map(sizes).to_numpy(dtype=np.float64)
-        nb = batch["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        na = batch["na"].to_numpy(dtype=np.float64)
+        nb = batch["nb"].to_numpy(dtype=np.float64)
         c = batch["c"].to_numpy(dtype=np.float64)
         batch["jaccard"] = _round6(c * 1.0 / (na + nb - c))
         return batch[["doc_a", "doc_b", "jaccard"]]

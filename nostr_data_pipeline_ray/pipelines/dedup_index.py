@@ -11,12 +11,15 @@ for buckets the new documents touch:
    batch path — identical parameters are persisted in ``index_meta.json``
    and validated on reopen, because signatures from different parameter
    sets must never share an index);
-2. the touched-bucket key set is O(new · bands) — a broadcast SMALL side —
-   so the existing index is read with a parquet ``band_hash IN (...)``
-   predicate when the touched set is pushdown-sized (rows are written
-   sorted by ``band_hash``, so row-group min/max stats prune the read)
-   plus a vectorized packed-key ``np.isin`` residual filter: only rows of
-   touched buckets cross the exchange;
+2. the touched-bucket key set is computed as a DISTRIBUTED bucketed
+   distinct. When pushdown-sized (the steady state: O(new · bands) keys)
+   it is collected under the size gate and the existing index is read with
+   a parquet ``band_hash IN (...)`` predicate (rows are written sorted by
+   ``band_hash``, so row-group min/max stats prune the read) plus a
+   vectorized packed-key ``np.isin`` residual filter; above the gate (the
+   bootstrap epoch, where new = whole corpus) the index rows are instead
+   SEMI-JOINED against the touched key set — one bucketed exchange,
+   nothing corpus-sized ever passes through the driver;
 3. one bucketed pass emits candidate pairs per (band, band_hash) LSH
    bucket with at least one NEW endpoint (new×old and new×new — never
    old×old, those were mined when the old docs were new; a re-ingested
@@ -207,47 +210,76 @@ class MinHashIndex:
         Dataset / DataFrame of (doc_a, doc_b, jaccard)."""
         from .dedup import _endpoint_verify, make_jaccard_verify, make_shingle_rows
 
+        from ..stages.joins import bucketed_hash_join
+
         sig_new = self._signature_rows(new_docs)
 
-        # touched-bucket key set: O(new · bands) — the broadcast small side
-        packed_parts, hash_parts = [], []
-        for b in sig_new.iter_batches(batch_format="pandas"):
-            band = b["band"].to_numpy()
-            bh = b["band_hash"].to_numpy()
-            packed_parts.append(_pack_keys(band, bh))
-            hash_parts.append(bh)
-        touched_packed = (
-            np.unique(np.concatenate(packed_parts))
-            if packed_parts
-            else np.array([], dtype=np.uint64)
-        )
-        touched_hashes = (
-            np.unique(np.concatenate(hash_parts))
-            if hash_parts
-            else np.array([], dtype=np.int64)
-        )
-        touched_ref = ray.put(touched_packed)
+        # touched-bucket key set, computed DISTRIBUTED (bucketed distinct).
+        # In steady state it is O(new · bands) and pushdown-sized; in the
+        # bootstrap epoch (new = whole corpus) it is corpus-sized — so it is
+        # only ever collected to the driver under the size gate, never
+        # unconditionally (the r3 scale hazard: tens of GB through the
+        # driver at 10^9 docs × 8 bands).
+        touched = bucketed_map_groups(
+            sig_new.map_batches(
+                lambda b: b[["band", "band_hash"]].rename(
+                    columns={"band": "t_band", "band_hash": "t_hash"}
+                ),
+                batch_format="pandas",
+            ),
+            keys=["t_band", "t_hash"],
+            fn=lambda g: g.drop_duplicates(),
+            pre=lambda b: b.drop_duplicates(),
+            input_bytes=input_bytes,
+        ).materialize()
+        n_touched = touched.count()
 
         files = self._row_files()
         tagged = sig_new.map_batches(
             lambda b: b.assign(is_new=np.int8(1)), batch_format="pandas"
         )
-        if files and len(touched_hashes):
-            def prefilter(b: pd.DataFrame) -> pd.DataFrame:
-                keys = _pack_keys(b["band"].to_numpy(), b["band_hash"].to_numpy())
-                mask = np.isin(keys, cached_get(touched_ref))
-                return b[mask].assign(is_new=np.int8(0))
-
-            read_kwargs = {}
-            if len(touched_hashes) <= _PUSHDOWN_MAX_KEYS:
+        if files and n_touched:
+            if n_touched <= _PUSHDOWN_MAX_KEYS:
+                # small touched set: parquet IN-predicate (row-group stats
+                # prune the read) + packed-key np.isin residual — collecting
+                # it is bounded by the gate
                 import pyarrow.compute as pc
 
-                read_kwargs["filter"] = pc.field("band_hash").isin(
-                    touched_hashes.tolist()
+                tdf = touched.to_pandas()
+                touched_packed = np.unique(
+                    _pack_keys(
+                        tdf["t_band"].to_numpy(), tdf["t_hash"].to_numpy()
+                    )
                 )
-            existing = rd.read_parquet(files, **read_kwargs).map_batches(
-                prefilter, batch_format="pandas"
-            )
+                touched_hashes = np.unique(tdf["t_hash"].to_numpy())
+                touched_ref = ray.put(touched_packed)
+
+                def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+                    keys = _pack_keys(
+                        b["band"].to_numpy(), b["band_hash"].to_numpy()
+                    )
+                    mask = np.isin(keys, cached_get(touched_ref))
+                    return b[mask].assign(is_new=np.int8(0))
+
+                existing = rd.read_parquet(
+                    files,
+                    filter=pc.field("band_hash").isin(touched_hashes.tolist()),
+                ).map_batches(prefilter, batch_format="pandas")
+            else:
+                # bootstrap-scale touched set: bucketed semi-join of the
+                # index rows against the distinct touched keys — one
+                # exchange over the bucket table, nothing on the driver
+                existing = bucketed_hash_join(
+                    rd.read_parquet(files),
+                    touched,
+                    left_on=["band", "band_hash"],
+                    right_on=["t_band", "t_hash"],
+                    how="left_semi",
+                    input_bytes=input_bytes,
+                ).map_batches(
+                    lambda b: b.assign(is_new=np.int8(0)),
+                    batch_format="pandas",
+                )
             tagged = tagged.union(existing)
 
         def pairs_with_new(g: pd.DataFrame) -> pd.DataFrame:

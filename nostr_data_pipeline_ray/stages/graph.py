@@ -54,6 +54,36 @@ def _min_by_node(g: pd.DataFrame) -> pd.DataFrame:
     return g.groupby("node", sort=False)["label"].min().reset_index()
 
 
+# Each distributed round costs a fixed ~2-3 s of plan/shuffle overhead
+# REGARDLESS of edge count (bucketed join + bucketed min + checkpoint), so a
+# small graph pays seconds-per-round for microseconds of work. Below this
+# edge count the whole loop runs vectorized inside ONE Ray task instead —
+# same algorithm (min-label propagation + pointer jump), same fixpoint, same
+# min-id labels, zero shuffles. 4M edges ≈ 64 MB of int64 pairs: comfortably
+# one block, and numpy rounds are O(E) each with O(log diameter) rounds.
+_LOCAL_MAX_EDGES = 4_000_000
+
+
+def _cc_local(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    src = df["src"].to_numpy(dtype=np.int64)
+    dst = df["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src) :]
+    label = np.arange(len(nodes))
+    while True:
+        new = label.copy()
+        np.minimum.at(new, d, label[s])  # neighbor labels, both directions
+        np.minimum.at(new, s, label[d])
+        new = np.minimum(new, new[new])  # pointer jump: label's label
+        if np.array_equal(new, label):
+            break
+        label = new
+    # dense indices are sorted by node id, so index-min == min node id
+    return pd.DataFrame({"node": nodes, "label": nodes[label]})
+
+
 def connected_components(
     edges,
     input_bytes: int | None = None,
@@ -78,6 +108,16 @@ def connected_components(
     itself always starts from round 0 — automatic restart-from-checkpoint
     is not implemented.)
     """
+    if edges.count() <= _LOCAL_MAX_EDGES:
+        # small-graph fast path: the edge set fits one block — run the loop
+        # in a single task (still off-driver) instead of paying the fixed
+        # per-round shuffle overhead of the distributed loop
+        return (
+            edges.repartition(1)
+            .map_batches(_cc_local, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+
     scratch = scratch_dir or tempfile.mkdtemp(prefix="cc-", dir="/tmp")
     os.makedirs(scratch, exist_ok=True)
     try:

@@ -138,3 +138,27 @@ def test_index_fsck(tmp_path):
     shutil.rmtree(d / "rows" / idx.meta["committed"][0])
     rep = idx.fsck()
     assert not rep["ok"] and "missing on disk" in rep["errors"][0]
+
+
+def test_semijoin_path_agrees_with_pushdown_path(tmp_path, monkeypatch):
+    """Above the pushdown gate, update must route the existing index rows
+    through the bucketed semi-join (nothing corpus-sized on the driver) and
+    find exactly the same verified pairs as the broadcast path."""
+    from nostr_data_pipeline_ray.pipelines import dedup_index as di
+
+    new = {
+        100: BASE[3] + " tiny tail",
+        101: "fresh unseen content alpha beta gamma delta epsilon zeta eta",
+        102: "fresh unseen content alpha beta gamma delta epsilon zeta THETA",
+    }
+    all_docs = _docs({**BASE, **new})
+
+    def run(gate):
+        monkeypatch.setattr(di, "_PUSHDOWN_MAX_KEYS", gate)
+        idx = MinHashIndex(str(tmp_path / f"idx-{gate}"))
+        idx.bootstrap(_docs(BASE))
+        out = idx.update(_docs(new), all_docs)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        return set(zip(df["doc_a"], df["doc_b"]))
+
+    assert run(0) == run(50_000) >= {(3, 100), (101, 102)}

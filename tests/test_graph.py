@@ -6,10 +6,18 @@ import pytest
 
 import ray.data as rd
 
+from nostr_data_pipeline_ray.stages import graph
 from nostr_data_pipeline_ray.stages.graph import connected_components
 
+# every unit graph here is tiny, so exercise BOTH execution paths: the
+# single-task numpy fast path (default for small edge sets) and the
+# distributed checkpointed loop (forced by zeroing the fast-path cap)
+BOTH_PATHS = pytest.mark.parametrize("local_cap", [graph._LOCAL_MAX_EDGES, -1],
+                                     ids=["local", "distributed"])
 
-def _labels_of(edges_df: pd.DataFrame) -> dict[int, int]:
+
+def _labels_of(edges_df: pd.DataFrame, monkeypatch, local_cap) -> dict[int, int]:
+    monkeypatch.setattr(graph, "_LOCAL_MAX_EDGES", local_cap)
     ds = rd.from_pandas(edges_df).repartition(3)
     out = connected_components(ds, input_bytes=1)
     return dict(zip(*(out.to_pandas()[c] for c in ("node", "label"))))
@@ -32,36 +40,42 @@ def _union_find(edges):
     return {x: min(members) for members in roots.values() for x in members}
 
 
-def test_triangle_plus_pairs():
+@BOTH_PATHS
+def test_triangle_plus_pairs(monkeypatch, local_cap):
     edges = [(45, 267), (267, 413), (45, 413), (8, 245), (98, 290)]
-    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]), monkeypatch, local_cap)
     assert got == _union_find(edges)
     assert got[413] == 45  # transitive closure, not just pair grouping
 
 
-def test_long_path_needs_many_rounds():
+@BOTH_PATHS
+def test_long_path_needs_many_rounds(monkeypatch, local_cap):
     # path 0-1-2-...-11: diameter 11 forces the propagation loop to iterate
     # well past one round; min label 0 must reach the far end
     edges = [(i, i + 1) for i in range(11)]
-    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]), monkeypatch, local_cap)
     assert set(got.values()) == {0}
     assert len(got) == 12
 
 
-def test_orientation_and_duplicates_irrelevant():
+@BOTH_PATHS
+def test_orientation_and_duplicates_irrelevant(monkeypatch, local_cap):
     edges = [(7, 3), (3, 7), (3, 9), (9, 3), (9, 7)]
-    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]), monkeypatch, local_cap)
     assert got == {3: 3, 7: 3, 9: 3}
 
 
-def test_random_graph_matches_union_find():
+@BOTH_PATHS
+def test_random_graph_matches_union_find(monkeypatch, local_cap):
     rng = np.random.default_rng(7)
     edges = [tuple(sorted(p)) for p in rng.integers(0, 60, size=(40, 2)) if p[0] != p[1]]
-    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _labels_of(pd.DataFrame(edges, columns=["src", "dst"]), monkeypatch, local_cap)
     assert got == _union_find(edges)
 
 
-def test_convergence_cap_raises():
+def test_convergence_cap_raises(monkeypatch):
+    # the cap only exists on the distributed loop; force past the fast path
+    monkeypatch.setattr(graph, "_LOCAL_MAX_EDGES", -1)
     edges = pd.DataFrame([(i, i + 1) for i in range(10)], columns=["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(rd.from_pandas(edges), input_bytes=1, max_rounds=2)
