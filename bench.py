@@ -65,14 +65,20 @@ BENCH_QUERIES = [
     "multimodal_features",
     "network_stats",
     "price_stats_tdigest",
-    # round-3 training-data ops (dedup_clusters/survivors excluded: their
-    # exact bigram-Jaccard edge miner is the same all-pairs oracle plan as
-    # ngram_jaccard_pairs — correctness-only at sf0.01)
+    # round-3 training-data ops (dedup_clusters/survivors/curated_corpus
+    # excluded: their exact bigram-Jaccard edge miner is the same all-pairs
+    # oracle plan as ngram_jaccard_pairs — correctness-only at sf0.01)
     "stratified_sample",
     "sample_per_group",
     "quality_filter",
     "pack_sequences",
     "contamination_flags",
+    # round-4: the SCALE-PATH clustering composition (LSH-mined edges → CC)
+    # and the incremental persisted index — the two pipelines a 100-TB
+    # dedup actually runs — are cheap enough to time since the CC
+    # small-graph fast path landed (7.5 s / 5.6 s at sf0.1)
+    "dedup_clusters_minhash",
+    "incremental_near_dup",
 ]
 
 
