@@ -104,11 +104,15 @@ def connected_components(
     on a real cluster); a fresh tempdir under /tmp by default, removed on
     every exit path — success, non-convergence, or a mid-round error. The
     final label set is materialized before intermediates are deleted.
-    (The checkpoints bound what a crashed run loses to one round; the loop
-    itself always starts from round 0 — automatic restart-from-checkpoint
-    is not implemented.)
+
+    RESUME: rerunning with the same ``scratch_dir`` and the same edge set
+    restarts from the highest committed checkpoint instead of round 0 — a
+    crashed run loses at most one round. Checkpoints are committed by
+    atomic directory rename, and a meta file records the edge-set row count
+    so a scratch left by a DIFFERENT graph is discarded, not resumed.
     """
-    if edges.count() <= _LOCAL_MAX_EDGES:
+    n_edges = edges.count()
+    if n_edges <= _LOCAL_MAX_EDGES and scratch_dir is None:
         # small-graph fast path: the edge set fits one block — run the loop
         # in a single task (still off-driver) instead of paying the fixed
         # per-round shuffle overhead of the distributed loop
@@ -121,51 +125,109 @@ def connected_components(
     scratch = scratch_dir or tempfile.mkdtemp(prefix="cc-", dir="/tmp")
     os.makedirs(scratch, exist_ok=True)
     try:
-        return _cc_loop(edges, scratch, input_bytes, max_rounds)
+        return _cc_loop(edges, scratch, input_bytes, max_rounds, n_edges)
     finally:
         if scratch_dir is None:
             shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _fresh_write(ds, path: str) -> None:
-    # write_parquet appends into an existing dir — a rerun pointed at the
-    # same scratch must not union two runs' files
+    # write into a tmp dir, then COMMIT by atomic rename — a crash mid-write
+    # can never leave a partial checkpoint that a resume would read; also
+    # guards against write_parquet appending into an existing dir
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
     shutil.rmtree(path, ignore_errors=True)
-    ds.write_parquet(path)
+    os.rename(tmp, path)
 
 
-def _cc_loop(edges, scratch: str, input_bytes: int | None, max_rounds: int):
+def _checkpoints(scratch: str) -> list[int]:
+    out = []
+    for d in os.listdir(scratch):
+        stem, _, num = d.partition("-")
+        if stem == "labels" and num.isdigit() and os.path.isdir(
+            os.path.join(scratch, d)
+        ):
+            out.append(int(num))
+    return sorted(out)
+
+
+def _cc_loop(
+    edges, scratch: str, input_bytes: int | None, max_rounds: int, n_edges: int
+):
+    import json
+
     def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"s": b["src"], "d": b["dst"]})
         rev = pd.DataFrame({"s": b["dst"], "d": b["src"]})
         return pd.concat([fwd, rev], ignore_index=True)
 
     edges_path = os.path.join(scratch, "edges")
-    _fresh_write(edges.map_batches(symmetrize, batch_format="pandas"), edges_path)
+    meta_path = os.path.join(scratch, "meta.json")
 
     def labels_path(r: int) -> str:
         return os.path.join(scratch, f"labels-{r}")
 
-    # initial labels: node -> min(node, smallest neighbor) — one exchange,
-    # already one propagation step ahead of the node->node identity start
-    _fresh_write(
-        bucketed_map_groups(
-            rd.read_parquet(edges_path).map_batches(
-                lambda b: pd.DataFrame(
-                    {"node": b["s"], "label": b[["s", "d"]].min(axis=1)}
-                ),
-                batch_format="pandas",
-            ),
-            keys=["node"],
-            fn=_min_by_node,
-            pre=_min_by_node,
-            input_bytes=input_bytes,
-        ),
-        labels_path(0),
-    )
+    # resume: same scratch + same edge-set row count + a committed
+    # checkpoint → restart from the highest round. The row count is a cheap
+    # identity witness; a scratch left by a different graph starts fresh.
+    resumable = False
+    if os.path.exists(meta_path) and os.path.isdir(edges_path):
+        try:
+            with open(meta_path) as f:
+                resumable = json.load(f).get("edge_rows") == n_edges
+        except (ValueError, OSError):
+            resumable = False
+    ckpts = _checkpoints(scratch) if resumable else []
 
     prev_sum: int | None = None
-    for r in range(max_rounds):
+    if ckpts:
+        start = ckpts[-1]
+        # the sum of a committed checkpoint IS the `cur` of the round that
+        # wrote it (and for labels-0, a valid floor: the sum is monotone
+        # strictly decreasing until fixpoint, so an unchanged sum after the
+        # next round correctly reads as convergence)
+        prev_sum = int(
+            rd.read_parquet(labels_path(start)).aggregate(Sum("label"))[
+                "sum(label)"
+            ]
+        )
+    else:
+        for stale in os.listdir(scratch):  # different graph / torn state
+            p = os.path.join(scratch, stale)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
+        start = 0
+        _fresh_write(
+            edges.map_batches(symmetrize, batch_format="pandas"), edges_path
+        )
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump({"edge_rows": n_edges}, f)
+        os.replace(tmp_meta, meta_path)
+
+        # initial labels: node -> min(node, smallest neighbor) — one
+        # exchange, already one propagation step ahead of the identity start
+        _fresh_write(
+            bucketed_map_groups(
+                rd.read_parquet(edges_path).map_batches(
+                    lambda b: pd.DataFrame(
+                        {"node": b["s"], "label": b[["s", "d"]].min(axis=1)}
+                    ),
+                    batch_format="pandas",
+                ),
+                keys=["node"],
+                fn=_min_by_node,
+                pre=_min_by_node,
+                input_bytes=input_bytes,
+            ),
+            labels_path(0),
+        )
+
+    for r in range(start, max_rounds):
         labels = rd.read_parquet(labels_path(r))
         # ONE join serves both propagation steps: the relation is the edge
         # set PLUS the reversed label edges (label(v) -> v), so a message

@@ -183,3 +183,57 @@ def test_minhash_cluster_path_agrees_with_exact(tmp_path):
         exact.reset_index(drop=True), lsh.reset_index(drop=True)
     )
     assert list(exact["cluster_id"]) == [0, 0, 0, 3, 4]
+
+
+def test_resume_from_checkpoint(tmp_path, monkeypatch):
+    """A crashed distributed run restarts from its highest committed
+    checkpoint: the resumed run executes fewer propagation rounds than a
+    fresh run and produces the same labels."""
+    monkeypatch.setattr(graph, "_LOCAL_MAX_EDGES", -1)
+    edges_df = pd.DataFrame([(i, i + 1) for i in range(11)], columns=["src", "dst"])
+
+    rounds = {"n": 0}
+    real_join = graph.bucketed_hash_join
+
+    def counting_join(*a, **k):
+        rounds["n"] += 1
+        return real_join(*a, **k)
+
+    monkeypatch.setattr(graph, "bucketed_hash_join", counting_join)
+
+    # fresh run to completion (reference round count + expected labels)
+    want = connected_components(
+        rd.from_pandas(edges_df), input_bytes=1, scratch_dir=str(tmp_path / "a")
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    full_rounds = rounds["n"]
+    assert set(want["label"]) == {0}
+
+    # crash after 2 rounds, leaving a committed checkpoint behind
+    scratch = str(tmp_path / "b")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            rd.from_pandas(edges_df), input_bytes=1, max_rounds=2,
+            scratch_dir=scratch,
+        )
+    assert graph._checkpoints(scratch) == [2]
+
+    rounds["n"] = 0
+    got = connected_components(
+        rd.from_pandas(edges_df), input_bytes=1, scratch_dir=scratch
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert 0 < rounds["n"] < full_rounds  # resumed, did not start from 0
+
+
+def test_stale_scratch_from_different_graph_starts_fresh(tmp_path, monkeypatch):
+    """A scratch dir left by a DIFFERENT edge set must be discarded, not
+    resumed — the edge-row-count witness in meta.json catches it."""
+    monkeypatch.setattr(graph, "_LOCAL_MAX_EDGES", -1)
+    scratch = str(tmp_path / "s")
+    a = pd.DataFrame([(1, 2), (2, 3), (10, 11)], columns=["src", "dst"])
+    b = pd.DataFrame([(5, 6), (6, 7)], columns=["src", "dst"])
+    connected_components(rd.from_pandas(a), input_bytes=1, scratch_dir=scratch)
+    got = connected_components(
+        rd.from_pandas(b), input_bytes=1, scratch_dir=scratch
+    ).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == {5: 5, 6: 5, 7: 5}
