@@ -495,6 +495,7 @@ def _endpoint_verify(
     verify_fn,
     input_bytes: int,
     empty_feat="",
+    allow_local: bool = True,
 ):
     """Distributed pair verification: attach each endpoint's feature to the
     pair, then verify — two bucketed rounds, nothing on the driver.
@@ -594,6 +595,7 @@ def _endpoint_verify(
         ["k"],
         attach,
         input_bytes=input_bytes,
+        allow_local=allow_local,
     ).materialize()  # NB: all-to-all follows (see bucketed_map_groups NB)
 
     def regroup(g: pd.DataFrame) -> pd.DataFrame:
@@ -603,7 +605,8 @@ def _endpoint_verify(
         return verify_fn(m)
 
     return bucketed_map_groups(
-        halves, [key_a, key_b], regroup, input_bytes=input_bytes
+        halves, [key_a, key_b], regroup, input_bytes=input_bytes,
+        allow_local=allow_local,
     )
 
 
@@ -912,6 +915,9 @@ def q_embedding_near_dup_lsh(
             .drop_duplicates(["vec_a", "vec_b"])
         )
 
+    # allow_local=False: LSH pairing + exact-cosine verify are compute-
+    # dense (quadratic pair fan-out, vector math) — parquet bytes
+    # underestimate the work, so keep the fan-out even on small inputs
     cands = bucketed_map_groups(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
             sig_emitter, batch_format="pandas"
@@ -919,6 +925,7 @@ def q_embedding_near_dup_lsh(
         keys=["t", "sig"],
         fn=in_bucket_pairs,
         input_bytes=emb_bytes,
+        allow_local=False,
     ).materialize()  # all-to-all follows (endpoint co-location)
 
     def feat_stream(batch: pd.DataFrame) -> pd.DataFrame:
@@ -967,6 +974,7 @@ def q_embedding_near_dup_lsh(
         verify,
         input_bytes=emb_bytes,
         empty_feat=b"",
+        allow_local=False,  # exact-cosine verify: compute-dense per byte
     )
 
 

@@ -57,6 +57,7 @@ def bucketed_hash_join(
     how: str = "inner",
     num_buckets: int | None = None,
     input_bytes: int | None = None,
+    allow_local: bool = True,
 ):
     """Large⋈large hash join as ONE bucketed shuffle + per-bucket pandas
     merge (Ray's Dataset.join spins up hash-shuffle aggregator actors with a
@@ -69,13 +70,14 @@ def bucketed_hash_join(
     import numpy as np
     import pyarrow as pa
 
-    from .shuffle import input_bytes_of, key_buckets, resolve_buckets
+    from .shuffle import _local_sized, input_bytes_of, key_buckets, resolve_buckets
 
     # size the bucket count from BOTH sides (a bucket holds its slice of the
     # left and the right union'd together)
     if num_buckets is None and input_bytes is None:
         known = [b for b in (input_bytes_of(left), input_bytes_of(right)) if b]
         input_bytes = sum(known) if known else None
+    local = allow_local and num_buckets is None and _local_sized(None, input_bytes)
     num_buckets = resolve_buckets(None, num_buckets, input_bytes)
 
     right_on = right_on or left_on
@@ -157,6 +159,20 @@ def bucketed_hash_join(
                     pass  # outer join NAs stay nullable
         return out
 
+    if local:
+        # the whole join input is a fraction of one bucket's budget: run the
+        # identical merge once over everything in a single task instead of
+        # paying the fixed groupby-exchange overhead (num_buckets=1 semantics;
+        # see shuffle.LOCAL_MAX_INPUT_BYTES)
+        return (
+            lt.union(rt)
+            .repartition(1)
+            .map_batches(
+                lambda g: merge(g.drop(columns=["_bucket"])),
+                batch_format="pandas",
+                batch_size=None,
+            )
+        )
     return (
         lt.union(rt)
         .groupby("_bucket")

@@ -50,6 +50,16 @@ def id_hash(ids: np.ndarray) -> np.ndarray:
 TARGET_BUCKET_BYTES = 64 << 20
 MAX_BUCKETS = 1 << 20
 
+# Below this source size the whole input is a fraction of ONE bucket's
+# budget, so the groupby exchange is pure fixed overhead (~0.7-0.9 s of
+# plan/sort machinery on this Ray build regardless of row count): apply the
+# per-bucket fn once over the whole input in a single task instead — the
+# exact num_buckets=1 semantics. 16 MB of parquet keeps the single task's
+# in-memory footprint bounded even through ~10x explode stages; anything
+# larger takes the distributed exchange. Only auto-sized calls take this
+# path — an explicit num_buckets is honored.
+LOCAL_MAX_INPUT_BYTES = 16 << 20
+
 
 def resolve_buckets(
     ds=None,
@@ -69,6 +79,15 @@ def resolve_buckets(
     if input_bytes is None:
         return 32
     return int(min(MAX_BUCKETS, max(32, -(-input_bytes // TARGET_BUCKET_BYTES))))
+
+
+def _local_sized(ds, input_bytes: int | None) -> bool:
+    """True when the source size is known and small enough for the
+    single-task fast path (see LOCAL_MAX_INPUT_BYTES). Unknown sizes take
+    the distributed path — never guess small."""
+    if input_bytes is None and ds is not None:
+        input_bytes = input_bytes_of(ds)
+    return input_bytes is not None and input_bytes <= LOCAL_MAX_INPUT_BYTES
 
 
 def input_bytes_of(ds) -> int | None:
@@ -95,6 +114,7 @@ def bucketed_map_groups(
     num_buckets: int | None = None,
     pre: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     input_bytes: int | None = None,
+    allow_local: bool = True,
 ):
     """Hash-partition ``ds`` by ``keys`` into buckets (count sized from the
     input — see ``resolve_buckets``) and apply ``fn`` once per bucket (all
@@ -105,6 +125,14 @@ def bucketed_map_groups(
     duplicates / sort+head). ``pre`` is an optional per-batch map-side
     partial combiner run BEFORE the shuffle.
     """
+    # ``allow_local=False`` opts compute-dense stages out (vector math,
+    # quadratic pair fan-out): source bytes underestimate their work, and
+    # serializing it onto one core costs more than the exchange saves
+    if allow_local and num_buckets is None and _local_sized(ds, input_bytes):
+        out = ds if pre is None else ds.map_batches(pre, batch_format="pandas")
+        return out.repartition(1).map_batches(
+            fn, batch_format="pandas", batch_size=None
+        )
     num_buckets = resolve_buckets(ds, num_buckets, input_bytes)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:

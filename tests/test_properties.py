@@ -165,3 +165,25 @@ def test_pure_replay_epoch_is_bookkeeping_only(tmp_path):
     got = final_table(lake_root)
     want = expected_final_state(binlog)
     assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=12),
+        min_size=0,
+        max_size=200,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_hash_conv_dictionary_path_matches_elementwise(values, dup_factor):
+    """hash_conv's distinct-hash+gather fast path must be bitwise-identical
+    to the elementwise pandas hash for ANY string multiset (duplicates,
+    empties, unicode) — the partition mapping is persisted lake state."""
+    from nostr_data_pipeline_ray.stages.cdc_stages import hash_conv
+
+    values = values * (dup_factor + 1)
+    arr = pa.chunked_array([pa.array(values, pa.string())])
+    want = pd.util.hash_array(np.asarray(pd.Series(values, dtype=object), dtype=object)) if values else np.array([], dtype=np.uint64)
+    got = hash_conv(arr)
+    assert np.array_equal(got, want)
