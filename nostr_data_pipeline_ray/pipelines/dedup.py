@@ -205,32 +205,65 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
 
         dw = dw.map_batches(drop_hot, batch_format="pandas").materialize()
 
-    def pair_docs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "na": [], "nb": []}
-            ).astype("int64")
-        order = np.argsort(ids)
-        ids, ns = ids[order], g["n"].to_numpy()[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
+    def pair_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # all within-word pairs, emitted with ZERO per-group Python: factorize
+        # the word, integer-sort rows by (word, doc_id), run-length the
+        # groups, then build every (i<j) index pair with repeat/arange
+        # arithmetic (each row leads `size - rank - 1` pairs; the partner is
+        # rank+1 .. size-1 — contiguous because groups are contiguous)
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "na": [], "nb": []}
+        ).astype("int64")
+        if not len(bucket):
+            return empty
+        codes, _ = pd.factorize(bucket["word"].to_numpy(), sort=False)
+        order = np.lexsort((bucket["doc_id"].to_numpy(), codes))
+        ids = bucket["doc_id"].to_numpy()[order]
+        ns = bucket["n"].to_numpy()[order]
+        grp = codes[order]
+        sizes = np.bincount(grp)
+        size_per_row = sizes[grp]
+        keep = size_per_row >= 2
+        if max_df is not None:
+            keep &= size_per_row <= max_df
+        if not keep.any():
+            return empty
+        ids, ns, grp = ids[keep], ns[keep], grp[keep]
+        # kept rows stay contiguous per group; re-run-length for ranks
+        run_break = np.concatenate([[True], grp[1:] != grp[:-1]])
+        run_id = np.cumsum(run_break) - 1
+        run_sizes = np.bincount(run_id)
+        run_starts = np.concatenate([[0], np.cumsum(run_sizes[:-1])])
+        rank = np.arange(len(ids)) - run_starts[run_id]
+        reps = run_sizes[run_id] - rank - 1
+        a_idx = np.repeat(np.arange(len(ids)), reps)
+        rstart = np.cumsum(reps) - reps
+        b_idx = a_idx + (np.arange(int(reps.sum())) - np.repeat(rstart, reps) + 1)
+        # doc_id ascending within each group -> doc_a < doc_b by construction
         return pd.DataFrame(
-            {"doc_a": ids[ia], "doc_b": ids[ib], "na": ns[ia], "nb": ns[ib]}
+            {"doc_a": ids[a_idx], "doc_b": ids[b_idx],
+             "na": ns[a_idx], "nb": ns[b_idx]}
         )
 
     # NB: materialize between consecutive all-to-alls — in this Ray version
     # chaining a second shuffle directly onto a map_groups output stalls the
-    # fused streaming plan (observed >2 min on 2.3M rows vs seconds split)
-    pairs = (
-        dw.groupby("word").map_groups(pair_docs, batch_format="pandas").materialize()
-    )
+    # fused streaming plan (observed >2 min on 2.3M rows vs seconds split).
+    # Pair fan-out is QUADRATIC in per-word df: without a max_df cap the
+    # output dwarfs the posting input, so only the capped variant may take
+    # the single-task local path (cf. shuffle.LOCAL_MAX_INPUT_BYTES).
+    pairs = bucketed_map_groups(
+        dw, ["word"], pair_bucket, input_bytes=doc_bytes,
+        allow_local=max_df is not None,
+    ).materialize()
     # co-occurrence counts: bucketed two-phase aggregate (Ray's built-in
     # groupby().aggregate() combine is per-key Python — 16x slower here).
     # na/nb are functionally dependent on doc_a/doc_b, so grouping by all
     # four equals grouping by the pair while carrying the denominators.
+    # Sized by the MATERIALIZED pair bytes, not the tiny doc input — the
+    # pair set is the thing being shuffled.
     co = bucketed_sum_count(
         pairs, ["doc_a", "doc_b", "na", "nb"], sums={}, count_as="c",
-        input_bytes=doc_bytes,
+        input_bytes=pairs.size_bytes() or doc_bytes,
     )
 
     def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
