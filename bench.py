@@ -153,12 +153,14 @@ def run_bench() -> dict:
     # criterion is about the CDC apply) ------------------------------------
     queries: dict[str, float] = {}
     if not os.environ.get("NDP_BENCH_CDC_ONLY"):
+        from nostr_data_pipeline_ray.pipelines import dedup_index as di
         from nostr_data_pipeline_ray.pipelines import pack as pk
 
         for name in BENCH_QUERIES:
             fn = (
                 getattr(an, f"q_{name}", None)
                 or dd.QUERIES.get(name)
+                or di.QUERIES.get(name)
                 or pk.QUERIES[name]
             )
             t0 = time.time()
