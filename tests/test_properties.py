@@ -179,11 +179,26 @@ def test_pure_replay_epoch_is_bookkeeping_only(tmp_path):
 def test_hash_conv_dictionary_path_matches_elementwise(values, dup_factor):
     """hash_conv's distinct-hash+gather fast path must be bitwise-identical
     to the elementwise pandas hash for ANY string multiset (duplicates,
-    empties, unicode) — the partition mapping is persisted lake state."""
+    empties, unicode) — the partition mapping is persisted lake state.
+    Small lists take the elementwise path; the repeat factor below pushes
+    past the 4096-value probe so the dictionary path is exercised too."""
     from nostr_data_pipeline_ray.stages.cdc_stages import hash_conv
 
     values = values * (dup_factor + 1)
+    if values:
+        values = values * (4096 // len(values) + 1)  # force probe + dict path
     arr = pa.chunked_array([pa.array(values, pa.string())])
     want = pd.util.hash_array(np.asarray(pd.Series(values, dtype=object), dtype=object)) if values else np.array([], dtype=np.uint64)
     got = hash_conv(arr)
     assert np.array_equal(got, want)
+
+
+def test_hash_conv_low_duplication_takes_elementwise_path():
+    """A near-all-distinct array must match too (the probe routes it to the
+    elementwise path — the dictionary detour is slower there)."""
+    from nostr_data_pipeline_ray.stages.cdc_stages import hash_conv
+
+    values = [f"conv-{i}" for i in range(10_000)]
+    arr = pa.array(values, pa.string())
+    want = pd.util.hash_array(np.asarray(pd.Series(values, dtype=object), dtype=object))
+    assert np.array_equal(hash_conv(arr), want)
