@@ -24,23 +24,25 @@ def hash_conv(conv_id: pa.ChunkedArray | pa.Array) -> np.ndarray:
         if isinstance(conv_id, pa.ChunkedArray)
         else conv_id
     )
-    # Adaptive: hashing each DISTINCT value once and gathering is bitwise-
-    # identical to the elementwise hash (hash_array is positionless) and
-    # measured 1.8x faster at ~10x key duplication — but STRICTLY slower at
-    # low duplication (the encode pass + dictionary hash + gather all cost;
-    # measured ~1.5x slower on ~2x-duplicated 102M-event stress batches).
-    # A 4096-value prefix probe (LSN order ≈ key-shuffled, so the prefix is
-    # representative) picks the path; already-dictionary arrays skip the
-    # probe — their encode is free.
+    # Hash each DISTINCT value once and gather: bitwise-identical to the
+    # elementwise hash (hash_array is positionless), ~2.4x less CPU at the
+    # ~6x per-segment key duplication both the bench and stress binlogs
+    # carry (0.16 vs 0.37 s per 800k-row segment in isolation). Wall-time
+    # on a saturated single socket is a wash (interleaved pipeline A/B:
+    # 11.7-12.4 s dict vs 10.4-12.9 s elementwise per 51M-event delta
+    # phase — memory bandwidth, not CPU, binds there), but lower CPU per
+    # row is the right trade on a real cluster where each node brings its
+    # own bandwidth. Decide on the EXACT distinct count after Arrow's
+    # cheap C++ encode — a prefix probe underestimates duplication
+    # (distinct keys accumulate sublinearly). Below 2x duplication the
+    # gather detour stops paying; hash the raw values instead.
     if arr.null_count == 0 and len(arr):
-        if pa.types.is_dictionary(arr.type):
-            enc = arr
-        elif len(arr) >= 4096:
-            probe = pc.unique(arr.slice(0, 4096))
-            enc = arr.dictionary_encode() if len(probe) * 4 <= 4096 else None
-        else:
-            enc = None
-        if enc is not None:
+        enc = (
+            arr
+            if pa.types.is_dictionary(arr.type)
+            else arr.dictionary_encode()
+        )
+        if len(enc.dictionary) * 2 <= len(arr):
             dvals = np.asarray(enc.dictionary.to_pandas(), dtype=object)
             return pd.util.hash_array(dvals)[
                 enc.indices.to_numpy(zero_copy_only=False)
