@@ -87,3 +87,27 @@ def test_local_fast_path_matches_distributed_hash_join():
         loc = loc.sort_values(cols).reset_index(drop=True)
         dist = dist[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_local_fast_path_handles_empty_input(tmp_path):
+    """A known-small but EMPTY input must produce an empty result, not
+    crash (repartition(1) of zero rows can hand fn an empty frame — or no
+    frame at all)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.stages.shuffle import bucketed_map_groups
+
+    f = tmp_path / "empty.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}),
+        f,
+    )
+    ds = rd.read_parquet(str(f))
+    out = bucketed_map_groups(
+        ds, ["k"],
+        lambda g: g.groupby("k", sort=False)["v"].sum().reset_index(),
+        input_bytes=1,
+    ).to_pandas()
+    assert len(out) == 0
