@@ -166,4 +166,15 @@ n_pairs = len(pairs) if isinstance(pairs, pd.DataFrame) else pairs.count()
 print("incremental near-dup pairs (new epoch only):", n_pairs,
       "| index:", idx.stats()["n_docs"], "docs")
 
+# 11. curate straight FROM THE LAKE: fold each conversation into one
+#     document (turns in order, `role: text` lines) and run the SAME
+#     curation chain over the export — binlog -> lake -> curated training
+#     corpus with no intermediate fixtures. The sub-cutoff rows of the
+#     documents fixture stand in as the held-out benchmark set.
+from nostr_data_pipeline_ray.pipelines.lake_docs import curate_from_lake
+
+print("\ncurate --from-lake:",
+      curate_from_lake(lake, f"{BASE}/curated_lake",
+                       benchmark="/root/testdata/sf0.001/documents.parquet"))
+
 ray.shutdown()

@@ -10,7 +10,9 @@ top-zapped/user/relays/version).
     python -m nostr_data_pipeline_ray export --lake DIR --out DIR
     python -m nostr_data_pipeline_ray report [--sf DIR]
     python -m nostr_data_pipeline_ray vacuum --lake DIR
-    python -m nostr_data_pipeline_ray curate --sf DIR --out DIR [--budget N]
+    python -m nostr_data_pipeline_ray curate (--sf DIR | --from-lake LAKE
+                                             [--benchmark FILE]) --out DIR
+                                             [--budget N]
     python -m nostr_data_pipeline_ray version
 
 Owns its Ray session (guarded init, shutdown at exit) — library code never
@@ -250,8 +252,27 @@ def cmd_fsck(args) -> int:
 
 def cmd_curate(args) -> int:
     """Composed training-data chain: dedup survivors → decontaminate →
-    p75 quality cut → write curated.parquet + packed training sequences."""
+    p75 quality cut → write curated.parquet + packed training sequences.
+    ``--from-lake`` feeds the chain from an applied CDC lake instead of a
+    documents fixture (one document per conversation)."""
     _ray()
+    if args.from_lake:
+        from .pipelines.lake_docs import curate_from_lake
+
+        print(
+            json.dumps(
+                curate_from_lake(
+                    args.from_lake,
+                    args.out,
+                    benchmark=args.benchmark,
+                    budget=args.budget,
+                )
+            )
+        )
+        return 0
+    if not args.sf:
+        print("curate: one of --sf / --from-lake is required", file=sys.stderr)
+        return 2
     from .pipelines.curate import curate_corpus
 
     print(json.dumps(curate_corpus(args.sf, args.out, budget=args.budget)))
@@ -337,7 +358,12 @@ def main(argv: list[str] | None = None) -> int:
         "curate",
         help="dedup + decontaminate + quality-cut a documents table, pack sequences",
     )
-    cu.add_argument("--sf", required=True, help="directory holding documents.parquet")
+    cu.add_argument("--sf", help="directory holding documents.parquet")
+    cu.add_argument("--from-lake", dest="from_lake",
+                    help="curate an applied CDC lake (one doc per conversation)")
+    cu.add_argument("--benchmark",
+                    help="documents table whose sub-cutoff rows are the "
+                         "held-out set for decontamination (--from-lake only)")
     cu.add_argument("--out", required=True)
     cu.add_argument("--budget", type=int, default=256, help="tokens per pack")
     cu.set_defaults(fn=cmd_curate)

@@ -27,7 +27,13 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.joins import broadcast_join, bucketed_hash_join
-from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, id_hash, local_topk
+from ..stages.shuffle import (
+    bucketed_map_groups,
+    bucketed_sum_count,
+    id_hash,
+    local_topk,
+    table_bytes,
+)
 
 
 
@@ -40,14 +46,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     splits a 5 MB table into 64 micro-blocks and every downstream shuffle
     pays per-block overhead; at 100 TB parallelism comes from file count)."""
     path = _t(sf_dir, table)
-    blocks = min(64, max(2, os.path.getsize(path) >> 20))
+    blocks = min(64, max(2, table_bytes(path) >> 20))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def _tbytes(sf_dir: str, table: str) -> int:
     """Source size for bucket-count sizing when the dataset handed to a
     bucketed helper is already post-map_batches (input_files() is empty)."""
-    return os.path.getsize(_t(sf_dir, table))
+    return table_bytes(_t(sf_dir, table))
 
 
 def _round_away(x, decimals: int = 2) -> np.ndarray:
@@ -1116,7 +1122,7 @@ def q_network_stats(sf_dir: str):
     per-user pass yields n_users + top_user; one per-batch partial-aggregate
     pass yields totals, ts range, distinct types and the latest event (the
     driver combines one small partial row per block)."""
-    ev_bytes = os.path.getsize(_t(sf_dir, "events"))
+    ev_bytes = table_bytes(_t(sf_dir, "events"))
 
     # pass A — everything scalar, one partial row per batch (runs FIRST so
     # an empty events table short-circuits before the per-user pass)

@@ -36,6 +36,7 @@ import os
 import ray.data as rd
 
 from ..stages.joins import bucketed_hash_join
+from ..stages.shuffle import table_bytes, table_rows
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -56,7 +57,7 @@ def q_curated_corpus(sf_dir: str, counts: dict | None = None):
         q_contamination_flags,
     )
 
-    nbytes = os.path.getsize(_docs_path(sf_dir))
+    nbytes = table_bytes(_docs_path(sf_dir))
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     # stage 1 — dedup: drop non-canonical cluster members
@@ -108,14 +109,13 @@ def curate_corpus(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
     sequence assignment at ``budget`` tokens). Returns per-stage survivor
     counts plus pack stats."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..stages.shuffle import bucketed_sum_count
     from .pack import pack_documents
 
     os.makedirs(out_dir, exist_ok=True)
-    nbytes = os.path.getsize(_docs_path(sf_dir))
-    n_total = pq.read_metadata(_docs_path(sf_dir)).num_rows
+    nbytes = table_bytes(_docs_path(sf_dir))
+    n_total = table_rows(_docs_path(sf_dir))
 
     stage_counts: dict = {}
     kept_ids = q_curated_corpus(sf_dir, counts=stage_counts).materialize()

@@ -23,7 +23,12 @@ import ray.data as rd
 from ..stages.actors import cached_get, per_worker
 from ..stages.joins import bucketed_hash_join
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
-from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, local_topk
+from ..stages.shuffle import (
+    bucketed_map_groups,
+    bucketed_sum_count,
+    local_topk,
+    table_bytes,
+)
 
 
 def _t(sf_dir: str, table: str) -> str:
@@ -43,7 +48,7 @@ def _read(
     idle under a compute-heavy stage (hashing, shingling). At 100 TB the
     size-based count dominates the floor, so this is scale-neutral."""
     path = _t(sf_dir, table)
-    blocks = min(64, max(2, os.path.getsize(path) >> 20))
+    blocks = min(64, max(2, table_bytes(path) >> 20))
     if cpu_bound:
         try:
             blocks = max(blocks, min(64, int(ray.cluster_resources().get("CPU", 8))))
@@ -156,7 +161,7 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
     ignoring that feature's (near-zero) Jaccard evidence. None = exact
     (the oracle-checked default at test scales)."""
 
-    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
+    doc_bytes = table_bytes(_t(sf_dir, "documents"))
 
     def explode_with_sizes(batch: pa.Table) -> pa.Table:
         # attach the per-doc distinct-feature count n at explode time: a
@@ -322,7 +327,9 @@ def _cluster_labels(sf_dir: str, threshold: float):
 
     path = _t(sf_dir, "documents")
     st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size, threshold)
+    # table_bytes (not st.st_size) so a directory-of-parts table (the lake
+    # export) keys on content size, not the 4 KB dirent size
+    key = (path, st.st_mtime_ns, table_bytes(path), threshold)
     if key in _LABEL_MEMO:
         return _LABEL_MEMO[key]
 
@@ -339,7 +346,7 @@ def _cluster_labels(sf_dir: str, threshold: float):
     labels = (
         None
         if edges.count() == 0
-        else connected_components(edges, input_bytes=st.st_size)
+        else connected_components(edges, input_bytes=table_bytes(path))
     )
     if len(_LABEL_MEMO) >= 4:
         _LABEL_MEMO.pop(next(iter(_LABEL_MEMO)))
@@ -389,7 +396,7 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
         _read(sf_dir, "documents", columns=["doc_id"]),
         "doc_id",
         _cluster_labels(sf_dir, threshold),
-        os.path.getsize(_t(sf_dir, "documents")),
+        table_bytes(_t(sf_dir, "documents")),
     )
 
 
@@ -401,7 +408,7 @@ def q_dedup_clusters_minhash(sf_dir: str, threshold: float = 0.5):
     with the exact-path clusters on the planted corpus is pinned by test."""
     from ..stages.graph import connected_components
 
-    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
+    doc_bytes = table_bytes(_t(sf_dir, "documents"))
     pairs = q_minhash_near_dup(sf_dir, threshold)
     if isinstance(pairs, pd.DataFrame):  # zero-candidate typed frame
         edges = None
@@ -507,7 +514,7 @@ def q_dedup_survivors(sf_dir: str, threshold: float = 0.5):
         left_on=["doc_id"],
         right_on=["loser_id"],
         how="left_anti",
-        input_bytes=os.path.getsize(_t(sf_dir, "documents")),
+        input_bytes=table_bytes(_t(sf_dir, "documents")),
     )
 
 
@@ -658,7 +665,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
       3. pair-keyed regroup: the two half-rows meet, exact Jaccard,
          threshold.
     """
-    doc_bytes = os.path.getsize(_t(sf_dir, "documents"))
+    doc_bytes = table_bytes(_t(sf_dir, "documents"))
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"], cpu_bound=True)
     # task-based with per-worker state: hash params built once per worker
     # process, no actor-pool spin-up (see stages/actors.py)
@@ -854,7 +861,7 @@ def q_dedup_clusters_embedding(
     edge source is q_embedding_near_dup_lsh with the identical downstream."""
     from ..stages.graph import connected_components
 
-    emb_bytes = os.path.getsize(_t(sf_dir, "embeddings"))
+    emb_bytes = table_bytes(_t(sf_dir, "embeddings"))
     edges = (
         _embedding_all_pairs(sf_dir, max_rows, threshold=threshold)
         .map_batches(
@@ -907,7 +914,7 @@ def q_embedding_near_dup_lsh(
     in this default.
     """
     path = _t(sf_dir, "embeddings")
-    emb_bytes = os.path.getsize(path)
+    emb_bytes = table_bytes(path)
     dim = _embedding_sample(path, max_rows=1).shape[1]
     rng = np.random.default_rng(23)
     planes = rng.standard_normal((n_tables, n_planes, dim))

@@ -1,0 +1,184 @@
+"""Lake → documents bridge: ``curate --from-lake``.
+
+Folds the CDC lake's transcript rows into the documents-table shape
+(doc_id, text, lang, source, n_chars) — ONE document per conversation,
+turns concatenated in turn_idx order as ``role: text`` lines — then runs
+the SAME oracle-checked curation chain (pipelines/curate.py) over the
+export. This closes the loop the engine exists for: binlog → lake →
+dedup/decontaminate/quality-cut → packed training sequences, with zero
+curation code that behaves differently on lake-fed input.
+
+Reference analog: the reference feeds its analytics straight from the DB
+its loader maintains (src/nostr_pipeline/loaders/event_loader.py writes,
+the dashboard queries the same tables); here the lake is that DB and the
+curation chain is the consumer.
+
+Scale shape: the fold is one bucketed exchange keyed on conv_id (all
+turns of a conversation co-locate; bucket count sized from the lake
+bytes), the export is partitioned parquet (one part per bucket block —
+resumable, never one giant file), and the chain downstream already sizes
+itself from the export via table_bytes (file-or-directory aware).
+
+doc_id assignment: conversations get ``_BENCHMARK_MAX_DOC_ID + (h >> 1)``
+where h is the 64-bit deterministic hash of conv_id (same keyed hash the
+bucketed backbone partitions by) — stable across runs and cluster sizes
+without a global ordering pass, always above the benchmark id range so
+the decontamination stage's id convention holds. A held-out benchmark
+table (doc_id < _BENCHMARK_MAX_DOC_ID rows of a documents fixture) can be
+spliced in so the decontamination stage is live, not vacuous; the
+benchmark docs themselves never reach the curated output (the chain drops
+ids below the benchmark cutoff before flagging).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..stages.shuffle import bucketed_map_groups, bucketed_sum_count, table_rows
+from .cdc import read_final
+from .dedup import _BENCHMARK_MAX_DOC_ID
+
+# same CJK-block heuristic as stages/text.py's TextAnalyzer (reference:
+# event_processor.py:299-315) — module-level so each worker compiles once
+_ZH = re.compile("[一-鿿]")
+_JA = re.compile("[぀-ゟ゠-ヿ]")
+_KO = re.compile("[가-힯]")
+
+_DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars", "conv_id"]
+
+
+def _lake_bytes(lake_root: str) -> int:
+    from ..state.lake import Lake
+
+    lake = Lake(lake_root)
+    files = list(lake.snapshot_files())
+    if lake.has_deltas():
+        for _, (base, deltas) in lake.partition_files().items():
+            files.extend(([base] if base else []) + deltas)
+    return sum(os.path.getsize(f) for f in set(files) if os.path.exists(f))
+
+
+def _fold_conversations(df: pd.DataFrame) -> pd.DataFrame:
+    """All turns of each conv are in this bucket: order by turn_idx, join
+    ``role: text`` lines, derive the document columns. Vectorized except
+    the per-group string join (inherent to concatenation)."""
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    line = df["role"].fillna("") + ": " + df["text"].fillna("")
+    text = line.groupby(df["conv_id"].to_numpy(), sort=False).agg("\n".join)
+    conv = text.index.to_numpy(dtype=object)
+    txt = pd.Series(text.to_numpy(dtype=object))
+    h = pd.util.hash_array(conv)  # deterministic keyed 64-bit hash
+    doc_id = (
+        (h >> np.uint64(1)).astype(np.int64) + np.int64(_BENCHMARK_MAX_DOC_ID)
+    )
+    lang = np.where(
+        txt.str.contains(_ZH),
+        "zh",
+        np.where(txt.str.contains(_JA), "ja", np.where(txt.str.contains(_KO), "ko", "en")),
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id,
+            "text": txt.to_numpy(dtype=object),
+            "lang": lang,
+            "source": "lake",
+            "n_chars": txt.str.len().to_numpy(dtype=np.int64),
+            "conv_id": conv,
+        }
+    )
+
+
+def conversations_as_documents(lake_root: str) -> "rd.Dataset":
+    """The lake's current state as a documents-shaped Dataset (one row per
+    conversation). One bucketed exchange on conv_id; nothing on the driver."""
+    rows = read_final(
+        lake_root, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+    return bucketed_map_groups(
+        rows, ["conv_id"], _fold_conversations, input_bytes=_lake_bytes(lake_root)
+    )
+
+
+def _benchmark_rows(benchmark_path: str) -> "rd.Dataset":
+    """The held-out set: the sub-benchmark-cutoff rows of a documents
+    table — a filtered point read (row-group pruning), never a scan."""
+    t = pq.read_table(
+        benchmark_path,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        filters=[("doc_id", "<", _BENCHMARK_MAX_DOC_ID)],
+    )
+    t = t.append_column("conv_id", pa.array([""] * t.num_rows, pa.string()))
+    return rd.from_arrow(t.select(_DOC_COLUMNS))
+
+
+def export_documents(
+    lake_root: str,
+    out_dir: str,
+    benchmark: str | None = None,
+    verify: bool = True,
+) -> str:
+    """Write the lake's conversations as a partitioned documents table at
+    ``out_dir/documents.parquet/`` (a directory of part files — the export
+    is owned by this function and replaced on re-run). Returns ``out_dir``,
+    which then serves as the sf_dir of every documents-table pipeline.
+
+    ``verify=True`` adds one doc-level distinct pass asserting the hashed
+    doc_ids are collision-free (P(collision) ~ n²/2⁶³, but a silent
+    collision would merge two conversations downstream — cheap insurance
+    at one row per conversation)."""
+    docs_dir = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(docs_dir):
+        shutil.rmtree(docs_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = conversations_as_documents(lake_root)
+    if benchmark is not None:
+        ds = ds.union(_benchmark_rows(benchmark))
+    ds.write_parquet(docs_dir)
+
+    if verify:
+        n_rows = table_rows(docs_dir)
+        n_ids = bucketed_sum_count(
+            rd.read_parquet(docs_dir, columns=["doc_id"]),
+            ["doc_id"],
+            sums={},
+            count_as="c",
+        ).count()
+        if n_ids != n_rows:
+            raise RuntimeError(
+                f"doc_id collision in lake export: {n_rows} docs but only "
+                f"{n_ids} distinct ids — re-key the conversations"
+            )
+    return out_dir
+
+
+def curate_from_lake(
+    lake_root: str,
+    out_dir: str,
+    benchmark: str | None = None,
+    budget: int = 256,
+) -> dict:
+    """End-to-end: export the lake as documents, then run the composed
+    curation chain (dedup → decontaminate → p75 quality cut → pack) over
+    the export. Writes ``curated.parquet`` + ``packs.parquet`` under
+    ``out_dir`` exactly like fixture-fed ``curate_corpus``."""
+    from .curate import curate_corpus
+
+    docs_sf = export_documents(
+        lake_root, os.path.join(out_dir, "lake_docs"), benchmark=benchmark
+    )
+    summary = curate_corpus(docs_sf, out_dir, budget=budget)
+    summary["lake_root"] = lake_root
+    summary["exported_docs"] = int(
+        table_rows(os.path.join(docs_sf, "documents.parquet"))
+    )
+    return summary

@@ -99,6 +99,34 @@ def input_bytes_of(ds) -> int | None:
         return None
 
 
+def _part_files(path: str) -> list[str]:
+    return [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in sorted(fs)
+        if f.endswith(".parquet")
+    ]
+
+
+def table_bytes(path: str) -> int:
+    """Bytes of a parquet table that is either a single file (the testdata
+    fixtures) or a directory of part files (engine-written output, e.g. the
+    lake-document export feeding `curate --from-lake`). Used everywhere a
+    pipeline sizes its bucket/block counts from the source."""
+    if os.path.isdir(path):
+        return sum(os.path.getsize(f) for f in _part_files(path))
+    return os.path.getsize(path)
+
+
+def table_rows(path: str) -> int:
+    """Row count from parquet footers only — file or directory of parts."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(f).num_rows for f in _part_files(path))
+    return pq.read_metadata(path).num_rows
+
+
 def key_buckets(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = np.full(len(df), _FNV, dtype=np.uint64)
     for k in keys:
