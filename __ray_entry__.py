@@ -73,6 +73,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_cu.QUERIES)  # the composed curation chain (oracle)
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.textops as _tx
+
+        qs.update(_tx.QUERIES)  # repetition signals + token-budget selection
+    except ImportError:
+        pass
     return qs
 
 
@@ -98,6 +104,12 @@ def oracle_sql() -> dict[str, str]:
         import nostr_data_pipeline_ray.pipelines.curate as _cu
 
         out.update(_cu.ORACLE)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.textops as _tx
+
+        out.update(_tx.ORACLE)
     except ImportError:
         pass
     return out

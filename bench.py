@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     # small-graph fast path landed (7.5 s / 5.6 s at sf0.1)
     "dedup_clusters_minhash",
     "incremental_near_dup",
+    # round-4 text ops: repetition signals (batch-local) + token-budget
+    # corpus selection (distributed ordered prefix-sum over the sort)
+    "doc_repetition",
+    "corpus_token_budget",
 ]
 
 
@@ -155,6 +159,7 @@ def run_bench() -> dict:
     if not os.environ.get("NDP_BENCH_CDC_ONLY"):
         from nostr_data_pipeline_ray.pipelines import dedup_index as di
         from nostr_data_pipeline_ray.pipelines import pack as pk
+        from nostr_data_pipeline_ray.pipelines import textops as tx
 
         # best-of-2 passes per query: this host's noise comes in multi-
         # minute windows that can hit a contiguous slice of a single pass
@@ -167,6 +172,7 @@ def run_bench() -> dict:
                     getattr(an, f"q_{name}", None)
                     or dd.QUERIES.get(name)
                     or di.QUERIES.get(name)
+                    or tx.QUERIES.get(name)
                     or pk.QUERIES[name]
                 )
                 t0 = time.time()

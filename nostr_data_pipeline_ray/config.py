@@ -45,7 +45,9 @@ class EngineConfig:
     # exchange file format: "parquet" (snappy) compresses the shuffle — the
     # right choice when staged bytes cross a network, and the compression is
     # parallel CPU work so it also scales better; "ipc" (uncompressed Arrow)
-    # is ~35% faster absolute on single-node tmpfs but memory-bandwidth-bound.
+    # is ~35% faster absolute on single-node tmpfs but memory-bandwidth-bound;
+    # "ipc-lz4" / "ipc-zstd" buffer-compress the IPC frames — the byte/CPU
+    # middle points (see BASELINE.md exchange matrix).
     staged_format: str = "parquet"
     # dictionary-encode string columns of IPC staged files (parquet already
     # dict-encodes pages internally). Measured: no win on this workload —

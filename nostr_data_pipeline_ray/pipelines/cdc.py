@@ -304,7 +304,7 @@ class SplitStage:
                 row_hash[s:e].tobytes(), digest_size=8
             ).hexdigest()
             stem = f"d-{int(lsn.min())}-{int(lsn.max())}-{part.num_rows}-{digest}"
-            if self.fmt == "ipc":
+            if self.fmt.startswith("ipc"):
                 if self.dict_encode:
                     # dictionary-encode string columns (the conform_schema
                     # cast on the read side decodes them back)
@@ -315,10 +315,14 @@ class SplitStage:
                             col = pc.dictionary_encode(col.combine_chunks())
                         cols.append(col)
                     part = pa.table(dict(zip(part.column_names, cols)))
-                # uncompressed Arrow IPC: 5-100x faster encode/decode than
-                # parquet (measured) at ~8x bytes — for tmpfs/local scratch
+                # Arrow IPC: 5-100x faster encode/decode than parquet
+                # (measured) at ~8x bytes uncompressed — for tmpfs/local
+                # scratch. "ipc-lz4"/"ipc-zstd" buffer-compress the frames
+                # (the middle point between parquet bytes and IPC speed);
+                # the read side decompresses transparently.
+                comp = self.fmt.partition("-")[2] or "uncompressed"
                 feather.write_feather(
-                    part, os.path.join(d, stem + ".arrow"), compression="uncompressed"
+                    part, os.path.join(d, stem + ".arrow"), compression=comp
                 )
             else:
                 pq.write_table(part, os.path.join(d, stem + ".parquet"))

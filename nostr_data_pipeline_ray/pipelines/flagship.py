@@ -27,8 +27,14 @@ SPECS: dict[str, ChangelogSpec] = {
 
 _SCRATCH = "/dev/shm/ndp_scratch" if os.path.isdir("/dev/shm") else None
 
+# staged_format honors the env knob so bench.py legs can A/B the exchange
+# format from the outside (fresh process per leg — read once at import)
 CONFIG = EngineConfig(
-    num_partitions=32, turn_bucket=256, epoch_segments=64, scratch_dir=_SCRATCH
+    num_partitions=32,
+    turn_bucket=256,
+    epoch_segments=64,
+    scratch_dir=_SCRATCH,
+    staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
 )
 
 _SYNTH_ROOT = "/tmp/ndp_synth"

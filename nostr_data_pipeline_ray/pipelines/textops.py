@@ -1,0 +1,305 @@
+"""Text-analysis training-data ops with exact SQL oracles.
+
+Two operators a pre-training corpus pipeline runs that the engine lacked:
+
+- ``doc_repetition`` — Gopher-style repetition signals per document
+  (duplicate-word fraction, top-word fraction, top-bigram fraction; cf.
+  Rae et al. 2021 §A1.1 "repetition removal"): the filter signal for
+  degenerate/boilerplate text. Fully batch-local (a document is one row),
+  vectorized via factorize + lexsort run-length counting — zero shuffles
+  at any scale.
+
+- ``corpus_token_budget`` — "fill the token budget with the best
+  documents": order the corpus by (quality_score DESC, doc_id) and keep
+  the maximal prefix whose cumulative token count stays within the
+  budget — the selection step that turns a scored corpus into a training
+  set of a target size. Implemented as a distributed ordered prefix-sum:
+  Ray sort (range exchange), then ONE bounded driver pass over per-block
+  summaries (first sort key + token subtotal per block — O(blocks), never
+  O(corpus)) to compute block offsets, then a map-side cumsum + filter.
+  The global sort is inherent to exact ordered selection; the approximate
+  scale path for when a sort is unaffordable is the t-digest quality
+  threshold (``price_stats_tdigest`` pattern / ``quality_filter``).
+
+Both oracles follow the engine convention: identical column names, 6dp
+half-away rounding on both sides, DuckDB CTEs kept structurally parallel
+to the Ray plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..stages.shuffle import table_bytes
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read_docs(sf_dir: str, columns: list[str]):
+    path = _t(sf_dir, "documents")
+    blocks = min(64, max(2, table_bytes(path) >> 20))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+def _round6(x) -> np.ndarray:
+    """Half-away-from-zero 6dp rounding, matching DuckDB ROUND."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def _group_counts(a: np.ndarray, b: np.ndarray):
+    """Counts of equal (a, b) pairs via lexsort + run-length — no hash
+    table, no pair-key packing (which would overflow int64 for large
+    vocabularies)."""
+    order = np.lexsort((b, a))
+    aa, bb = a[order], b[order]
+    new = np.empty(len(aa), dtype=bool)
+    new[0] = True
+    new[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(aa)))
+    return aa[starts], bb[starts], counts
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition
+# ---------------------------------------------------------------------------
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    words = pc.split_pattern(batch["text"], " ")
+    flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
+    n_docs = batch.num_rows
+
+    total = np.bincount(parents, minlength=n_docs).astype(np.float64)
+
+    # per-doc distinct words + most frequent word count
+    gp, _, gc = _group_counts(parents, codes)
+    distinct = np.bincount(gp, minlength=n_docs).astype(np.float64)
+    top_word = np.zeros(n_docs)
+    np.maximum.at(top_word, gp, gc)
+
+    # per-doc bigram totals + most frequent bigram count (adjacent word
+    # pairs within one document; parents are non-decreasing so adjacency
+    # in the flat array + equal parent == adjacency in the document)
+    top_gram = np.zeros(n_docs)
+    gram_total = np.zeros(n_docs)
+    if len(codes) >= 2:
+        same = parents[:-1] == parents[1:]
+        bp = parents[:-1][same]
+        gram_total = np.bincount(bp, minlength=n_docs).astype(np.float64)
+        # pack the pair into one key: codes fit 32 bits within a batch
+        # (factorize is batch-local), so this cannot overflow int64
+        bk = codes[:-1][same].astype(np.int64) * np.int64(len(codes) + 1) + codes[1:][same]
+        gp2, _, gc2 = _group_counts(bp, bk)
+        np.maximum.at(top_gram, gp2, gc2)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup = 1.0 - distinct / total
+        topw = top_word / total
+        topg = np.where(gram_total > 0, top_gram / np.maximum(gram_total, 1.0), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "dup_word_frac": pa.array(_round6(dup), pa.float64()),
+            "top_word_frac": pa.array(_round6(topw), pa.float64()),
+            "top_bigram_frac": pa.array(_round6(topg), pa.float64()),
+        }
+    )
+
+
+def q_doc_repetition(sf_dir: str):
+    """(doc_id, dup_word_frac, top_word_frac, top_bigram_frac) — the
+    repetition-removal signals, one row per document."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 10_000  # whitespace tokens the selected corpus may total
+
+
+def _score_tokens(batch: pa.Table) -> pa.Table:
+    """quality_score (the oracle-pinned doc_quality length score) +
+    whitespace token count, one pass over (doc_id, text, n_chars)."""
+    n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+    length_score = np.where(
+        n < 50,
+        n / 50.0 * 50.0,
+        np.where(
+            n <= 500,
+            50.0 + (n - 50.0) / 450.0 * 50.0,
+            100.0 - np.minimum(50.0, (n - 500.0) / 100.0),
+        ),
+    )
+    quality = np.floor(length_score * 0.3 * 100.0 + 0.5) / 100.0  # round2
+    words = pc.split_pattern(batch["text"], " ")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "quality_score": pa.array(quality, pa.float64()),
+            "n_tokens": pc.cast(pc.list_value_length(words), pa.int64()),
+        }
+    )
+
+
+def q_corpus_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET):
+    """The selected training corpus: documents in (quality_score DESC,
+    doc_id) order while the running token total stays ≤ budget —
+    (doc_id, quality_score, n_tokens, cum_tokens).
+
+    Distributed ordered prefix-sum: after the range sort, pass A reduces
+    each block to (first-row sort key, token subtotal) — one row PER BLOCK
+    on the driver, the same bounded pattern as q_network_stats — pass B
+    adds each block's offset to its local cumsum and filters. Blocks whose
+    offset already exceeds the budget emit nothing (their rows are all past
+    the cut), so the tail of a huge corpus costs a subtotal scan, not a
+    materialization."""
+    scored = (
+        _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(_score_tokens, batch_format="pyarrow")
+        .sort(key=["quality_score", "doc_id"], descending=[True, False])
+        .materialize()
+    )
+
+    # pass A: one summary row per block (bounded driver-side collection)
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"q0": pa.array([], pa.float64()), "id0": pa.array([], pa.int64()),
+                 "toks": pa.array([], pa.int64()), "tok0": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "q0": pa.array([batch["quality_score"][0].as_py()], pa.float64()),
+                "id0": pa.array([batch["doc_id"][0].as_py()], pa.int64()),
+                "toks": pa.array(
+                    [pc.sum(batch["n_tokens"]).as_py()], pa.int64()
+                ),
+                "tok0": pa.array([batch["n_tokens"][0].as_py()], pa.int64()),
+            }
+        )
+
+    summaries = scored.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).take_all()  # O(number of blocks), never O(corpus)
+    summaries.sort(key=lambda r: (-r["q0"], r["id0"]))
+    _anchor = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "quality_score": pa.array([], pa.float64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "cum_tokens": pa.array([], pa.int64())}
+    )
+    # degenerate case: even the single best document exceeds the budget.
+    # Return the typed empty directly — Ray's sort represents empty
+    # partitions as zero-COLUMN blocks, so an all-empty filter result
+    # would otherwise lose its schema.
+    if not summaries or summaries[0]["tok0"] > budget:
+        return rd.from_arrow(_anchor)
+    offsets: dict[tuple, int] = {}
+    running = 0
+    for s in summaries:
+        offsets[(s["q0"], s["id0"])] = running
+        running += s["toks"]
+
+    # pass B: map-side cumsum + budget filter over the SAME sorted blocks
+    def select(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "quality_score": pa.array([], pa.float64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "cum_tokens": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        off = offsets[(batch["quality_score"][0].as_py(), batch["doc_id"][0].as_py())]
+        if off > budget:
+            return empty
+        cum = off + np.cumsum(batch["n_tokens"].to_numpy(zero_copy_only=False))
+        keep = cum <= budget
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "quality_score": batch["quality_score"].filter(pa.array(keep)),
+                "n_tokens": batch["n_tokens"].filter(pa.array(keep)),
+                "cum_tokens": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return scored.map_batches(select, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(ws) AS word FROM w
+    ), wc AS (
+        SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    ), wstat AS (
+        SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS d, CAST(max(c) AS DOUBLE) AS mw
+        FROM wc GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM w WHERE len(ws) >= 2
+    ), bgc AS (
+        SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+    ), bgstat AS (
+        SELECT doc_id, CAST(sum(c) AS DOUBLE) AS tn, CAST(max(c) AS DOUBLE) AS mg
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT wstat.doc_id,
+           round(1.0 - d / n, 6) AS dup_word_frac,
+           round(mw / n, 6) AS top_word_frac,
+           round(coalesce(mg / tn, 0.0), 6) AS top_bigram_frac
+    FROM wstat LEFT JOIN bgstat USING (doc_id)
+"""
+
+_TOKEN_BUDGET_SQL = f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(0.3 * (CASE
+                   WHEN n_chars < 50 THEN n_chars / 50.0 * 50.0
+                   WHEN n_chars <= 500 THEN 50.0 + (n_chars - 50.0) / 450.0 * 50.0
+                   ELSE 100.0 - least(50.0, (n_chars - 500.0) / 100.0)
+               END), 2) AS quality_score,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, quality_score, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+QUERIES = {
+    "doc_repetition": q_doc_repetition,
+    "corpus_token_budget": q_corpus_token_budget,
+}
+ORACLE = {
+    "doc_repetition": _REPETITION_SQL,
+    "corpus_token_budget": _TOKEN_BUDGET_SQL,
+}

@@ -1,0 +1,129 @@
+"""Repetition signals + token-budget corpus selection: planted-case edge
+pins and DuckDB-oracle agreement (the driver gate re-checks at sf0.01)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nostr_data_pipeline_ray.pipelines.textops import (
+    q_corpus_token_budget,
+    q_doc_repetition,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_dir(tmp_path, rows):
+    """Write an sf_dir-shaped documents table: (doc_id, text) + derived
+    n_chars (the schema the pipelines project)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["test"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_planted_cases(ray_session, tmp_path):
+    sf = _docs_dir(
+        tmp_path,
+        [
+            (1, "a a a a"),          # one word repeated
+            (2, "a b c d"),          # all distinct
+            (3, "x"),                # single word: no bigrams
+            (4, ""),                 # empty: split -> [""]
+            (5, "p q p q p q"),      # alternating pair
+        ],
+    )
+    out = (
+        q_doc_repetition(sf)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "dup_word_frac"] == 0.75
+    assert out.loc[1, "top_word_frac"] == 1.0
+    assert out.loc[1, "top_bigram_frac"] == 1.0  # "a a" x3 of 3
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert out.loc[2, "top_word_frac"] == 0.25
+    assert out.loc[2, "top_bigram_frac"] == 0.333333  # 1 of 3, 6dp
+    assert out.loc[3, "top_bigram_frac"] == 0.0
+    assert out.loc[4, "dup_word_frac"] == 0.0 and out.loc[4, "top_word_frac"] == 1.0
+    # "p q": 3 of 5 bigrams; dup: 2 distinct of 6
+    assert out.loc[5, "top_bigram_frac"] == 0.6
+    assert out.loc[5, "dup_word_frac"] == round(1 - 2 / 6, 6)
+
+
+def test_token_budget_boundary_and_order(ray_session, tmp_path):
+    # quality is the n_chars length score: longer text (below 500 chars)
+    # scores higher, so doc order by quality desc is text-length desc
+    rows = [
+        (10, "w " * 199 + "w"),  # 200 tokens, 401 chars -> best
+        (11, "v " * 149 + "v"),  # 150 tokens
+        (12, "u " * 99 + "u"),   # 100 tokens
+        (13, "t " * 49 + "t"),   # 50 tokens
+    ]
+    sf = _docs_dir(tmp_path, rows)
+    # budget hits exactly after doc 11: 200 + 150 = 350
+    out = q_corpus_token_budget(sf, budget=350).to_pandas()
+    assert list(out["doc_id"]) == [10, 11]
+    assert list(out["cum_tokens"]) == [200, 350]  # inclusive boundary
+    # one token less excludes doc 11 entirely (no partial documents)
+    out = q_corpus_token_budget(sf, budget=349).to_pandas()
+    assert list(out["doc_id"]) == [10]
+    # budget smaller than the best doc -> empty, with a stable schema
+    # (assert on the Dataset schema: Ray 2.49's to_pandas drops columns
+    # for ANY empty dataset regardless of its schema)
+    ds = q_corpus_token_budget(sf, budget=10)
+    assert ds.schema().names == ["doc_id", "quality_score", "n_tokens", "cum_tokens"]
+    assert ds.count() == 0
+
+
+def test_token_budget_tie_break_by_doc_id(ray_session, tmp_path):
+    # equal-length texts -> equal quality; selection must break ties by
+    # doc_id ascending exactly like the SQL ORDER BY
+    rows = [(7, "a b c"), (3, "d e f"), (5, "g h i")]
+    sf = _docs_dir(tmp_path, rows)
+    out = q_corpus_token_budget(sf, budget=6).to_pandas()
+    assert list(out["doc_id"]) == [3, 5]
+
+
+@pytest.mark.parametrize("name", ["doc_repetition", "corpus_token_budget"])
+def test_agrees_with_duckdb_oracle(ray_session, name):
+    import nostr_data_pipeline_ray.pipelines.textops as tx
+
+    got = (
+        tx.QUERIES[name](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(tx.ORACLE[name])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+            rtol=0, atol=0, err_msg=c,
+        )
