@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # corpus selection (distributed ordered prefix-sum over the sort)
     "doc_repetition",
     "corpus_token_budget",
+    "doc_lm_score",
 ]
 
 

@@ -21,7 +21,18 @@ Two operators a pre-training corpus pipeline runs that the engine lacked:
   scale path for when a sort is unaffordable is the t-digest quality
   threshold (``price_stats_tdigest`` pattern / ``quality_filter``).
 
-Both oracles follow the engine convention: identical column names, 6dp
+- ``doc_lm_score`` — corpus-trained unigram-LM proxy score (mean token
+  log-likelihood under the corpus's own unigram distribution; the classic
+  "LM perplexity" quality signal with the corpus itself as the model):
+  pass 1 trains the model — global word counts via map-side partial
+  combine + one bucketed exchange; pass 2 scores every document against
+  it. The trained table is broadcast when the vocabulary fits the size
+  gate (one ``ray.put``, fetched once per worker), otherwise scoring
+  falls back to an exploded bucketed join + per-doc combine — the same
+  gate-or-join discipline as the dedup pushdown prefilters. Both paths
+  are equivalence-tested.
+
+All oracles follow the engine convention: identical column names, 6dp
 half-away rounding on both sides, DuckDB CTEs kept structurally parallel
 to the Ray plan.
 """
@@ -244,6 +255,131 @@ def q_corpus_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET):
 
 
 # ---------------------------------------------------------------------------
+# doc_lm_score
+# ---------------------------------------------------------------------------
+
+# above this vocabulary size the word→log-probability table is no longer
+# "small-side" (2M entries ≈ 100-200 MB as a pandas Series) and scoring
+# takes the bucketed-join path instead of a broadcast
+VOCAB_BROADCAST_MAX = 2_000_000
+
+
+def _explode_tokens(batch: pa.Table) -> pa.Table:
+    """(doc_id, word) with duplicates — LM scoring weights every token."""
+    words = pc.split_pattern(batch["text"], " ")
+    flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat)
+    return pa.table(
+        {"doc_id": batch["doc_id"].take(parents), "word": pc.list_flatten(flat)}
+    )
+
+
+def q_doc_lm_score(sf_dir: str, broadcast_max: int = VOCAB_BROADCAST_MAX):
+    """(doc_id, lm_score): mean ln p(word) per document under the corpus
+    unigram model — higher (closer to 0) = more typical text, very low =
+    out-of-distribution/noise. Two passes over the corpus: train (word
+    counts, one bucketed exchange), then score (broadcast lookup or
+    bucketed join — chosen by vocabulary size, never by guess)."""
+    import ray
+
+    from ..stages.actors import cached_get
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import bucketed_sum_count
+
+    doc_bytes = table_bytes(_t(sf_dir, "documents"))
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        t = pa.table({"word": pc.list_flatten(words)})
+        out = t.group_by("word").aggregate([("word", "count")])
+        return pa.table(
+            {"word": out["word"], "c": pc.cast(out["word_count"], pa.int64())}
+        )
+
+    wc = bucketed_sum_count(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        ["word"],
+        sums={"c": "c"},
+        input_bytes=doc_bytes,
+    ).materialize()
+    vocab = wc.count()
+    n_total = float(wc.sum("c"))
+
+    if vocab <= broadcast_max:
+        # small-side broadcast: ONE ray.put of the trained table, fetched
+        # once per worker (cached_get), vectorized hash-join via Series.map
+        table = wc.to_pandas()
+        logp = pd.Series(
+            np.log(table["c"].to_numpy(dtype=np.float64) / n_total),
+            index=table["word"],
+        )
+        ref = ray.put(logp)
+
+        def score(batch: pa.Table) -> pa.Table:
+            words = pc.split_pattern(batch["text"], " ")
+            flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+            parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
+            toks = pd.Series(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
+            lp = toks.map(cached_get(ref)).to_numpy(dtype=np.float64)
+            n_docs = batch.num_rows
+            tot = np.bincount(parents, weights=lp, minlength=n_docs)
+            cnt = np.bincount(parents, minlength=n_docs).astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "lm_score": pa.array(
+                        _round6(tot / np.maximum(cnt, 1.0)), pa.float64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # large-vocabulary path: join every token against the count table by
+    # word (bucketed), then combine per document (bucketed) — two
+    # exchanges, nothing on the driver
+    tokens = docs.map_batches(_explode_tokens, batch_format="pyarrow")
+    wc_r = wc.map_batches(
+        lambda b: b.rename_columns(["w", "c"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(
+        tokens, wc_r, left_on=["word"], right_on=["w"], how="inner",
+        input_bytes=doc_bytes,
+    )
+
+    def to_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "lp": np.log(b["c"].to_numpy(dtype=np.float64) / n_total),
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    sums = bucketed_sum_count(
+        joined.map_batches(to_partial, batch_format="pandas"),
+        ["doc_id"],
+        sums={"lp": "lp"},
+        count_as="n",
+        input_bytes=doc_bytes,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lm_score": _round6(
+                    b["lp"].to_numpy(dtype=np.float64)
+                    / np.maximum(b["n"].to_numpy(dtype=np.float64), 1.0)
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -295,11 +431,26 @@ _TOKEN_BUDGET_SQL = f"""
     FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
+_LM_SCORE_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+        SELECT word, count(*) AS c FROM tok GROUP BY word
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n FROM wc
+    )
+    SELECT doc_id, round(avg(ln(wc.c / tot.n)), 6) AS lm_score
+    FROM tok JOIN wc USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "corpus_token_budget": q_corpus_token_budget,
+    "doc_lm_score": q_doc_lm_score,
 }
 ORACLE = {
     "doc_repetition": _REPETITION_SQL,
     "corpus_token_budget": _TOKEN_BUDGET_SQL,
+    "doc_lm_score": _LM_SCORE_SQL,
 }

@@ -11,6 +11,7 @@ import pytest
 
 from nostr_data_pipeline_ray.pipelines.textops import (
     q_corpus_token_budget,
+    q_doc_lm_score,
     q_doc_repetition,
 )
 
@@ -99,7 +100,35 @@ def test_token_budget_tie_break_by_doc_id(ray_session, tmp_path):
     assert list(out["doc_id"]) == [3, 5]
 
 
-@pytest.mark.parametrize("name", ["doc_repetition", "corpus_token_budget"])
+def test_lm_score_planted(ray_session, tmp_path):
+    # corpus: "a" x3, "b" x1 -> p(a)=3/4, p(b)=1/4
+    sf = _docs_dir(tmp_path, [(1, "a a a"), (2, "b")])
+    out = (
+        q_doc_lm_score(sf).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "lm_score"] == round(float(np.log(0.75)), 6)
+    assert out.loc[2, "lm_score"] == round(float(np.log(0.25)), 6)
+
+
+def test_lm_score_join_path_equals_broadcast(ray_session):
+    a = (
+        q_doc_lm_score(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_doc_lm_score(SF, broadcast_max=0)  # force the bucketed-join path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_repetition", "corpus_token_budget", "doc_lm_score"]
+)
 def test_agrees_with_duckdb_oracle(ray_session, name):
     import nostr_data_pipeline_ray.pipelines.textops as tx
 
