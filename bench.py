@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "corpus_token_budget",
     "doc_lm_score",
+    "domain_mix_sample",
 ]
 
 

@@ -1338,6 +1338,73 @@ def q_sample_per_group(sf_dir: str, k: int = 200):
     )
 
 
+# ---------------------------------------------------------------------------
+# Domain mixing: draw the LARGEST corpus that hits exact target source
+# proportions (the data-mixture step of a pre-training pipeline). Phase 1
+# counts per source (tiny aggregate, O(#sources) on the driver — bounded by
+# the domain vocabulary, never the corpus); the binding source fixes the
+# total T = min(n_s / p_s) and per-source quotas k_s = floor(p_s · T);
+# phase 2 takes exactly k_s docs per source by smallest id-hash — the same
+# deterministic reservoir analog as sample_per_group (block-layout
+# invariant, map-side pruned).
+# ---------------------------------------------------------------------------
+
+# target mixture over the selected domains; sources not listed are dropped
+# (a mixture spec IS a whitelist)
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_domain_mix_sample(sf_dir: str, weights: dict[str, float] | None = None):
+    """(doc_id, source) of the maximal exact-proportion mixture corpus."""
+    weights = weights or _MIX_WEIGHTS
+    doc_bytes = _tbytes(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    counts = bucketed_sum_count(
+        docs, ["source"], sums={}, count_as="n", input_bytes=doc_bytes
+    ).to_pandas()  # O(#sources) rows — the mixture spec's own cardinality
+    by_src = dict(zip(counts["source"], counts["n"]))
+    missing = [s for s in weights if s not in by_src]
+    if missing:
+        raise ValueError(f"mixture sources absent from corpus: {missing}")
+    total = min(by_src[s] / p for s, p in weights.items())
+    quota = {s: int(np.floor(p * total)) for s, p in weights.items()}
+    kmax = max(quota.values(), default=0)
+
+    def add_h(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["source"].isin(quota)].copy(deep=False)
+        batch["_h"] = id_hash(batch["doc_id"].to_numpy()).astype(np.int64)
+        return batch
+
+    def head_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["_h", "doc_id"])
+            .groupby("source", sort=False, observed=True)
+            .head(kmax)
+        )
+        # exact per-source quotas (head(kmax) above is the map-side prune;
+        # here every row of a source is present)
+        keep = g.groupby("source", sort=False, observed=True).cumcount() < g[
+            "source"
+        ].map(quota).to_numpy()
+        return g[keep]
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["_h", "doc_id"])
+            .groupby("source", sort=False, observed=True)
+            .head(kmax)
+        )
+
+    return bucketed_map_groups(
+        docs.map_batches(add_h, batch_format="pandas"),
+        keys=["source"],
+        fn=lambda g: head_quota(g)[["doc_id", "source"]],
+        pre=prune,
+        input_bytes=doc_bytes,
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -1377,6 +1444,27 @@ ORACLE: dict[str, str] = {
                   WHEN 'error' THEN 500
                   ELSE 1000
               END
+    """,
+    # mixture oracle shares the _MIX_WEIGHTS constants: same min(n/p)
+    # binding-source total, same floor(p*T) quotas, same id-hash order
+    "domain_mix_sample": f"""
+        WITH w(source, p) AS (VALUES {", ".join(
+            f"('{s}', {p})" for s, p in sorted(_MIX_WEIGHTS.items())
+        )}),
+        cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        t AS (SELECT min(n / p) AS total FROM cnt JOIN w USING (source)),
+        k AS (SELECT w.source, CAST(floor(w.p * t.total) AS BIGINT) AS q
+              FROM w CROSS JOIN t),
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                                doc_id
+                   ) AS rn
+            FROM documents WHERE source IN (SELECT source FROM w)
+        )
+        SELECT doc_id, source FROM r JOIN k USING (source) WHERE rn <= q
     """,
     "sample_per_group": """
         SELECT event_id, ts, user_id, event_type, value FROM (

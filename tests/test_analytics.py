@@ -231,3 +231,42 @@ def test_samplers_deterministic_and_partition_invariant():
     sizes = g1.groupby("event_type").size()
     for t, n in sizes.items():
         assert n == min(200, full[t])  # exactly k per stratum, capped by stratum size
+
+
+def test_domain_mix_sample_exact_proportions():
+    """The mixture sampler returns the LARGEST corpus hitting the target
+    source proportions: quotas are floor(p_s * min(n_s / p_s)), selection
+    is deterministic by id-hash, unlisted sources are dropped entirely."""
+    import numpy as np
+
+    from nostr_data_pipeline_ray.pipelines.analytics import (
+        _MIX_WEIGHTS,
+        q_domain_mix_sample,
+    )
+
+    got = (
+        q_domain_mix_sample(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert set(got["source"]) <= set(_MIX_WEIGHTS)
+    full = _oracle("SELECT source, count(*) AS n FROM documents GROUP BY 1")
+    counts = dict(zip(full["source"], full["n"]))
+    total = min(counts[s] / p for s, p in _MIX_WEIGHTS.items())
+    sizes = got.groupby("source").size()
+    for s, p in _MIX_WEIGHTS.items():
+        assert sizes.get(s, 0) == int(np.floor(p * total))
+    # rerun selects the identical subset (id-hash keyed, no RNG)
+    again = (
+        q_domain_mix_sample(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    # unknown mixture source fails loudly, not silently empty
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        q_domain_mix_sample(SF_DIR, weights={"no-such-source": 1.0}).to_pandas()
