@@ -12,7 +12,7 @@ top-zapped/user/relays/version).
     python -m nostr_data_pipeline_ray vacuum --lake DIR
     python -m nostr_data_pipeline_ray curate (--sf DIR | --from-lake LAKE
                                              [--benchmark FILE]) --out DIR
-                                             [--budget N]
+                                             [--budget N --jsonl]
     python -m nostr_data_pipeline_ray version
 
 Owns its Ray session (guarded init, shutdown at exit) — library code never
@@ -266,6 +266,7 @@ def cmd_curate(args) -> int:
                     args.out,
                     benchmark=args.benchmark,
                     budget=args.budget,
+                    jsonl=args.jsonl,
                 )
             )
         )
@@ -275,7 +276,8 @@ def cmd_curate(args) -> int:
         return 2
     from .pipelines.curate import curate_corpus
 
-    print(json.dumps(curate_corpus(args.sf, args.out, budget=args.budget)))
+    print(json.dumps(curate_corpus(args.sf, args.out, budget=args.budget,
+                                   jsonl=args.jsonl)))
     return 0
 
 
@@ -366,6 +368,8 @@ def main(argv: list[str] | None = None) -> int:
                          "held-out set for decontamination (--from-lake only)")
     cu.add_argument("--out", required=True)
     cu.add_argument("--budget", type=int, default=256, help="tokens per pack")
+    cu.add_argument("--jsonl", action="store_true",
+                    help="also write curated.jsonl/ (newline-delimited JSON)")
     cu.set_defaults(fn=cmd_curate)
 
     ver = sub.add_parser("version")

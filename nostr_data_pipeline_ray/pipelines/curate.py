@@ -103,10 +103,14 @@ def q_curated_corpus(sf_dir: str, counts: dict | None = None):
     return out
 
 
-def curate_corpus(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
+def curate_corpus(
+    sf_dir: str, out_dir: str, budget: int = 256, jsonl: bool = False
+) -> dict:
     """Run the curation chain and WRITE the results: ``curated.parquet``
     (the surviving documents) and ``packs.parquet`` (their training-
-    sequence assignment at ``budget`` tokens). Returns per-stage survivor
+    sequence assignment at ``budget`` tokens). ``jsonl=True`` additionally
+    writes ``curated.jsonl/`` (partitioned newline-delimited JSON — the
+    wire format most training jobs ingest). Returns per-stage survivor
     counts plus pack stats."""
     import pyarrow.compute as pc
 
@@ -135,6 +139,8 @@ def curate_corpus(sf_dir: str, out_dir: str, budget: int = 256) -> dict:
         how="left_semi", input_bytes=nbytes,
     ).materialize()
     curated.write_parquet(os.path.join(out_dir, "curated.parquet"))
+    if jsonl:
+        curated.write_json(os.path.join(out_dir, "curated.jsonl"))
 
     def count_tokens(batch):
         words = pc.split_pattern(batch["text"], " ")

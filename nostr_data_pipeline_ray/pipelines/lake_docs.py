@@ -166,6 +166,7 @@ def curate_from_lake(
     out_dir: str,
     benchmark: str | None = None,
     budget: int = 256,
+    jsonl: bool = False,
 ) -> dict:
     """End-to-end: export the lake as documents, then run the composed
     curation chain (dedup → decontaminate → p75 quality cut → pack) over
@@ -176,7 +177,7 @@ def curate_from_lake(
     docs_sf = export_documents(
         lake_root, os.path.join(out_dir, "lake_docs"), benchmark=benchmark
     )
-    summary = curate_corpus(docs_sf, out_dir, budget=budget)
+    summary = curate_corpus(docs_sf, out_dir, budget=budget, jsonl=jsonl)
     summary["lake_root"] = lake_root
     summary["exported_docs"] = int(
         table_rows(os.path.join(docs_sf, "documents.parquet"))

@@ -128,7 +128,9 @@ def test_export_splices_benchmark(lake, tmp_path):
 
 def test_curate_from_lake_every_stage_live(lake, tmp_path):
     out = str(tmp_path / "curated")
-    summary = curate_from_lake(lake["lake"], out, benchmark=lake["bench"], budget=64)
+    summary = curate_from_lake(
+        lake["lake"], out, benchmark=lake["bench"], budget=64, jsonl=True
+    )
 
     n = summary["exported_docs"]
     assert n == 15 + _BENCHMARK_MAX_DOC_ID
@@ -152,6 +154,17 @@ def test_curate_from_lake_every_stage_live(lake, tmp_path):
     packs = pq.read_table(os.path.join(out, "packs.parquet"))
     assert packs.num_rows == summary["curated_docs"]
     assert summary["packs"] >= 1
+
+    # --jsonl sink: newline-delimited JSON, one record per curated doc
+    import json as _json
+
+    jdir = os.path.join(out, "curated.jsonl")
+    lines = []
+    for f in sorted(os.listdir(jdir)):
+        with open(os.path.join(jdir, f)) as fh:
+            lines.extend(_json.loads(ln) for ln in fh if ln.strip())
+    assert len(lines) == summary["curated_docs"]
+    assert {r["doc_id"] for r in lines} == set(curated["doc_id"])
 
 
 def test_curate_from_lake_without_benchmark_is_decontam_noop(lake, tmp_path):
