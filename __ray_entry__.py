@@ -79,6 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_tx.QUERIES)  # repetition signals + token-budget selection
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.ann_index as _ai
+
+        qs.update(_ai.QUERIES)  # persisted incremental IVF ANN index
+    except ImportError:
+        pass
     return qs
 
 
@@ -112,4 +118,7 @@ def oracle_sql() -> dict[str, str]:
         out.update(_tx.ORACLE)
     except ImportError:
         pass
+    # the persisted IVF index answers with an exhaustive probe, so its
+    # result is exactly the brute-force top-k — same oracle as ann_topk
+    out["ann_topk_ivf_index"] = _an.ORACLE["ann_topk"]
     return out

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "corpus_token_budget",
     "doc_lm_score",
     "domain_mix_sample",
+    "ann_topk_ivf_index",
 ]
 
 
@@ -159,6 +160,7 @@ def run_bench() -> dict:
     # criterion is about the CDC apply) ------------------------------------
     queries: dict[str, float] = {}
     if not os.environ.get("NDP_BENCH_CDC_ONLY"):
+        from nostr_data_pipeline_ray.pipelines import ann_index as ai
         from nostr_data_pipeline_ray.pipelines import dedup_index as di
         from nostr_data_pipeline_ray.pipelines import pack as pk
         from nostr_data_pipeline_ray.pipelines import textops as tx
@@ -175,6 +177,7 @@ def run_bench() -> dict:
                     or dd.QUERIES.get(name)
                     or di.QUERIES.get(name)
                     or tx.QUERIES.get(name)
+                    or ai.QUERIES.get(name)
                     or pk.QUERIES[name]
                 )
                 t0 = time.time()

@@ -1,0 +1,307 @@
+"""Persisted incremental IVF ANN index — similarity search the way the
+lake does CDC.
+
+The batch ANN paths (analytics.q_ann_topk brute force, dedup's LSH/IVF)
+re-score or re-train per query run; a serving/ingest pipeline over a
+growing embedding corpus wants the inverted-file structure built ONCE and
+maintained incrementally:
+
+- ``bootstrap`` trains the coarse quantizer (deterministic Lloyd's k-means
+  on a BOUNDED sample — ``ds.limit(sample_max)``, never the corpus) and
+  stores the centroids as ``centroids.npy`` next to the index meta;
+- every ``add`` epoch assigns its vectors to their nearest centroid inside
+  a broadcast-centroid ``map_batches`` stage and writes ONE parquet file
+  per (update, list) via the bucketed backbone — the index IS the vector
+  storage, partitioned by list, so a query touches only the lists it
+  probes. Commits follow the lake/MinHashIndex discipline: staged per-
+  update subdir + atomic meta manifest + caller ``update_id`` for
+  exactly-once retried epochs;
+- ``query`` reads ONLY the ``nprobe`` closest lists' files (a file-layout
+  point read — O(corpus/n_lists · nprobe) rows, never a table scan),
+  scores exact cosine on the candidates, and returns top-k. With
+  ``nprobe = n_lists`` the candidate set is the whole corpus and the
+  result is EXACTLY the brute-force answer — which is how the registered
+  query stays oracle-checked against the same SQL as ``ann_topk`` while
+  the approximate path is pinned by a recall test.
+
+Scale: n_lists grows with the corpus (≈ sqrt(n) is the usual rule); the
+per-list files stay bounded because each update writes its own partition
+files — a compaction (concat small per-update list files) is the same
+size-tiered story as the lake's minor compaction and can reuse it later.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from ..stages.actors import cached_get
+from ..stages.shuffle import bucketed_map_groups
+
+_ROUND6 = lambda x: np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6  # noqa: E731
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's on the sample (same kernel as dedup's
+    q_ann_topk_ivf, dedup.py)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent.astype(np.float64)
+
+
+def _mat_of(batch: pd.DataFrame, dim: int) -> np.ndarray:
+    return np.stack(batch["embedding"].to_numpy()).reshape(-1, dim).astype(np.float64)
+
+
+class IvfIndex:
+    """Inverted-file ANN index persisted as per-list parquet."""
+
+    META = "ivf_meta.json"
+    CENTROIDS = "centroids.npy"
+    FORMAT = 1
+
+    def __init__(self, index_dir: str, n_lists: int = 16, iters: int = 5,
+                 seed: int = 17):
+        self.index_dir = index_dir
+        self.rows_dir = os.path.join(index_dir, "rows")
+        meta_path = os.path.join(index_dir, self.META)
+        want = {"n_lists": n_lists, "iters": iters, "seed": seed}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                have = json.load(f)
+            if have.get("format") != self.FORMAT:
+                raise ValueError(
+                    f"index at {index_dir} uses on-disk format "
+                    f"{have.get('format')!r}, this code reads {self.FORMAT}"
+                )
+            mismatch = {k: (have.get(k), v) for k, v in want.items()
+                        if have.get(k) != v}
+            if mismatch:
+                raise ValueError(
+                    f"index at {index_dir} was built with different IVF "
+                    f"parameters: {mismatch}"
+                )
+            self.meta = have
+            self._centroids = np.load(os.path.join(index_dir, self.CENTROIDS))
+        else:
+            os.makedirs(self.rows_dir, exist_ok=True)
+            self.meta = {**want, "format": self.FORMAT, "dim": None,
+                         "n_vecs": 0, "committed": [], "applied_ids": []}
+            self._centroids = None
+            self._write_meta()
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.index_dir, f".{self.META}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.index_dir, self.META))
+
+    # -- build ------------------------------------------------------------
+
+    def bootstrap(self, vecs, update_id: str, sample_max: int = 100_000,
+                  input_bytes: int | None = None) -> int:
+        """Train the quantizer on a bounded sample of ``vecs`` (a Dataset of
+        (vec_id, embedding)), then fold the whole input in as epoch 1."""
+        if self._centroids is not None:
+            raise ValueError("index already bootstrapped — use add()")
+        sample_df = vecs.limit(sample_max).to_pandas()  # bounded by design
+        dim = len(sample_df["embedding"].iloc[0])
+        sample = _mat_of(sample_df, dim)
+        cent = _kmeans(sample, self.meta["n_lists"], self.meta["iters"],
+                       self.meta["seed"])
+        np.save(os.path.join(self.index_dir, self.CENTROIDS), cent)
+        self._centroids = cent
+        self.meta["dim"] = dim
+        self._write_meta()
+        return self.add(vecs, update_id, input_bytes=input_bytes)
+
+    def add(self, vecs, update_id: str, input_bytes: int | None = None) -> int:
+        """Assign + append one epoch of vectors; exactly-once by update_id."""
+        if self._centroids is None:
+            raise ValueError("bootstrap() first — the quantizer is untrained")
+        if update_id in self.meta["applied_ids"]:
+            return 0
+        dim = self.meta["dim"]
+        sub = f"u-{len(self.meta['committed']):05d}-{update_id}"
+        sub_dir = os.path.join(self.rows_dir, sub)
+        shutil.rmtree(sub_dir, ignore_errors=True)  # orphan from a crash
+        os.makedirs(sub_dir, exist_ok=True)
+        cref = ray.put(self._centroids)
+
+        def assign(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                batch = batch.copy(deep=False)
+                batch["list_id"] = pd.array([], dtype="int64")
+                return batch
+            cent = cached_get(cref)
+            m = _mat_of(batch, dim)
+            d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            batch = batch.copy(deep=False)
+            batch["list_id"] = d2.argmin(axis=1).astype(np.int64)
+            return batch
+
+        def write_list(g: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            out = []
+            for lid, part in g.groupby("list_id", sort=True):
+                part = part.sort_values("vec_id")
+                path = os.path.join(sub_dir, f"list-{int(lid):05d}.parquet")
+                tmp = path + ".tmp"
+                pq.write_table(
+                    pa.table({
+                        "vec_id": pa.array(part["vec_id"].to_numpy(np.int64)),
+                        "embedding": pa.array(
+                            part["embedding"].tolist(),
+                            pa.list_(pa.float64()),
+                        ),
+                    }),
+                    tmp,
+                )
+                os.replace(tmp, path)  # deterministic path: retries overwrite
+                out.append((int(lid), len(part)))
+            return pd.DataFrame(out, columns=["list_id", "rows"])
+
+        counts = bucketed_map_groups(
+            vecs.map_batches(assign, batch_format="pandas"),
+            keys=["list_id"],
+            fn=write_list,
+            input_bytes=input_bytes,
+        ).to_pandas()  # O(n_lists) rows
+        n = int(counts["rows"].sum()) if len(counts) else 0
+        self.meta["committed"].append(sub)
+        self.meta["applied_ids"].append(update_id)
+        self.meta["n_vecs"] += n
+        self._write_meta()
+        return n
+
+    # -- read -------------------------------------------------------------
+
+    def _list_files(self, list_ids) -> list[str]:
+        files = []
+        for sub in self.meta["committed"]:
+            for lid in list_ids:
+                p = os.path.join(self.rows_dir, sub, f"list-{int(lid):05d}.parquet")
+                if os.path.exists(p):  # a list an update never touched
+                    files.append(p)
+        return files
+
+    def query(self, qvec: np.ndarray, k: int = 10, nprobe: int = 4,
+              exclude: int | None = None) -> pd.DataFrame:
+        """(vec_id, score) of the top-k cosine neighbours among the nprobe
+        closest lists. nprobe = n_lists ≡ exact brute force."""
+        from ..stages.shuffle import local_topk
+
+        qvec = np.asarray(qvec, dtype=np.float64)
+        qnorm = float(np.linalg.norm(qvec))
+        d2 = ((self._centroids - qvec) ** 2).sum(axis=1)
+        probe = np.argsort(d2)[: min(nprobe, len(d2))]
+        files = self._list_files(probe.tolist())
+        if not files:
+            return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                                 "score": pd.array([], dtype="float64")})
+        dim = self.meta["dim"]
+        qref = ray.put((qvec, qnorm))
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            qv, qn = cached_get(qref)
+            if exclude is not None:
+                batch = batch[batch["vec_id"] != exclude]
+            if not len(batch):
+                return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                                     "score": pd.array([], dtype="float64")})
+            m = _mat_of(batch, dim)
+            s = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            return pd.DataFrame({
+                "vec_id": batch["vec_id"].to_numpy(np.int64),
+                "score": _ROUND6(s),
+            })
+
+        scored = rd.read_parquet(files).map_batches(score, batch_format="pandas")
+        top = local_topk(scored, by=["score", "vec_id"],
+                         descending=[True, False], k=k)
+        return top.to_pandas().reset_index(drop=True)
+
+    def stats(self) -> dict:
+        return {k: v for k, v in self.meta.items() if k != "centroids"} | {
+            "n_updates": len(self.meta["committed"])
+        }
+
+    def fsck(self) -> dict:
+        """Integrity audit: committed subdirs exist and footer row counts
+        sum to n_vecs; orphans reported, not errors (next add overwrites)."""
+        import pyarrow.parquet as pq
+
+        errors, missing, total = [], [], 0
+        for sub in self.meta["committed"]:
+            d = os.path.join(self.rows_dir, sub)
+            if not os.path.isdir(d):
+                missing.append(sub)
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(d, f)).num_rows
+        if missing:
+            errors.append(f"committed subdirs missing: {missing}")
+        if not missing and total != self.meta["n_vecs"]:
+            errors.append(f"row count {total} != n_vecs {self.meta['n_vecs']}")
+        orphans = [
+            s for s in os.listdir(self.rows_dir)
+            if os.path.isdir(os.path.join(self.rows_dir, s))
+            and s not in self.meta["committed"]
+        ] if os.path.isdir(self.rows_dir) else []
+        return {"ok": not errors, "errors": errors, "rows": total,
+                "orphans": orphans}
+
+
+def q_ann_topk_ivf_index(sf_dir: str, k: int = 10):
+    """Driver-facing demo of the persisted-index flow: bootstrap on the
+    first 80% of vectors, ADD the remaining 20% as a second epoch (the
+    incremental path a growing corpus takes), then answer vec 0's top-k
+    with an EXHAUSTIVE probe — candidate set = whole corpus, so the result
+    is bit-for-bit the brute-force answer and shares ``ann_topk``'s SQL
+    oracle. The approximate (small-nprobe) path is pinned by the recall
+    test in tests/test_ann_index.py."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _point_read_vec, _read, _t
+
+    path = _t(sf_dir, "embeddings")
+    cut = int(pq.read_metadata(path).num_rows * 0.8)  # vec_ids are 0..n-1
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    old = vecs.map_batches(lambda b: b[b["vec_id"] < cut], batch_format="pandas")
+    new = vecs.map_batches(lambda b: b[b["vec_id"] >= cut], batch_format="pandas")
+    work = tempfile.mkdtemp(prefix="ivfidx-", dir="/tmp")
+    try:
+        idx = IvfIndex(work, n_lists=16)
+        idx.bootstrap(old, update_id="epoch-1")
+        idx.add(new, update_id="epoch-2")
+        audit = idx.fsck()
+        if not audit["ok"]:
+            raise RuntimeError(f"ivf index failed fsck: {audit['errors']}")
+        q = _point_read_vec(path, vec_id=0)
+        return idx.query(q, k=k, nprobe=idx.meta["n_lists"], exclude=0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES = {"ann_topk_ivf_index": q_ann_topk_ivf_index}
+# exhaustive probe ≡ brute force: the persisted-index query shares the
+# batch ANN oracle (analytics.ORACLE["ann_topk"]) — wired in __ray_entry__.

@@ -1,0 +1,108 @@
+"""Persisted incremental IVF ANN index: exhaustive probe == brute force,
+planted-cluster recall for the approximate probe, exactly-once fold-in,
+reopen-from-disk, parameter guard, fsck."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from nostr_data_pipeline_ray.pipelines.ann_index import (
+    IvfIndex,
+    q_ann_topk_ivf_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(sf):
+    return rd.read_parquet(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def test_exhaustive_probe_equals_brute_force(ray_session, tmp_path):
+    from nostr_data_pipeline_ray.pipelines.analytics import q_ann_topk
+
+    got = q_ann_topk_ivf_index(SF).reset_index(drop=True)
+    want = q_ann_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"vec_id": "int64"}), want.astype({"vec_id": "int64"})
+    )
+
+
+def test_incremental_add_exactly_once_and_reopen(ray_session, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=8)
+    n1 = idx.bootstrap(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] < 300], batch_format="pandas"),
+        update_id="e1",
+    )
+    n2 = idx.add(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] >= 300], batch_format="pandas"),
+        update_id="e2",
+    )
+    assert n1 == 300 and n1 + n2 == idx.meta["n_vecs"]
+    # retried epoch folds in exactly once
+    again = idx.add(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] >= 300], batch_format="pandas"),
+        update_id="e2",
+    )
+    assert again == 0 and idx.meta["n_vecs"] == n1 + n2
+    assert idx.fsck()["ok"]
+
+    # a fresh handle reads centroids + manifest from disk and answers
+    reopened = IvfIndex(root, n_lists=8)
+    q = np.asarray(
+        pq.read_table(
+            os.path.join(SF, "embeddings.parquet"),
+            columns=["embedding"],
+            filters=[("vec_id", "==", 5)],
+        )["embedding"][0].as_py()
+    )
+    res = reopened.query(q, k=5, nprobe=8, exclude=5)
+    assert len(res) == 5 and 5 not in set(res["vec_id"])
+
+    # parameter mismatch is a loud error, never a silently wrong index
+    with pytest.raises(ValueError, match="different IVF parameters"):
+        IvfIndex(root, n_lists=16)
+
+
+def test_fsck_catches_missing_committed_subdir(ray_session, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=4)
+    idx.bootstrap(_vecs(SF), update_id="e1")
+    assert idx.fsck()["ok"]
+    victim = os.path.join(idx.rows_dir, idx.meta["committed"][0])
+    shutil.rmtree(victim)
+    audit = idx.fsck()
+    assert not audit["ok"] and "missing" in audit["errors"][0]
+
+
+def test_approximate_probe_recall_on_planted(ray_session, tmp_path):
+    rng = np.random.default_rng(9)
+    dim, n_noise, n_plant = 64, 480, 10
+    q = rng.standard_normal(dim)
+    planted = q[None, :] + 0.05 * rng.standard_normal((n_plant, dim))
+    noise = rng.standard_normal((n_noise, dim))
+    mat = np.vstack([q, planted, noise]).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    idx = IvfIndex(str(tmp_path / "idx"), n_lists=16)
+    idx.bootstrap(_vecs(str(tmp_path)), update_id="e1")
+    res = idx.query(q, k=10, nprobe=3, exclude=0)
+    # the planted cluster shares the query's inverted list → near-full recall
+    hits = set(res["vec_id"]) & set(range(1, n_plant + 1))
+    assert len(hits) >= 8
