@@ -85,8 +85,18 @@ def _group_counts(a: np.ndarray, b: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
+_REPETITION_EMPTY = pa.schema(
+    [("doc_id", pa.int64()), ("dup_word_frac", pa.float64()),
+     ("top_word_frac", pa.float64()), ("top_bigram_frac", pa.float64())]
+)
+
+
 def _repetition_batch(batch: pa.Table) -> pa.Table:
-    words = pc.split_pattern(batch["text"], " ")
+    if batch.num_rows == 0:
+        return _REPETITION_EMPTY.empty_table()
+    # null text behaves like "" (one empty token) — defined output instead
+    # of NaN rows on dirty corpora; the fixtures carry no nulls either way
+    words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
     flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
     parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
     codes, _ = pd.factorize(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
@@ -158,7 +168,7 @@ def _score_tokens(batch: pa.Table) -> pa.Table:
         ),
     )
     quality = np.floor(length_score * 0.3 * 100.0 + 0.5) / 100.0  # round2
-    words = pc.split_pattern(batch["text"], " ")
+    words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -266,7 +276,7 @@ VOCAB_BROADCAST_MAX = 2_000_000
 
 def _explode_tokens(batch: pa.Table) -> pa.Table:
     """(doc_id, word) with duplicates — LM scoring weights every token."""
-    words = pc.split_pattern(batch["text"], " ")
+    words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
     flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
     parents = pc.list_parent_indices(flat)
     return pa.table(
@@ -290,7 +300,7 @@ def q_doc_lm_score(sf_dir: str, broadcast_max: int = VOCAB_BROADCAST_MAX):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ")
+        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
         t = pa.table({"word": pc.list_flatten(words)})
         out = t.group_by("word").aggregate([("word", "count")])
         return pa.table(
@@ -317,7 +327,7 @@ def q_doc_lm_score(sf_dir: str, broadcast_max: int = VOCAB_BROADCAST_MAX):
         ref = ray.put(logp)
 
         def score(batch: pa.Table) -> pa.Table:
-            words = pc.split_pattern(batch["text"], " ")
+            words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
             flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
             parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
             toks = pd.Series(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
