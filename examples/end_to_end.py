@@ -177,4 +177,25 @@ print("\ncurate --from-lake:",
       curate_from_lake(lake, f"{BASE}/curated_lake",
                        benchmark="/root/testdata/sf0.001/documents.parquet"))
 
+# 12. persisted IVF ANN index: build once, add epochs incrementally, then
+#     answer queries by reading ONLY the probed lists' files
+from nostr_data_pipeline_ray.pipelines.ann_index import IvfIndex
+from nostr_data_pipeline_ray.pipelines.dedup import _point_read_vec
+
+emb = "/root/testdata/sf0.001/embeddings.parquet"
+vecs = rd.read_parquet(emb, columns=["vec_id", "embedding"])
+aidx = IvfIndex(f"{BASE}/ivf_index", n_lists=8)
+aidx.bootstrap(
+    vecs.map_batches(lambda b: b[b["vec_id"] < 400], batch_format="pandas"),
+    update_id="day-0",
+)
+aidx.add(
+    vecs.map_batches(lambda b: b[b["vec_id"] >= 400], batch_format="pandas"),
+    update_id="day-1",
+)
+nn = aidx.query(_point_read_vec(emb, vec_id=0), k=5, nprobe=3, exclude=0)
+print("ivf index:", aidx.stats()["n_vecs"], "vectors |",
+      "fsck ok:", aidx.fsck()["ok"], "| top-5 for vec 0:",
+      nn["vec_id"].tolist())
+
 ray.shutdown()

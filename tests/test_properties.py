@@ -202,3 +202,40 @@ def test_hash_conv_low_duplication_takes_elementwise_path():
     arr = pa.array(values, pa.string())
     want = pd.util.hash_array(np.asarray(pd.Series(values, dtype=object), dtype=object))
     assert np.array_equal(hash_conv(arr), want)
+
+
+# ---- repetition kernel vs a per-document Python reference ------------------
+
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "e f".replace(" ", ""), "x1"]),
+             min_size=0, max_size=30),
+    min_size=1, max_size=40,
+), st.integers(0, 2**31))
+@settings(max_examples=40, deadline=None)
+def test_repetition_kernel_matches_python_reference(word_lists, seed):
+    """The factorize+lexsort kernel must agree with the obvious Counter
+    reference on arbitrary small documents (including empty, single-word,
+    and all-identical)."""
+    from collections import Counter
+
+    from nostr_data_pipeline_ray.pipelines.textops import _repetition_batch
+
+    texts = [" ".join(ws) for ws in word_lists]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = _repetition_batch(batch).to_pandas().set_index("doc_id")
+
+    def r6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    for i, t in enumerate(texts):
+        ws = t.split(" ")  # "" -> [""], matching both engines
+        wc = Counter(ws)
+        n = len(ws)
+        assert out.loc[i, "dup_word_frac"] == r6(1 - len(wc) / n)
+        assert out.loc[i, "top_word_frac"] == r6(max(wc.values()) / n)
+        grams = Counter(zip(ws, ws[1:]))
+        want_bg = r6(max(grams.values()) / (n - 1)) if grams else 0.0
+        assert out.loc[i, "top_bigram_frac"] == want_bg
