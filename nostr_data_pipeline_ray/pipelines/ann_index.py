@@ -237,6 +237,66 @@ class IvfIndex:
                          descending=[True, False], k=k)
         return top.to_pandas().reset_index(drop=True)
 
+    def compact(self) -> dict:
+        """Fold every committed update's per-list files into ONE file per
+        list (the lake-compact analog): probe cost drops from O(#updates)
+        file opens per list to one, row-identical. Crash-safe like the
+        lake: the compacted subdir is fully staged first, the meta swap is
+        atomic, and a crash in between leaves the old committed set
+        readable plus an orphan the next compact overwrites. applied_ids
+        survive, so retried epochs stay exactly-once across compactions."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        subs = self.meta["committed"]
+        if len(subs) <= 1:
+            return {"compacted": False, "updates": len(subs)}
+        per_list: dict[int, list[str]] = {}
+        for sub in subs:
+            d = os.path.join(self.rows_dir, sub)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    lid = int(f.split("-")[1].split(".")[0])
+                    per_list.setdefault(lid, []).append(os.path.join(d, f))
+        gen = self.meta.get("compactions", 0)
+        new_sub = f"c-{gen:05d}-compact"
+        new_dir = os.path.join(self.rows_dir, new_sub)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir, exist_ok=True)
+
+        def fold(batch: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, row in batch.iterrows():
+                t = pa.concat_tables([pq.read_table(p) for p in row["files"]])
+                t = t.sort_by("vec_id")
+                path = os.path.join(new_dir, f"list-{int(row['lid']):05d}.parquet")
+                tmp = path + ".tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, path)
+                out.append((int(row["lid"]), t.num_rows))
+            return pd.DataFrame(out, columns=["lid", "rows"])
+
+        items = [{"lid": lid, "files": fs} for lid, fs in sorted(per_list.items())]
+        counts = (
+            rd.from_items(items, override_num_blocks=min(len(items), 64))
+            .map_batches(fold, batch_format="pandas")
+            .to_pandas()  # O(n_lists) rows
+        )
+        total = int(counts["rows"].sum()) if len(counts) else 0
+        if total != self.meta["n_vecs"]:
+            raise RuntimeError(
+                f"compact row mismatch: folded {total}, expected "
+                f"{self.meta['n_vecs']} — leaving the old committed set"
+            )
+        old = list(subs)
+        self.meta["committed"] = [new_sub]
+        self.meta["compactions"] = gen + 1
+        self._write_meta()
+        for sub in old:  # best-effort: failures leave orphans, not errors
+            shutil.rmtree(os.path.join(self.rows_dir, sub), ignore_errors=True)
+        return {"compacted": True, "updates_folded": len(old),
+                "lists": len(items), "rows": total}
+
     def stats(self) -> dict:
         return {k: v for k, v in self.meta.items() if k != "centroids"} | {
             "n_updates": len(self.meta["committed"])

@@ -74,6 +74,43 @@ def test_incremental_add_exactly_once_and_reopen(ray_session, tmp_path):
         IvfIndex(root, n_lists=16)
 
 
+def test_compact_folds_updates_row_identical(ray_session, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=8)
+    idx.bootstrap(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] < 300], batch_format="pandas"),
+        update_id="e1",
+    )
+    idx.add(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] >= 300], batch_format="pandas"),
+        update_id="e2",
+    )
+    q = np.asarray(
+        pq.read_table(
+            os.path.join(SF, "embeddings.parquet"),
+            columns=["embedding"],
+            filters=[("vec_id", "==", 0)],
+        )["embedding"][0].as_py()
+    )
+    before = idx.query(q, k=10, nprobe=8, exclude=0)
+
+    out = idx.compact()
+    assert out["compacted"] and out["updates_folded"] == 2
+    assert len(idx.meta["committed"]) == 1
+    assert idx.fsck()["ok"]
+    after = idx.query(q, k=10, nprobe=8, exclude=0)
+    pd.testing.assert_frame_equal(before, after)
+    # second compact is a no-op; exactly-once survives compaction
+    assert idx.compact() == {"compacted": False, "updates": 1}
+    assert idx.add(_vecs(SF), update_id="e2") == 0
+    # adding after compaction still works
+    n3 = idx.add(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] < 10], batch_format="pandas"),
+        update_id="e3",
+    )
+    assert n3 == 10 and idx.fsck()["ok"]
+
+
 def test_fsck_catches_missing_committed_subdir(ray_session, tmp_path):
     root = str(tmp_path / "idx")
     idx = IvfIndex(root, n_lists=4)
