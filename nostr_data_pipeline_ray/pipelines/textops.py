@@ -69,7 +69,10 @@ def _round6(x) -> np.ndarray:
 def _group_counts(a: np.ndarray, b: np.ndarray):
     """Counts of equal (a, b) pairs via lexsort + run-length — no hash
     table, no pair-key packing (which would overflow int64 for large
-    vocabularies)."""
+    vocabularies). Empty-safe: a batch can have zero pairs (e.g. the
+    bigram path when no document has two adjacent words)."""
+    if len(a) == 0:
+        return a, b, np.array([], dtype=np.int64)
     order = np.lexsort((b, a))
     aa, bb = a[order], b[order]
     new = np.empty(len(aa), dtype=bool)
