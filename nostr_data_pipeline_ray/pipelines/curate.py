@@ -103,6 +103,44 @@ def q_curated_corpus(sf_dir: str, counts: dict | None = None):
     return out
 
 
+# stage-4 knob for the extended chain: documents whose duplicate-word
+# fraction exceeds this are degenerate/boilerplate (Gopher-style
+# repetition removal) and leave the corpus
+REPETITION_MAX_DUP = 0.65
+
+
+def q_curated_corpus_plus(sf_dir: str, counts: dict | None = None):
+    """The round-4 extended chain: everything ``q_curated_corpus`` keeps,
+    MINUS documents failing the repetition cut (dup_word_frac >
+    REPETITION_MAX_DUP) — dedup ∩ decontaminated ∩ top-quartile quality ∩
+    non-repetitive. One more bucketed anti join against a corpus-small
+    flag set; the oracle composes the repetition CTE into the same single
+    statement, so the four-stage composition is pinned end to end."""
+    import pyarrow.compute as pc
+
+    from .textops import q_doc_repetition
+
+    nbytes = table_bytes(_docs_path(sf_dir))
+    base = q_curated_corpus(sf_dir, counts=counts)
+
+    def select_bad(b):
+        mask = pc.greater(b["dup_word_frac"], REPETITION_MAX_DUP)
+        return b.filter(mask).select(["doc_id"]).rename_columns(["rep_id"])
+
+    rep_bad = q_doc_repetition(sf_dir).map_batches(
+        select_bad, batch_format="pyarrow"
+    )
+
+    out = bucketed_hash_join(
+        base, rep_bad, left_on=["doc_id"], right_on=["rep_id"],
+        how="left_anti", input_bytes=nbytes,
+    )
+    if counts is not None:
+        out = out.materialize()
+        counts["after_repetition"] = out.count()
+    return out
+
+
 def curate_corpus(
     sf_dir: str, out_dir: str, budget: int = 256, jsonl: bool = False
 ) -> dict:
@@ -195,5 +233,37 @@ def _oracle() -> str:
     """
 
 
-QUERIES = {"curated_corpus": q_curated_corpus}
-ORACLE = {"curated_corpus": _oracle()}
+def _oracle_plus() -> str:
+    """The four-stage composition in ONE statement: the base chain's own
+    CTE constants plus the repetition CTE from textops (same SQL the
+    standalone doc_repetition oracle runs)."""
+    from .analytics import QUALITY_SQL_CTES, QUALITY_SQL_THRESHOLD
+    from .dedup import _BENCHMARK_MAX_DOC_ID, _CC_EDGE_CTES, _GRAM5_CTES
+    from .textops import _REPETITION_SQL
+
+    return f"""
+        WITH RECURSIVE {_CC_EDGE_CTES}, {_GRAM5_CTES}, {QUALITY_SQL_CTES},
+        rep AS ({_REPETITION_SQL})
+        SELECT cc.doc_id FROM cc
+        JOIN q USING (doc_id)
+        WHERE cc.doc_id = cc.cluster_id
+          AND cc.doc_id >= {_BENCHMARK_MAX_DOC_ID}
+          AND cc.doc_id NOT IN (
+              SELECT DISTINCT g5.doc_id FROM g5 JOIN b5 USING (gram)
+              WHERE g5.doc_id >= {_BENCHMARK_MAX_DOC_ID}
+          )
+          AND q.quality_score >= {QUALITY_SQL_THRESHOLD}
+          AND cc.doc_id NOT IN (
+              SELECT doc_id FROM rep WHERE dup_word_frac > {REPETITION_MAX_DUP}
+          )
+    """
+
+
+QUERIES = {
+    "curated_corpus": q_curated_corpus,
+    "curated_corpus_plus": q_curated_corpus_plus,
+}
+ORACLE = {
+    "curated_corpus": _oracle(),
+    "curated_corpus_plus": _oracle_plus(),
+}

@@ -130,3 +130,41 @@ def test_curate_corpus_end_to_end(tmp_path):
     packs = pq.read_table(str(out / "packs.parquet")).to_pydict()
     assert sorted(packs["doc_id"]) == sorted(kept)
     assert json.load(open(out / "curation_summary.json")) == summary
+
+
+def test_curated_corpus_plus_adds_repetition_cut(ray_session):
+    """The four-stage chain equals its composed single-statement oracle at
+    sf0.001 and is a (strict-or-equal) subset of the base chain with every
+    dropped doc failing the repetition threshold."""
+    import duckdb
+
+    from nostr_data_pipeline_ray.pipelines.curate import (
+        ORACLE,
+        REPETITION_MAX_DUP,
+        q_curated_corpus,
+        q_curated_corpus_plus,
+    )
+    from nostr_data_pipeline_ray.pipelines.textops import q_doc_repetition
+
+    sf = "/root/testdata/sf0.001"
+    counts: dict = {}
+    plus = set(
+        q_curated_corpus_plus(sf, counts=counts).to_pandas()["doc_id"]
+    )
+    base = set(q_curated_corpus(sf).to_pandas()["doc_id"])
+    assert plus <= base
+    assert counts["after_repetition"] == len(plus)
+    rep = (
+        q_doc_repetition(sf).to_pandas().set_index("doc_id")["dup_word_frac"]
+    )
+    for d in base - plus:
+        assert rep[d] > REPETITION_MAX_DUP
+    for d in plus:
+        assert rep[d] <= REPETITION_MAX_DUP
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = set(con.execute(ORACLE["curated_corpus_plus"]).fetchdf()["doc_id"])
+    assert plus == want
