@@ -267,6 +267,7 @@ def cmd_curate(args) -> int:
                     benchmark=args.benchmark,
                     budget=args.budget,
                     jsonl=args.jsonl,
+                    plus=args.plus,
                 )
             )
         )
@@ -277,7 +278,7 @@ def cmd_curate(args) -> int:
     from .pipelines.curate import curate_corpus
 
     print(json.dumps(curate_corpus(args.sf, args.out, budget=args.budget,
-                                   jsonl=args.jsonl)))
+                                   jsonl=args.jsonl, plus=args.plus)))
     return 0
 
 
@@ -370,6 +371,8 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--budget", type=int, default=256, help="tokens per pack")
     cu.add_argument("--jsonl", action="store_true",
                     help="also write curated.jsonl/ (newline-delimited JSON)")
+    cu.add_argument("--plus", action="store_true",
+                    help="extended chain: add the repetition cut (stage 4)")
     cu.set_defaults(fn=cmd_curate)
 
     ver = sub.add_parser("version")

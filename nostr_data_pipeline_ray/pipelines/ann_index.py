@@ -207,6 +207,8 @@ class IvfIndex:
         closest lists. nprobe = n_lists ≡ exact brute force."""
         from ..stages.shuffle import local_topk
 
+        if self._centroids is None:
+            raise ValueError("bootstrap() first — the quantizer is untrained")
         qvec = np.asarray(qvec, dtype=np.float64)
         qnorm = float(np.linalg.norm(qvec))
         d2 = ((self._centroids - qvec) ** 2).sum(axis=1)

@@ -142,7 +142,8 @@ def q_curated_corpus_plus(sf_dir: str, counts: dict | None = None):
 
 
 def curate_corpus(
-    sf_dir: str, out_dir: str, budget: int = 256, jsonl: bool = False
+    sf_dir: str, out_dir: str, budget: int = 256, jsonl: bool = False,
+    plus: bool = False,
 ) -> dict:
     """Run the curation chain and WRITE the results: ``curated.parquet``
     (the surviving documents) and ``packs.parquet`` (their training-
@@ -160,7 +161,8 @@ def curate_corpus(
     n_total = table_rows(_docs_path(sf_dir))
 
     stage_counts: dict = {}
-    kept_ids = q_curated_corpus(sf_dir, counts=stage_counts).materialize()
+    chain = q_curated_corpus_plus if plus else q_curated_corpus
+    kept_ids = chain(sf_dir, counts=stage_counts).materialize()
     n_kept = kept_ids.count()
 
     blocks = min(64, max(2, nbytes >> 20))

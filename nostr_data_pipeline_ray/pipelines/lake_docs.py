@@ -167,6 +167,7 @@ def curate_from_lake(
     benchmark: str | None = None,
     budget: int = 256,
     jsonl: bool = False,
+    plus: bool = False,
 ) -> dict:
     """End-to-end: export the lake as documents, then run the composed
     curation chain (dedup → decontaminate → p75 quality cut → pack) over
@@ -177,7 +178,8 @@ def curate_from_lake(
     docs_sf = export_documents(
         lake_root, os.path.join(out_dir, "lake_docs"), benchmark=benchmark
     )
-    summary = curate_corpus(docs_sf, out_dir, budget=budget, jsonl=jsonl)
+    summary = curate_corpus(docs_sf, out_dir, budget=budget, jsonl=jsonl,
+                            plus=plus)
     summary["lake_root"] = lake_root
     summary["exported_docs"] = int(
         table_rows(os.path.join(docs_sf, "documents.parquet"))
