@@ -190,6 +190,46 @@ class IvfIndex:
         self._write_meta()
         return n
 
+    # -- delete -----------------------------------------------------------
+
+    def delete(self, vec_ids, update_id: str) -> int:
+        """Tombstone a set of vector ids (CDC delete analog): queries stop
+        returning them immediately; ``compact()`` purges them physically.
+        The id set is an explicit driver-side list by design — deletes are
+        a small targeted operation between compactions (bulk rewrites go
+        through a fresh bootstrap). Exactly-once by update_id."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if update_id in self.meta["applied_ids"]:
+            return 0
+        ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+        ts_dir = os.path.join(self.index_dir, "tombstones")
+        os.makedirs(ts_dir, exist_ok=True)
+        name = f"t-{len(self.meta.get('tombstones', [])):05d}-{update_id}.parquet"
+        path = os.path.join(ts_dir, name)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp)
+        os.replace(tmp, path)
+        self.meta.setdefault("tombstones", []).append(name)
+        self.meta["applied_ids"].append(update_id)
+        self._write_meta()
+        return len(ids)
+
+    def _tombstone_ids(self) -> np.ndarray:
+        """All tombstoned ids (bounded by deletes since the last compact)."""
+        import pyarrow.parquet as pq
+
+        names = self.meta.get("tombstones", [])
+        if not names:
+            return np.array([], dtype=np.int64)
+        parts = [
+            pq.read_table(os.path.join(self.index_dir, "tombstones", n))["vec_id"]
+            .to_numpy(zero_copy_only=False)
+            for n in names
+        ]
+        return np.unique(np.concatenate(parts))
+
     # -- read -------------------------------------------------------------
 
     def _list_files(self, list_ids) -> list[str]:
@@ -218,12 +258,14 @@ class IvfIndex:
             return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
         dim = self.meta["dim"]
-        qref = ray.put((qvec, qnorm))
+        qref = ray.put((qvec, qnorm, self._tombstone_ids()))
 
         def score(batch: pd.DataFrame) -> pd.DataFrame:
-            qv, qn = cached_get(qref)
+            qv, qn, dead = cached_get(qref)
             if exclude is not None:
                 batch = batch[batch["vec_id"] != exclude]
+            if len(dead):
+                batch = batch[~np.isin(batch["vec_id"].to_numpy(), dead)]
             if not len(batch):
                 return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
                                      "score": pd.array([], dtype="float64")})
@@ -251,7 +293,8 @@ class IvfIndex:
         import pyarrow.parquet as pq
 
         subs = self.meta["committed"]
-        if len(subs) <= 1:
+        dead = self._tombstone_ids()
+        if len(subs) <= 1 and not len(dead):
             return {"compacted": False, "updates": len(subs)}
         per_list: dict[int, list[str]] = {}
         for sub in subs:
@@ -266,17 +309,26 @@ class IvfIndex:
         shutil.rmtree(new_dir, ignore_errors=True)
         os.makedirs(new_dir, exist_ok=True)
 
+        dead_ref = ray.put(dead)
+
         def fold(batch: pd.DataFrame) -> pd.DataFrame:
+            dead_w = cached_get(dead_ref)
             out = []
             for _, row in batch.iterrows():
                 t = pa.concat_tables([pq.read_table(p) for p in row["files"]])
                 t = t.sort_by("vec_id")
+                n_in = t.num_rows
+                if len(dead_w):  # physical purge of tombstoned vectors
+                    import pyarrow as _pa
+
+                    keep = ~np.isin(t["vec_id"].to_numpy(zero_copy_only=False), dead_w)
+                    t = t.filter(_pa.array(keep))
                 path = os.path.join(new_dir, f"list-{int(row['lid']):05d}.parquet")
                 tmp = path + ".tmp"
                 pq.write_table(t, tmp)
                 os.replace(tmp, path)
-                out.append((int(row["lid"]), t.num_rows))
-            return pd.DataFrame(out, columns=["lid", "rows"])
+                out.append((int(row["lid"]), t.num_rows, n_in - t.num_rows))
+            return pd.DataFrame(out, columns=["lid", "rows", "purged"])
 
         items = [{"lid": lid, "files": fs} for lid, fs in sorted(per_list.items())]
         counts = (
@@ -285,19 +337,28 @@ class IvfIndex:
             .to_pandas()  # O(n_lists) rows
         )
         total = int(counts["rows"].sum()) if len(counts) else 0
-        if total != self.meta["n_vecs"]:
+        purged = int(counts["purged"].sum()) if len(counts) else 0
+        if total + purged != self.meta["n_vecs"]:
             raise RuntimeError(
-                f"compact row mismatch: folded {total}, expected "
-                f"{self.meta['n_vecs']} — leaving the old committed set"
+                f"compact row mismatch: folded {total} + purged {purged}, "
+                f"expected {self.meta['n_vecs']} — leaving the old committed set"
             )
         old = list(subs)
+        old_ts = list(self.meta.get("tombstones", []))
         self.meta["committed"] = [new_sub]
         self.meta["compactions"] = gen + 1
+        self.meta["n_vecs"] = total  # physical rows after the purge
+        self.meta["tombstones"] = []
         self._write_meta()
         for sub in old:  # best-effort: failures leave orphans, not errors
             shutil.rmtree(os.path.join(self.rows_dir, sub), ignore_errors=True)
+        for n in old_ts:
+            try:
+                os.remove(os.path.join(self.index_dir, "tombstones", n))
+            except OSError:
+                pass
         return {"compacted": True, "updates_folded": len(old),
-                "lists": len(items), "rows": total}
+                "lists": len(items), "rows": total, "purged": purged}
 
     def stats(self) -> dict:
         return {k: v for k, v in self.meta.items() if k != "centroids"} | {

@@ -111,6 +111,36 @@ def test_compact_folds_updates_row_identical(ray_session, tmp_path):
     assert n3 == 10 and idx.fsck()["ok"]
 
 
+def test_delete_tombstones_then_compact_purges(ray_session, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=8)
+    idx.bootstrap(_vecs(SF), update_id="e1")
+    q = np.asarray(
+        pq.read_table(
+            os.path.join(SF, "embeddings.parquet"),
+            columns=["embedding"],
+            filters=[("vec_id", "==", 0)],
+        )["embedding"][0].as_py()
+    )
+    before = idx.query(q, k=10, nprobe=8, exclude=0)
+    victims = before["vec_id"].tolist()[:2]
+
+    assert idx.delete(victims, update_id="d1") == 2
+    assert idx.delete(victims, update_id="d1") == 0  # exactly-once
+    after = idx.query(q, k=10, nprobe=8, exclude=0)
+    assert not set(victims) & set(after["vec_id"])
+    # survivors keep their relative order from the pre-delete ranking
+    kept_before = [v for v in before["vec_id"] if v not in victims]
+    assert after["vec_id"].tolist()[: len(kept_before)] == kept_before
+
+    out = idx.compact()  # single update but pending tombstones -> compacts
+    assert out["compacted"] and out["purged"] == 2
+    assert idx.meta["tombstones"] == [] and idx.fsck()["ok"]
+    assert idx.meta["n_vecs"] == 500 - 2
+    again = idx.query(q, k=10, nprobe=8, exclude=0)
+    pd.testing.assert_frame_equal(after, again)
+
+
 def test_fsck_catches_missing_committed_subdir(ray_session, tmp_path):
     root = str(tmp_path / "idx")
     idx = IvfIndex(root, n_lists=4)
