@@ -189,6 +189,106 @@ class MinHashIndex:
         are the batch path's job: q_minhash_near_dup)."""
         self._fold_in(self._signature_rows(docs), update_id)
 
+    # -- delete / compact -----------------------------------------------------
+
+    def delete(self, doc_ids, update_id: str | None = None) -> int:
+        """Tombstone documents (CDC delete analog): their rows stop acting
+        as candidate endpoints in every subsequent ``update`` immediately;
+        ``compact()`` purges them physically and clears the tombstones.
+        A tombstoned id stays dead — including if re-added — until the next
+        compact (generation semantics; re-use the id after compacting).
+        Explicit driver-side id list by design (targeted deletes between
+        compactions); exactly-once by update_id."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if update_id is not None and update_id in self.meta["applied_ids"]:
+            return 0
+        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        ts_dir = os.path.join(self.index_dir, "tombstones")
+        os.makedirs(ts_dir, exist_ok=True)
+        name = f"t-{len(self.meta.get('tombstones', [])):05d}.parquet"
+        path = os.path.join(ts_dir, name)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), path + ".tmp")
+        os.replace(path + ".tmp", path)
+        self.meta.setdefault("tombstones", []).append(name)
+        if update_id is not None:
+            self.meta["applied_ids"].append(update_id)
+        self._write_meta()
+        return len(ids)
+
+    def _tombstone_ids(self) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        names = self.meta.get("tombstones", [])
+        if not names:
+            return np.array([], dtype=np.int64)
+        parts = [
+            pq.read_table(os.path.join(self.index_dir, "tombstones", n))["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            for n in names
+        ]
+        return np.unique(np.concatenate(parts))
+
+    def compact(self) -> dict:
+        """Fold all committed update subdirs into one, purging tombstoned
+        docs physically (band_hash-sorted like every fold-in, so row-group
+        pruning keeps working). Staged-dir + atomic meta swap; n_docs drops
+        by the purged-doc count (each doc is exactly ``bands`` rows)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        subs = self.meta["committed"]
+        dead = self._tombstone_ids()
+        if len(subs) <= 1 and not len(dead):
+            return {"compacted": False, "updates": len(subs)}
+        files = self._row_files()
+        gen = self.meta.get("compactions", 0)
+        new_sub = f"compact-{gen:05d}"
+        target = os.path.join(self.rows_dir, new_sub)
+        shutil.rmtree(target, ignore_errors=True)
+        rows_before = self.meta["n_docs"] * self.meta["bands"]
+        if files:
+            ds = rd.read_parquet(files)
+            if len(dead):
+                ds = ds.map_batches(
+                    lambda b: b.filter(
+                        pc.invert(pc.is_in(b["doc_id"], pa.array(dead)))
+                    ),
+                    batch_format="pyarrow",
+                )
+            ds = ds.sort("band_hash").materialize()
+            rows_after = ds.count()
+            if rows_after:
+                ds.write_parquet(target)
+            else:
+                os.makedirs(target, exist_ok=True)
+        else:
+            rows_after = 0
+            os.makedirs(target, exist_ok=True)
+        purged = rows_before - rows_after
+        if purged % self.meta["bands"] != 0:
+            raise RuntimeError(
+                f"compact purged {purged} rows, not a multiple of bands="
+                f"{self.meta['bands']} — index corrupt, old set left intact"
+            )
+        old = list(subs)
+        old_ts = list(self.meta.get("tombstones", []))
+        self.meta["committed"] = [new_sub]
+        self.meta["compactions"] = gen + 1
+        self.meta["n_docs"] -= purged // self.meta["bands"]
+        self.meta["tombstones"] = []
+        self._write_meta()
+        for sub in old:
+            shutil.rmtree(os.path.join(self.rows_dir, sub), ignore_errors=True)
+        for n in old_ts:
+            try:
+                os.remove(os.path.join(self.index_dir, "tombstones", n))
+            except OSError:
+                pass
+        return {"compacted": True, "updates_folded": len(old),
+                "rows": rows_after, "purged_docs": purged // self.meta["bands"]}
+
     # -- incremental mining ---------------------------------------------------
 
     def update(
@@ -281,6 +381,17 @@ class MinHashIndex:
                     batch_format="pandas",
                 )
             tagged = tagged.union(existing)
+
+        # tombstoned docs are dead on BOTH sides until compact() (see
+        # delete() — generation semantics): drop their rows before pairing.
+        # The dead set is bounded by deletes since the last compact.
+        dead = self._tombstone_ids()
+        if len(dead):
+            dead_ref = ray.put(dead)
+            tagged = tagged.map_batches(
+                lambda b: b[~np.isin(b["doc_id"].to_numpy(), cached_get(dead_ref))],
+                batch_format="pandas",
+            )
 
         def pairs_with_new(g: pd.DataFrame) -> pd.DataFrame:
             # one shuffle bucket holds MANY (band, band_hash) LSH buckets —

@@ -162,3 +162,47 @@ def test_semijoin_path_agrees_with_pushdown_path(tmp_path, monkeypatch):
         return set(zip(df["doc_a"], df["doc_b"]))
 
     assert run(0) == run(50_000) >= {(3, 100), (101, 102)}
+
+
+def test_delete_suppresses_pairs_and_compact_purges(tmp_path):
+    """A tombstoned doc stops pairing immediately (both as old AND new
+    endpoint), compact() purges its rows and clears tombstones, and after
+    compact the id can be re-used live."""
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.bootstrap(_docs(BASE), update_id="e0")
+
+    # deleting doc 3 means the near-copy no longer finds its twin
+    assert idx.delete([3], update_id="d1") == 1
+    assert idx.delete([3], update_id="d1") == 0  # exactly-once
+    new = {100: BASE[3] + " tiny tail"}
+    out = idx.update(_docs(new), _docs({**BASE, **new}), update_id="e1")
+    out_df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(out_df) == 0  # the only twin is tombstoned
+
+    # physical purge: 9 live docs of the original 10, plus the new one
+    res = idx.compact()
+    assert res["compacted"] and res["purged_docs"] == 1
+    assert idx.stats()["n_docs"] == 10  # 9 base + doc 100
+    assert idx.meta["tombstones"] == []
+    audit = idx.fsck()
+    assert audit["ok"], audit
+
+    # after compact the id is re-usable and live again
+    revived = {3: BASE[3]}
+    out2 = idx.update(_docs(revived), _docs({**BASE, **new, **revived}),
+                      update_id="e2")
+    out2_df = out2 if isinstance(out2, pd.DataFrame) else out2.to_pandas()
+    pairs = set(zip(out2_df["doc_a"], out2_df["doc_b"]))
+    assert (3, 100) in pairs
+
+
+def test_compact_without_tombstones_folds_updates(tmp_path):
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.bootstrap(_docs({k: v for k, v in BASE.items() if k < 5}), update_id="a")
+    idx.bootstrap(_docs({k: v for k, v in BASE.items() if k >= 5}), update_id="b")
+    assert idx.stats()["n_updates"] == 2
+    res = idx.compact()
+    assert res["compacted"] and res["purged_docs"] == 0
+    assert idx.stats()["n_updates"] == 1 and idx.stats()["n_docs"] == 10
+    assert idx.fsck()["ok"]
+    assert idx.compact() == {"compacted": False, "updates": 1}
