@@ -130,9 +130,17 @@ class IvfIndex:
         return self.add(vecs, update_id, input_bytes=input_bytes)
 
     def add(self, vecs, update_id: str, input_bytes: int | None = None) -> int:
-        """Assign + append one epoch of vectors; exactly-once by update_id."""
+        """Assign + append one epoch of vectors; exactly-once by update_id.
+        Single-writer: mutations take the index's flock (staged-subdir
+        names derive from the committed list — the lake's discipline)."""
+        from ..state.lake import dir_writer_lock
+
         if self._centroids is None:
             raise ValueError("bootstrap() first — the quantizer is untrained")
+        with dir_writer_lock(self.index_dir, "ann index"):
+            return self._add_locked(vecs, update_id, input_bytes)
+
+    def _add_locked(self, vecs, update_id: str, input_bytes: int | None) -> int:
         if update_id in self.meta["applied_ids"]:
             return 0
         dim = self.meta["dim"]
@@ -201,20 +209,23 @@ class IvfIndex:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if update_id in self.meta["applied_ids"]:
-            return 0
-        ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
-        ts_dir = os.path.join(self.index_dir, "tombstones")
-        os.makedirs(ts_dir, exist_ok=True)
-        name = f"t-{len(self.meta.get('tombstones', [])):05d}-{update_id}.parquet"
-        path = os.path.join(ts_dir, name)
-        tmp = path + ".tmp"
-        pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp)
-        os.replace(tmp, path)
-        self.meta.setdefault("tombstones", []).append(name)
-        self.meta["applied_ids"].append(update_id)
-        self._write_meta()
-        return len(ids)
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.index_dir, "ann index"):
+            if update_id in self.meta["applied_ids"]:
+                return 0
+            ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+            ts_dir = os.path.join(self.index_dir, "tombstones")
+            os.makedirs(ts_dir, exist_ok=True)
+            name = f"t-{len(self.meta.get('tombstones', [])):05d}-{update_id}.parquet"
+            path = os.path.join(ts_dir, name)
+            tmp = path + ".tmp"
+            pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp)
+            os.replace(tmp, path)
+            self.meta.setdefault("tombstones", []).append(name)
+            self.meta["applied_ids"].append(update_id)
+            self._write_meta()
+            return len(ids)
 
     def _tombstone_ids(self) -> np.ndarray:
         """All tombstoned ids (bounded by deletes since the last compact)."""
@@ -292,6 +303,12 @@ class IvfIndex:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.index_dir, "ann index"):
+            return self._compact_locked(pa, pq)
+
+    def _compact_locked(self, pa, pq) -> dict:
         subs = self.meta["committed"]
         dead = self._tombstone_ids()
         if len(subs) <= 1 and not len(dead):

@@ -161,7 +161,16 @@ class MinHashIndex:
 
     def _fold_in(self, sig, update_id: str | None) -> None:
         """Commit the signature rows: staged subdir + atomic meta append.
-        A repeated ``update_id`` is a no-op (the retried-epoch contract)."""
+        A repeated ``update_id`` is a no-op (the retried-epoch contract).
+        Single-writer: mutations take the index's flock (the lake's own
+        discipline — staged-subdir names derive from the committed list,
+        so concurrent writers would collide on slots)."""
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.index_dir, "near-dup index"):
+            return self._fold_in_locked(sig, update_id)
+
+    def _fold_in_locked(self, sig, update_id: str | None) -> None:
         if update_id is not None and update_id in self.meta["applied_ids"]:
             return
         n_rows = sig.count()
@@ -202,20 +211,23 @@ class MinHashIndex:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if update_id is not None and update_id in self.meta["applied_ids"]:
-            return 0
-        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
-        ts_dir = os.path.join(self.index_dir, "tombstones")
-        os.makedirs(ts_dir, exist_ok=True)
-        name = f"t-{len(self.meta.get('tombstones', [])):05d}.parquet"
-        path = os.path.join(ts_dir, name)
-        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), path + ".tmp")
-        os.replace(path + ".tmp", path)
-        self.meta.setdefault("tombstones", []).append(name)
-        if update_id is not None:
-            self.meta["applied_ids"].append(update_id)
-        self._write_meta()
-        return len(ids)
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.index_dir, "near-dup index"):
+            if update_id is not None and update_id in self.meta["applied_ids"]:
+                return 0
+            ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+            ts_dir = os.path.join(self.index_dir, "tombstones")
+            os.makedirs(ts_dir, exist_ok=True)
+            name = f"t-{len(self.meta.get('tombstones', [])):05d}.parquet"
+            path = os.path.join(ts_dir, name)
+            pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), path + ".tmp")
+            os.replace(path + ".tmp", path)
+            self.meta.setdefault("tombstones", []).append(name)
+            if update_id is not None:
+                self.meta["applied_ids"].append(update_id)
+            self._write_meta()
+            return len(ids)
 
     def _tombstone_ids(self) -> np.ndarray:
         import pyarrow.parquet as pq
@@ -238,6 +250,12 @@ class MinHashIndex:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.index_dir, "near-dup index"):
+            return self._compact_locked(pa, pc)
+
+    def _compact_locked(self, pa, pc) -> dict:
         subs = self.meta["committed"]
         dead = self._tombstone_ids()
         if len(subs) <= 1 and not len(dead):

@@ -52,6 +52,28 @@ class ConcurrentWriterError(RuntimeError):
     """Another process holds this lake's writer lock (or won the commit race)."""
 
 
+@contextmanager
+def dir_writer_lock(root: str, what: str = "store"):
+    """Exclusive single-writer flock for any directory-rooted store that
+    commits like the lake (the persisted dedup/ANN indexes reuse this so
+    their staged-subdir + meta-swap discipline is race-free too)."""
+    import fcntl
+
+    path = os.path.join(root, "_writer.lock")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as ex:
+            raise ConcurrentWriterError(
+                f"another writer holds {path}; a {what} has exactly one "
+                "mutating job at a time"
+            ) from ex
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
 class Lake:
     def __init__(self, root: str):
         self.root = root

@@ -173,3 +173,24 @@ def test_approximate_probe_recall_on_planted(ray_session, tmp_path):
     # the planted cluster shares the query's inverted list → near-full recall
     hits = set(res["vec_id"]) & set(range(1, n_plant + 1))
     assert len(hits) >= 8
+
+
+def test_single_writer_lock_on_index_mutations(ray_session, tmp_path):
+    import fcntl
+
+    from nostr_data_pipeline_ray.state.lake import ConcurrentWriterError
+
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=4)
+    idx.bootstrap(_vecs(SF), update_id="e1")
+    fd = os.open(os.path.join(root, "_writer.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            idx.delete([1], update_id="d1")
+        with pytest.raises(ConcurrentWriterError):
+            idx.add(_vecs(SF), update_id="e2")
+    finally:
+        os.close(fd)
+    # lock released -> mutations proceed
+    assert idx.delete([1], update_id="d1") == 1
