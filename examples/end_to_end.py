@@ -197,5 +197,10 @@ nn = aidx.query(_point_read_vec(emb, vec_id=0), k=5, nprobe=3, exclude=0)
 print("ivf index:", aidx.stats()["n_vecs"], "vectors |",
       "fsck ok:", aidx.fsck()["ok"], "| top-5 for vec 0:",
       nn["vec_id"].tolist())
+# lifecycle: tombstone-delete the nearest neighbour, compact purges it
+aidx.delete(nn["vec_id"].tolist()[:1], update_id="gdpr-1")
+print("after delete:", aidx.query(_point_read_vec(emb, vec_id=0),
+                                  k=5, nprobe=3, exclude=0)["vec_id"].tolist(),
+      "| compact:", aidx.compact())
 
 ray.shutdown()

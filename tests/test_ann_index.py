@@ -194,3 +194,27 @@ def test_single_writer_lock_on_index_mutations(ray_session, tmp_path):
         os.close(fd)
     # lock released -> mutations proceed
     assert idx.delete([1], update_id="d1") == 1
+
+
+def test_compact_overwrites_stale_staged_dir(ray_session, tmp_path):
+    """A crash between staging the compacted subdir and the meta swap
+    leaves a stale c-XXXXX dir: the next compact must overwrite it and
+    produce a correct index (the lake's orphan-overwrite discipline)."""
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=4)
+    idx.bootstrap(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] < 250], batch_format="pandas"),
+        update_id="e1",
+    )
+    idx.add(
+        _vecs(SF).map_batches(lambda b: b[b["vec_id"] >= 250], batch_format="pandas"),
+        update_id="e2",
+    )
+    # simulate the crashed attempt: a half-written staged dir
+    stale = os.path.join(idx.rows_dir, "c-00000-compact")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "list-00000.parquet"), "wb") as f:
+        f.write(b"garbage not parquet")
+    out = idx.compact()
+    assert out["compacted"] and out["rows"] == 500
+    assert idx.fsck()["ok"]
