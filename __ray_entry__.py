@@ -85,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_ai.QUERIES)  # persisted incremental IVF ANN index
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.curate_index as _ci
+
+        qs.update(_ci.QUERIES)  # rows-only: epoch-incremental curation (FWW)
+    except ImportError:
+        pass
     return qs
 
 

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "domain_mix_sample",
     "ann_topk_ivf_index",
+    "incremental_curation",
 ]
 
 
@@ -161,6 +162,7 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     if not os.environ.get("NDP_BENCH_CDC_ONLY"):
         from nostr_data_pipeline_ray.pipelines import ann_index as ai
+        from nostr_data_pipeline_ray.pipelines import curate_index as ci
         from nostr_data_pipeline_ray.pipelines import dedup_index as di
         from nostr_data_pipeline_ray.pipelines import pack as pk
         from nostr_data_pipeline_ray.pipelines import textops as tx
@@ -178,6 +180,7 @@ def run_bench() -> dict:
                     or di.QUERIES.get(name)
                     or tx.QUERIES.get(name)
                     or ai.QUERIES.get(name)
+                    or ci.QUERIES.get(name)
                     or pk.QUERIES[name]
                 )
                 t0 = time.time()

@@ -1,0 +1,123 @@
+"""Incremental curator (pipelines/curate_index.py): per-epoch dedup (FWW
+across epochs) + decontamination + frozen-quality cut, committed like the
+lake; every planted case hits exactly one stage."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from nostr_data_pipeline_ray.pipelines.curate_index import IncrementalCurator
+
+_BENCH_GRAM = "alpha beta gamma delta epsilon"
+
+
+def _pad(text: str, n: int) -> str:
+    assert len(text) < n
+    return text + " " + "z" * (n - len(text) - 1)
+
+
+def _docs(rows: dict[int, str]):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": list(rows), "text": list(rows.values())})
+    ).repartition(2)
+
+
+def _base() -> dict[int, str]:
+    return {
+        i: _pad(
+            f"unique document number {i} with entirely distinct filler words "
+            + " ".join(f"w{i}x{j}" for j in range(20)),
+            200,
+        )
+        for i in range(20, 30)
+    }
+
+
+def _benchmark(path: str) -> str:
+    texts = [_BENCH_GRAM + " zeta eta theta iota kappa"] + [
+        " ".join(f"bench{d}w{j}" for j in range(8)) for d in range(1, 20)
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(20), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        ),
+        path,
+    )
+    return path
+
+
+@pytest.fixture()
+def curator(tmp_path, ray_session):
+    bench = _benchmark(str(tmp_path / "benchmark.parquet"))
+    return IncrementalCurator(str(tmp_path / "cur"), benchmark=bench)
+
+
+def test_bootstrap_then_epoch_every_stage_live(curator, tmp_path):
+    base = _base()
+    out0 = curator.bootstrap(_docs(base), update_id="e0")
+    # equal-length bootstrap corpus -> one tied quality score -> all pass;
+    # all distinct -> no dedup losses
+    assert out0["curated"] == 10 and out0["dropped_dedup"] == 0
+
+    long = {
+        100: base[22][:190] + " tiny tail",               # ~ old doc 22
+        200: _pad("brand new long prose " + " ".join(f"n{j}" for j in range(30)), 300),
+        300: _pad("quoting " + _BENCH_GRAM + " verbatim "
+                  + " ".join(f"c{j}" for j in range(30)), 300),
+        400: "tiny",                                       # fails quality
+        500: _pad("another original piece " + " ".join(f"m{j}" for j in range(30)), 300),
+    }
+    long[201] = long[200][:-10] + " variation"             # ~ new doc 200
+    corpus = _docs({**base, **long})
+    out1 = curator.ingest(_docs(long), corpus, update_id="e1")
+    assert out1["new_docs"] == 6
+    assert out1["dropped_dedup"] == 2          # 100 (vs old 22), 201 (vs new 200)
+    assert out1["dropped_decontam_or_quality"] == 2  # 300 contaminated, 400 short
+    assert out1["curated"] == 2
+    got = set(curator.curated().to_pandas()["doc_id"]) - set(base)
+    assert got == {200, 500}
+    assert curator.fsck()["ok"]
+
+    # retried epoch is exactly-once
+    again = curator.ingest(_docs(long), corpus, update_id="e1")
+    assert again == {"applied": False, "update_id": "e1"}
+    assert curator.meta["n_curated"] == out1["total_curated"]
+
+
+def test_reopen_continues_and_threshold_frozen(curator, tmp_path):
+    base = _base()
+    curator.bootstrap(_docs(base), update_id="e0")
+    thr = curator.meta["quality_min"]
+
+    reopened = IncrementalCurator(curator.root)
+    assert reopened.meta["quality_min"] == thr
+    new = {600: _pad("fresh words " + " ".join(f"r{j}" for j in range(25)), 300)}
+    out = reopened.ingest(_docs(new), _docs({**base, **new}), update_id="e1")
+    assert out["curated"] == 1
+    assert reopened.fsck()["ok"]
+    with pytest.raises(ValueError, match="already bootstrapped"):
+        reopened.bootstrap(_docs(base), update_id="e2")
+
+
+def test_benchmark_ids_refused(curator):
+    base = _base()
+    curator.bootstrap(_docs(base), update_id="e0")
+    # ids below the benchmark cutoff never enter the corpus
+    sneaky = {5: _pad("smuggled " + " ".join(f"s{j}" for j in range(25)), 300)}
+    out = curator.ingest(
+        _docs(sneaky), _docs({**base, **sneaky}), update_id="e1"
+    )
+    assert out["new_docs"] == 0 and out["curated"] == 0
+
+
+def test_ingest_before_bootstrap_raises(tmp_path, ray_session):
+    cur = IncrementalCurator(str(tmp_path / "cur2"))
+    with pytest.raises(ValueError, match="bootstrap"):
+        cur.ingest(_docs({30: "x"}), _docs({30: "x"}), update_id="e0")
