@@ -203,4 +203,19 @@ print("after delete:", aidx.query(_point_read_vec(emb, vec_id=0),
                                   k=5, nprobe=3, exclude=0)["vec_id"].tolist(),
       "| compact:", aidx.compact())
 
+# 13. INCREMENTAL curation — the nightly pipeline: bootstrap once (freezes
+#     the quality threshold, seeds the near-dup memory), then each epoch
+#     pays O(new): FWW dedup vs everything already seen + decontam +
+#     the frozen quality cut. Per-stage drop counts come back per epoch.
+from nostr_data_pipeline_ray.pipelines.curate_index import IncrementalCurator
+
+docs_path = "/root/testdata/sf0.001/documents.parquet"
+all_docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+day0 = all_docs.map_batches(lambda b: b[b["doc_id"] < 400], batch_format="pandas")
+day1 = all_docs.map_batches(lambda b: b[b["doc_id"] >= 400], batch_format="pandas")
+cur = IncrementalCurator(f"{BASE}/curator", benchmark=docs_path)
+print("\ncurator day 0:", cur.bootstrap(day0, update_id="day-0"))
+print("curator day 1:", cur.ingest(day1, all_docs, update_id="day-1"))
+print("curated total:", cur.curated().count(), "| fsck ok:", cur.fsck()["ok"])
+
 ray.shutdown()
