@@ -5,6 +5,7 @@ import os
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -156,3 +157,46 @@ def test_agrees_with_duckdb_oracle(ray_session, name):
             got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
             rtol=0, atol=0, err_msg=c,
         )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_token_budget_matches_pandas_reference_randomized(ray_session, tmp_path, seed):
+    """The distributed ordered prefix-sum must agree with the obvious
+    single-process reference (sort + cumsum + filter) on random corpora —
+    including duplicate quality scores and budgets landing mid-corpus."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 120))
+    rows = []
+    for i in range(n):
+        # draw few distinct word counts so quality ties are common
+        k = int(rng.choice([3, 10, 25, 60, 110]))
+        rows.append((1000 + i, " ".join(f"w{j}" for j in range(k))))
+    sf = _docs_dir(tmp_path, rows)
+
+    ref = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+            "n_tokens": [len(r[1].split(" ")) for r in rows],
+        }
+    )
+    nch = ref["n_chars"].to_numpy(dtype=float)
+    ls = np.where(
+        nch < 50, nch / 50.0 * 50.0,
+        np.where(nch <= 500, 50.0 + (nch - 50.0) / 450.0 * 50.0,
+                 100.0 - np.minimum(50.0, (nch - 500.0) / 100.0)),
+    )
+    ref["quality_score"] = np.floor(ls * 0.3 * 100.0 + 0.5) / 100.0
+    ref = ref.sort_values(
+        ["quality_score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    ref["cum_tokens"] = ref["n_tokens"].cumsum()
+    budget = int(ref["cum_tokens"].iloc[int(rng.integers(0, n))])
+    want = ref[ref["cum_tokens"] <= budget][
+        ["doc_id", "quality_score", "n_tokens", "cum_tokens"]
+    ].reset_index(drop=True)
+
+    got = q_corpus_token_budget(sf, budget=budget).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(want.dtypes.to_dict()), want
+    )
