@@ -91,6 +91,19 @@ class IncrementalCurator:
                 self.meta = json.load(f)
             if self.meta.get("format") != self.FORMAT:
                 raise ValueError(f"curator at {root} uses a different format")
+            if benchmark is not None:
+                t = pq.read_table(
+                    benchmark,
+                    columns=["doc_id", "text"],
+                    filters=[("doc_id", "<", self.meta["benchmark_max_doc_id"])],
+                )
+                grams = sorted(set(_explode_ngrams(t, 5)["word"].to_pylist()))
+                if grams != self.meta["benchmark_grams"]:
+                    raise ValueError(
+                        f"curator at {root} was built against a DIFFERENT "
+                        "held-out benchmark — decontamination would silently "
+                        "diverge; re-bootstrap a fresh curator instead"
+                    )
         else:
             os.makedirs(self.curated_dir, exist_ok=True)
             grams: list[str] = []

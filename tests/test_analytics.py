@@ -270,3 +270,61 @@ def test_domain_mix_sample_exact_proportions():
 
     with _pytest.raises(ValueError, match="absent"):
         q_domain_mix_sample(SF_DIR, weights={"no-such-source": 1.0}).to_pandas()
+
+
+def test_domain_mix_matches_pandas_reference_randomized():
+    """Quota math + id-hash selection against the obvious single-process
+    reference over random corpora and random weights (5 seeds)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.analytics import q_domain_mix_sample
+    from nostr_data_pipeline_ray.stages.shuffle import id_hash
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 300))
+        srcs = [f"s{j}" for j in range(int(rng.integers(2, 6)))]
+        doc_id = np.arange(n, dtype=np.int64) * 3 + 7  # non-dense ids
+        source = rng.choice(srcs + ["unlisted"], size=n)
+        w = rng.random(len(srcs))
+        weights = dict(zip(srcs, (w / w.sum()).tolist()))
+        # every weighted source must appear at least once
+        for j, s in enumerate(srcs):
+            source[j] = s
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array(doc_id),
+                    "text": pa.array(["t"] * n),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array(source),
+                    "n_chars": pa.array([1] * n, pa.int64()),
+                }),
+                f"{d}/documents.parquet",
+            )
+            got = (
+                q_domain_mix_sample(d, weights=weights)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        ref = pd.DataFrame({"doc_id": doc_id, "source": source})
+        ref = ref[ref["source"].isin(weights)]
+        counts = ref.groupby("source").size()
+        total = min(counts[s] / p for s, p in weights.items())
+        keep = []
+        for s, p in weights.items():
+            k = int(np.floor(p * total))
+            grp = ref[ref["source"] == s].copy()
+            grp["_h"] = id_hash(grp["doc_id"].to_numpy())
+            keep.append(grp.sort_values(["_h", "doc_id"]).head(k)[["doc_id", "source"]])
+        want = (
+            pd.concat(keep).sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), seed

@@ -106,6 +106,23 @@ def test_reopen_continues_and_threshold_frozen(curator, tmp_path):
         reopened.bootstrap(_docs(base), update_id="e2")
 
 
+def test_reopen_with_different_benchmark_raises(curator, tmp_path):
+    curator.bootstrap(_docs(_base()), update_id="e0")
+    other = str(tmp_path / "other_benchmark.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(20), pa.int64()),
+             "text": pa.array([f"different benchmark text {i} a b c d e"
+                               for i in range(20)], pa.string())}
+        ),
+        other,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT.*benchmark"):
+        IncrementalCurator(curator.root, benchmark=other)
+    # same benchmark reopens fine
+    IncrementalCurator(curator.root, benchmark=str(tmp_path / "benchmark.parquet"))
+
+
 def test_benchmark_ids_refused(curator):
     base = _base()
     curator.bootstrap(_docs(base), update_id="e0")
