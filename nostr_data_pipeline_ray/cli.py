@@ -239,6 +239,32 @@ def cmd_vacuum(args) -> int:
 def cmd_fsck(args) -> int:
     from .state.fsck import check_lake, repair_sidecars
 
+    # sidecar stores audit alongside the lake: the persisted near-dup /
+    # ANN indexes and the incremental curator carry their own manifests
+    extra_ok = True
+    extras = {}
+    if getattr(args, "neardup_index", None):
+        from .pipelines.dedup_index import MinHashIndex
+
+        extras["neardup_index"] = MinHashIndex(args.neardup_index).fsck()
+    if getattr(args, "ann_index", None):
+        from .pipelines.ann_index import IvfIndex
+
+        extras["ann_index"] = IvfIndex(args.ann_index).fsck()
+    if getattr(args, "curator", None):
+        from .pipelines.curate_index import IncrementalCurator
+
+        extras["curator"] = IncrementalCurator(args.curator).fsck()
+    extra_ok = all(v["ok"] for v in extras.values())
+
+    if not args.lake:
+        if not extras:
+            print("fsck: one of --lake / --neardup-index / --ann-index / "
+                  "--curator is required", file=sys.stderr)
+            return 2
+        print(json.dumps(extras, indent=2))
+        return 0 if extra_ok else 1
+
     if args.deep or args.repair:
         _ray()  # both launch Ray Data jobs — same guarded session as the rest
 
@@ -246,8 +272,10 @@ def cmd_fsck(args) -> int:
         rebuilt = repair_sidecars(args.lake)
         print(json.dumps({"sidecars_rebuilt": rebuilt}))
     report = check_lake(args.lake, deep=args.deep)
+    if extras:
+        report = {**report, "stores": extras}
     print(json.dumps(report, indent=2))
-    return 0 if report["ok"] else 1
+    return 0 if report["ok"] and extra_ok else 1
 
 
 def cmd_curate(args) -> int:
@@ -350,11 +378,16 @@ def main(argv: list[str] | None = None) -> int:
     v.set_defaults(fn=cmd_vacuum)
 
     fs = sub.add_parser("fsck", help="audit lake integrity (health-check analog)")
-    fs.add_argument("--lake", required=True)
+    fs.add_argument("--lake")
     fs.add_argument("--deep", action="store_true",
                     help="also scan every part file (parallel Ray job)")
     fs.add_argument("--repair", action="store_true",
                     help="rebuild missing/corrupt bloom sidecars first")
+    fs.add_argument("--neardup-index", dest="neardup_index",
+                    help="also audit a persisted MinHash near-dup index")
+    fs.add_argument("--ann-index", dest="ann_index",
+                    help="also audit a persisted IVF ANN index")
+    fs.add_argument("--curator", help="also audit an incremental curator")
     fs.set_defaults(fn=cmd_fsck)
 
     cu = sub.add_parser(

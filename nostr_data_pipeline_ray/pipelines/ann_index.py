@@ -74,12 +74,18 @@ class IvfIndex:
     CENTROIDS = "centroids.npy"
     FORMAT = 1
 
-    def __init__(self, index_dir: str, n_lists: int = 16, iters: int = 5,
-                 seed: int = 17):
+    def __init__(self, index_dir: str, n_lists: int | None = None,
+                 iters: int | None = None, seed: int | None = None):
+        """Omitted parameters adopt the persisted meta on reopen (the
+        manifest is authoritative — an audit/reader must not need to
+        re-state build params); EXPLICITLY passed values that differ from
+        the persisted ones still raise."""
         self.index_dir = index_dir
         self.rows_dir = os.path.join(index_dir, "rows")
         meta_path = os.path.join(index_dir, self.META)
-        want = {"n_lists": n_lists, "iters": iters, "seed": seed}
+        explicit = {k: v for k, v in
+                    {"n_lists": n_lists, "iters": iters, "seed": seed}.items()
+                    if v is not None}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 have = json.load(f)
@@ -88,7 +94,7 @@ class IvfIndex:
                     f"index at {index_dir} uses on-disk format "
                     f"{have.get('format')!r}, this code reads {self.FORMAT}"
                 )
-            mismatch = {k: (have.get(k), v) for k, v in want.items()
+            mismatch = {k: (have.get(k), v) for k, v in explicit.items()
                         if have.get(k) != v}
             if mismatch:
                 raise ValueError(
@@ -98,6 +104,7 @@ class IvfIndex:
             self.meta = have
             self._centroids = np.load(os.path.join(index_dir, self.CENTROIDS))
         else:
+            want = {"n_lists": 16, "iters": 5, "seed": 17, **explicit}
             os.makedirs(self.rows_dir, exist_ok=True)
             self.meta = {**want, "format": self.FORMAT, "dim": None,
                          "n_vecs": 0, "committed": [], "applied_ids": []}

@@ -78,16 +78,23 @@ class MinHashIndex:
     def __init__(
         self,
         index_dir: str,
-        num_perm: int = 64,
-        bands: int = 16,
-        ngram: int = 3,
-        seed: int = 7,
+        num_perm: int | None = None,
+        bands: int | None = None,
+        ngram: int | None = None,
+        seed: int | None = None,
     ):
-        assert bands < 64, "packed bucket keys reserve 6 bits for the band"
+        """Omitted parameters adopt the persisted meta on reopen (the
+        manifest is authoritative — auditors/readers need no build
+        params); EXPLICITLY passed values that differ still raise."""
         self.index_dir = index_dir
         self.rows_dir = os.path.join(index_dir, "rows")
         meta_path = os.path.join(index_dir, self.META)
-        want = {"num_perm": num_perm, "bands": bands, "ngram": ngram, "seed": seed}
+        explicit = {
+            k: v
+            for k, v in {"num_perm": num_perm, "bands": bands,
+                         "ngram": ngram, "seed": seed}.items()
+            if v is not None
+        }
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 have = json.load(f)
@@ -98,7 +105,7 @@ class MinHashIndex:
                     f"{self.FORMAT} — rebuild the index (bootstrap) rather "
                     "than silently missing its rows"
                 )
-            mismatch = {k: (have.get(k), v) for k, v in want.items() if have.get(k) != v}
+            mismatch = {k: (have.get(k), v) for k, v in explicit.items() if have.get(k) != v}
             if mismatch:
                 raise ValueError(
                     f"index at {index_dir} was built with different LSH "
@@ -106,6 +113,8 @@ class MinHashIndex:
                 )
             self.meta = have
         else:
+            want = {"num_perm": 64, "bands": 16, "ngram": 3, "seed": 7, **explicit}
+            assert want["bands"] < 64, "packed bucket keys reserve 6 bits for the band"
             os.makedirs(self.rows_dir, exist_ok=True)
             self.meta = {
                 **want,
