@@ -137,8 +137,15 @@ def run_bench() -> dict:
 
     # best-of-2 fresh replays: run-to-run variance on this shared VM is
     # ±10-20% (first run pays object-store page faults / cold plan caches).
-    # Scaling sub-runs (CDC_ONLY) repeat at the process level instead.
-    n_attempts = 1 if os.environ.get("NDP_BENCH_CDC_ONLY") else 2
+    # Scaling sub-runs (CDC_ONLY) repeat at the process level instead;
+    # NDP_BENCH_CDC_ATTEMPTS overrides (the exchange matrix uses 2 so the
+    # warm attempt dodges the host's first-touch fault cost).
+    n_attempts = int(
+        os.environ.get(
+            "NDP_BENCH_CDC_ATTEMPTS",
+            "1" if os.environ.get("NDP_BENCH_CDC_ONLY") else "2",
+        )
+    )
     runs = []
     for attempt in range(n_attempts):
         lake = f"/tmp/ndp_bench_lake_{NUM_CPUS}"

@@ -31,6 +31,7 @@ def one(fmt: str, ncpu: int) -> float:
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
         NDP_BENCH_CDC_ONLY="1",
+        NDP_BENCH_CDC_ATTEMPTS="2",  # warm attempt dodges first-touch faults
         NDP_STAGED_FORMAT=fmt,
     )
     out = subprocess.run(
