@@ -49,8 +49,6 @@ from ..stages.actors import cached_get
 from .dedup import _explode_ngrams
 from .dedup_index import MinHashIndex
 
-_BANDS_DEFAULT = 16
-
 
 def _quality_scores(df: pd.DataFrame) -> np.ndarray:
     """The oracle-pinned doc_quality length score over len(text)."""
