@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     # round-4 text ops: repetition signals (batch-local) + token-budget
     # corpus selection (distributed ordered prefix-sum over the sort)
     "doc_repetition",
+    "doc_dup_spans",
     "corpus_token_budget",
     "doc_lm_score",
     "domain_mix_sample",

@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..stages.shuffle import table_bytes
+from ..stages.shuffle import bucketed_map_groups, table_bytes
 
 
 def _t(sf_dir: str, table: str) -> str:
@@ -393,6 +393,102 @@ def q_doc_lm_score(sf_dir: str, broadcast_max: int = VOCAB_BROADCAST_MAX):
 
 
 # ---------------------------------------------------------------------------
+# doc_dup_spans — cross-document duplicated-substring analysis
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 5  # words per gram — the ExactSubstr-style window
+
+
+def _dup_span_postings(batch: pa.Table) -> pa.Table:
+    """(gh, doc_id, c): per document, each distinct word 5-gram with its
+    occurrence count, the gram replaced by its 64-bit hash BEFORE the
+    exchange (cf. reference event_processor.py:210-223 set-dedup per row —
+    here the set is corpus-wide). A doc is one input row, so within-batch
+    grouping is globally complete per (doc, gram). Shipping the 8-byte hash
+    instead of the ~30-byte gram string is the exchange-byte win; a
+    collision (two distinct grams, one hash) would merge their document
+    frequencies — probability ~n_grams²·2⁻⁶⁴, negligible at any corpus
+    size this engine targets (10¹² grams → ~10⁻⁵)."""
+    k = DUP_SPAN_K
+    words = pc.split_pattern(batch["text"], " ")
+    flat_list = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat_list).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(flat_list)
+    empty = pa.table(
+        {
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+    if len(flat) < k:
+        return empty
+    windows = [flat.slice(i, len(flat) - (k - 1)) for i in range(k)]
+    grams = pc.binary_join_element_wise(*windows, " ")
+    same_doc = parents[: len(parents) - (k - 1)] == parents[k - 1 :]
+    if not same_doc.any():
+        return empty
+    doc_ids = (
+        batch["doc_id"]
+        .take(pa.array(parents[: len(parents) - (k - 1)][same_doc]))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    gh = pd.util.hash_array(
+        grams.filter(pa.array(same_doc)).to_numpy(zero_copy_only=False)
+    ).view(np.int64)
+    d, g, c = _group_counts(doc_ids, gh)
+    return pa.table({"gh": g, "doc_id": d, "c": c})
+
+
+def q_doc_dup_spans(sf_dir: str):
+    """(doc_id, n_grams, n_dup_grams, dup_fraction): per document, the
+    fraction of its word-5-gram positions whose gram also appears in at
+    least one OTHER document — the corpus-internal duplicated-substring
+    signal of ExactSubstr dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22), reframed from suffix arrays to
+    a fixed-window gram exchange that Ray Data can bucket. Documents
+    shorter than 5 words have no gram positions and are absent, matching
+    the oracle.
+
+    Shape: one map_batches explode (gram→hash map-side, counts combined
+    per doc), ONE bucketed exchange keyed by gram hash to compute document
+    frequency and fold each doc's duplicated positions, then ONE bucketed
+    per-doc sum of the bucket partials. Nothing corpus-sized touches the
+    driver; the gram strings never leave the map stage."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _dup_span_postings, batch_format="pyarrow"
+    )
+    nbytes = table_bytes(_t(sf_dir, "documents"))
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (gh, doc_id) → group size == document frequency
+        df = g.groupby("gh", sort=False)["c"].transform("size")
+        dup_c = np.where(df.to_numpy() >= 2, g["c"].to_numpy(), 0)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(), "n": g["c"].to_numpy(), "nd": dup_c}
+        )
+        return out.groupby("doc_id", as_index=False).sum()
+
+    partials = bucketed_map_groups(
+        ds, ["gh"], bucket_partials, input_bytes=nbytes
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)[["n", "nd"]].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].to_numpy(),
+                "n_grams": agg["n"].to_numpy().astype(np.int64),
+                "n_dup_grams": agg["nd"].to_numpy().astype(np.int64),
+                "dup_fraction": _round6(agg["nd"].to_numpy() / agg["n"].to_numpy()),
+            }
+        )
+
+    return bucketed_map_groups(partials, ["doc_id"], per_doc, input_bytes=nbytes)
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -457,13 +553,36 @@ _LM_SCORE_SQL = """
     GROUP BY doc_id
 """
 
+_DUP_SPANS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS g
+        FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ), df AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    ), per_doc AS (
+        SELECT grams.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams
+        FROM grams JOIN df USING (g)
+        GROUP BY grams.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_fraction
+    FROM per_doc
+"""
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "corpus_token_budget": q_corpus_token_budget,
     "doc_lm_score": q_doc_lm_score,
+    "doc_dup_spans": q_doc_dup_spans,
 }
 ORACLE = {
     "doc_repetition": _REPETITION_SQL,
     "corpus_token_budget": _TOKEN_BUDGET_SQL,
     "doc_lm_score": _LM_SCORE_SQL,
+    "doc_dup_spans": _DUP_SPANS_SQL,
 }

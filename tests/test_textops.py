@@ -12,6 +12,7 @@ import pytest
 
 from nostr_data_pipeline_ray.pipelines.textops import (
     q_corpus_token_budget,
+    q_doc_dup_spans,
     q_doc_lm_score,
     q_doc_repetition,
 )
@@ -127,8 +128,33 @@ def test_lm_score_join_path_equals_broadcast(ray_session):
     assert a.equals(b)
 
 
+def test_dup_spans_planted(ray_session, tmp_path):
+    """Cross-doc duplicated 5-gram fractions: shared span counts for both
+    endpoint docs, a WITHIN-doc repeated gram does not (df is distinct
+    docs), and docs shorter than 5 words are absent."""
+    sf = _docs_dir(
+        tmp_path,
+        [
+            (1, "v w x y z a b"),      # shares "v w x y z" with doc 2
+            (2, "q v w x y z"),
+            (3, "m n o p q r"),        # all grams unique
+            (4, "a b c"),              # < 5 words: no gram positions
+            (5, "s t u v w s t u v w s t u v w"),  # self-repeats only
+        ],
+    )
+    out = q_doc_dup_spans(sf).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3, 5]  # doc 4 has no grams
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[1, "dup_fraction"] == 0.333333
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_dup_grams"] == 1
+    assert out.loc[3, "n_dup_grams"] == 0
+    # doc 5's grams repeat inside the doc but appear in no OTHER doc
+    assert out.loc[5, "n_grams"] == 11 and out.loc[5, "n_dup_grams"] == 0
+
+
 @pytest.mark.parametrize(
-    "name", ["doc_repetition", "corpus_token_budget", "doc_lm_score"]
+    "name",
+    ["doc_repetition", "corpus_token_budget", "doc_lm_score", "doc_dup_spans"],
 )
 def test_agrees_with_duckdb_oracle(ray_session, name):
     import nostr_data_pipeline_ray.pipelines.textops as tx
