@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # corpus selection (distributed ordered prefix-sum over the sort)
     "doc_repetition",
     "doc_dup_spans",
+    "dup_span_trim",
     "corpus_token_budget",
     "doc_lm_score",
     "domain_mix_sample",

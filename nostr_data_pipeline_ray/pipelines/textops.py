@@ -489,6 +489,145 @@ def q_doc_dup_spans(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# dup_span_trim — ExactSubstr removal: cut duplicated spans, keep one copy
+# ---------------------------------------------------------------------------
+
+
+def _dup_span_gram_positions(batch: pa.Table) -> pa.Table:
+    """(gh, doc_id, pos): every word-5-gram POSITION (0-based start within
+    its document), gram hashed map-side. Unlike ``_dup_span_postings`` the
+    positions cannot be combined into counts — the trim needs to know WHERE
+    each duplicated gram starts. One row per gram position is the inherent
+    exchange cost of substring-level dedup (the suffix-array formulation
+    touches every position too)."""
+    k = DUP_SPAN_K
+    words = pc.split_pattern(batch["text"], " ")
+    flat_list = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat_list).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(flat_list)
+    empty = pa.table(
+        {
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+    if len(flat) < k:
+        return empty
+    windows = [flat.slice(i, len(flat) - (k - 1)) for i in range(k)]
+    grams = pc.binary_join_element_wise(*windows, " ")
+    same_doc = parents[: len(parents) - (k - 1)] == parents[k - 1 :]
+    if not same_doc.any():
+        return empty
+    lengths = pc.list_value_length(flat_list).to_numpy(zero_copy_only=False)
+    row_first = np.concatenate([[0], np.cumsum(lengths[:-1])]).astype(np.int64)
+    j = np.flatnonzero(same_doc)  # global word index of each kept gram start
+    rows = parents[j]
+    gh = pd.util.hash_array(
+        grams.take(pa.array(j)).to_numpy(zero_copy_only=False)
+    ).view(np.int64)
+    return pa.table(
+        {
+            "gh": gh,
+            "doc_id": batch["doc_id"].take(pa.array(rows)),
+            "pos": j - row_first[rows],
+        }
+    )
+
+
+def q_dup_span_trim(sf_dir: str):
+    """(doc_id, n_words, n_removed, text_clean): ExactSubstr REMOVAL (Lee
+    et al., ACL'22) — for every word-5-gram appearing in ≥2 distinct
+    documents, the lowest-doc_id holder keeps its text and every other
+    holder has the covered word positions cut; uncovered words are
+    rejoined with single spaces. Every document appears in the output
+    (n_removed = 0 when nothing was cut; a fully-duplicated non-canonical
+    doc comes back with text_clean = '').
+
+    Shape: gram-position explode (hashes only leave the map stage) → ONE
+    bucketed exchange by gram hash (document frequency + canonical doc,
+    emit covered positions for non-canonical holders) → ONE bucketed
+    exchange by doc_id where the position rows meet the document texts
+    (union + tag, the same conform-and-bucket plan as
+    stages/joins.bucketed_hash_join) and the trim is rebuilt fully
+    vectorized (range-delta coverage mask + Arrow list reassembly)."""
+    nbytes = table_bytes(_t(sf_dir, "documents"))
+    grams = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _dup_span_gram_positions, batch_format="pyarrow"
+    )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("gh", sort=False)
+        df = grp["doc_id"].transform("nunique")
+        canon = grp["doc_id"].transform("min")
+        m = (df.to_numpy() >= 2) & (g["doc_id"].to_numpy() != canon.to_numpy())
+        return g.loc[m, ["doc_id", "pos"]].drop_duplicates()
+
+    covered = bucketed_map_groups(grams, ["gh"], dup_positions, input_bytes=nbytes)
+
+    # conform both streams to (doc_id, text, pos): text rows carry pos=-1
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return b.append_column("pos", pa.array([-1] * b.num_rows, pa.int64()))
+
+    def tag_pos(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pa.nulls(b.num_rows, pa.string()),
+                "pos": b["pos"],
+            }
+        )
+
+    unioned = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(covered.map_batches(tag_pos, batch_format="pyarrow"))
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        k = DUP_SPAN_K
+        is_text = g["pos"].to_numpy() == -1
+        docs = g.loc[is_text, ["doc_id", "text"]].sort_values("doc_id")
+        doc_ids = docs["doc_id"].to_numpy()
+        texts = pa.array(docs["text"].to_numpy(dtype=object), pa.string())
+        words = pc.split_pattern(texts, " ")
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        row_first = np.concatenate([[0], np.cumsum(lengths[:-1])]).astype(np.int64)
+        flat = pc.list_flatten(words)
+        # map covered (doc, start) pairs to global word indices, build the
+        # coverage mask with a range-delta cumsum — no per-doc loop
+        pos_rows = g.loc[~is_text]
+        row_of = np.searchsorted(doc_ids, pos_rows["doc_id"].to_numpy())
+        starts = row_first[row_of] + pos_rows["pos"].to_numpy()
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        ends = np.minimum(starts + k, row_first[row_of] + lengths[row_of])
+        np.add.at(delta, ends, -1)
+        covered_mask = np.cumsum(delta[:-1]) > 0
+        kept = flat.filter(pa.array(~covered_mask))
+        kept_per_row = np.bincount(
+            np.repeat(np.arange(len(doc_ids)), lengths)[~covered_mask],
+            minlength=len(doc_ids),
+        )
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), " "
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_words": lengths.astype(np.int64),
+                "n_removed": (lengths - kept_per_row).astype(np.int64),
+                "text_clean": clean.to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return bucketed_map_groups(
+        unioned, ["doc_id"], rebuild, input_bytes=2 * nbytes
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -574,15 +713,51 @@ _DUP_SPANS_SQL = """
     FROM per_doc
 """
 
+_DUP_SPAN_TRIM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS g
+        FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ), gstat AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS canon
+        FROM grams GROUP BY g
+    ), cov AS (
+        SELECT DISTINCT grams.doc_id, u.p
+        FROM grams JOIN gstat USING (g),
+             UNNEST(range(grams.i, grams.i + 5)) AS u(p)
+        WHERE gstat.df >= 2 AND grams.doc_id <> gstat.canon
+    ), words AS (
+        SELECT doc_id, p, w[p] AS word
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS t(p)
+    ), kept AS (
+        SELECT words.doc_id, words.p, words.word
+        FROM words LEFT JOIN cov
+            ON words.doc_id = cov.doc_id AND words.p = cov.p
+        WHERE cov.p IS NULL
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               array_to_string(list(word ORDER BY p), ' ') AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.txt, '') AS text_clean
+    FROM toks LEFT JOIN agg USING (doc_id)
+"""
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "corpus_token_budget": q_corpus_token_budget,
     "doc_lm_score": q_doc_lm_score,
     "doc_dup_spans": q_doc_dup_spans,
+    "dup_span_trim": q_dup_span_trim,
 }
 ORACLE = {
     "doc_repetition": _REPETITION_SQL,
     "corpus_token_budget": _TOKEN_BUDGET_SQL,
     "doc_lm_score": _LM_SCORE_SQL,
     "doc_dup_spans": _DUP_SPANS_SQL,
+    "dup_span_trim": _DUP_SPAN_TRIM_SQL,
 }

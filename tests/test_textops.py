@@ -14,6 +14,7 @@ from nostr_data_pipeline_ray.pipelines.textops import (
     q_corpus_token_budget,
     q_doc_dup_spans,
     q_doc_lm_score,
+    q_dup_span_trim,
     q_doc_repetition,
 )
 
@@ -152,9 +153,41 @@ def test_dup_spans_planted(ray_session, tmp_path):
     assert out.loc[5, "n_grams"] == 11 and out.loc[5, "n_dup_grams"] == 0
 
 
+def test_dup_span_trim_planted(ray_session, tmp_path):
+    """ExactSubstr removal: the lowest-doc_id holder keeps its copy, other
+    holders lose exactly the covered word positions; untouched and
+    too-short docs come back identical; a full duplicate is emptied."""
+    sf = _docs_dir(
+        tmp_path,
+        [
+            (1, "v w x y z a b"),      # canonical holder of "v w x y z"
+            (2, "q v w x y z"),        # loses the 5 covered words
+            (3, "m n o p q r"),
+            (4, "a b c"),              # < 5 words: no grams, unchanged
+            (6, "v w x y z a b"),      # exact duplicate of doc 1: emptied
+        ],
+    )
+    out = q_dup_span_trim(sf).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3, 4, 6]  # every doc appears
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[1, "text_clean"] == "v w x y z a b"
+    assert out.loc[2, "n_removed"] == 5
+    assert out.loc[2, "text_clean"] == "q"
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[4, "n_removed"] == 0 and out.loc[4, "text_clean"] == "a b c"
+    assert out.loc[6, "n_removed"] == 7 and out.loc[6, "text_clean"] == ""
+    assert out.loc[6, "n_words"] == 7
+
+
 @pytest.mark.parametrize(
     "name",
-    ["doc_repetition", "corpus_token_budget", "doc_lm_score", "doc_dup_spans"],
+    [
+        "doc_repetition",
+        "corpus_token_budget",
+        "doc_lm_score",
+        "doc_dup_spans",
+        "dup_span_trim",
+    ],
 )
 def test_agrees_with_duckdb_oracle(ray_session, name):
     import nostr_data_pipeline_ray.pipelines.textops as tx
@@ -179,10 +212,13 @@ def test_agrees_with_duckdb_oracle(ray_session, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     for c in got.columns:
-        np.testing.assert_allclose(
-            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
-            rtol=0, atol=0, err_msg=c,
-        )
+        if got[c].dtype == object:  # string columns: exact equality
+            assert got[c].tolist() == want[c].tolist(), c
+        else:
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+                rtol=0, atol=0, err_msg=c,
+            )
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
