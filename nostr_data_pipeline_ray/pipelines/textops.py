@@ -441,7 +441,7 @@ def _dup_span_postings(batch: pa.Table) -> pa.Table:
     return pa.table({"gh": g, "doc_id": d, "c": c})
 
 
-def q_doc_dup_spans(sf_dir: str):
+def q_doc_dup_spans(sf_dir: str, num_buckets: int | None = None):
     """(doc_id, n_grams, n_dup_grams, dup_fraction): per document, the
     fraction of its word-5-gram positions whose gram also appears in at
     least one OTHER document — the corpus-internal duplicated-substring
@@ -471,7 +471,7 @@ def q_doc_dup_spans(sf_dir: str):
         return out.groupby("doc_id", as_index=False).sum()
 
     partials = bucketed_map_groups(
-        ds, ["gh"], bucket_partials, input_bytes=nbytes
+        ds, ["gh"], bucket_partials, num_buckets=num_buckets, input_bytes=nbytes
     )
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
@@ -485,7 +485,9 @@ def q_doc_dup_spans(sf_dir: str):
             }
         )
 
-    return bucketed_map_groups(partials, ["doc_id"], per_doc, input_bytes=nbytes)
+    return bucketed_map_groups(
+        partials, ["doc_id"], per_doc, num_buckets=num_buckets, input_bytes=nbytes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -535,7 +537,7 @@ def _dup_span_gram_positions(batch: pa.Table) -> pa.Table:
     )
 
 
-def q_dup_span_trim(sf_dir: str):
+def q_dup_span_trim(sf_dir: str, num_buckets: int | None = None):
     """(doc_id, n_words, n_removed, text_clean): ExactSubstr REMOVAL (Lee
     et al., ACL'22) — for every word-5-gram appearing in ≥2 distinct
     documents, the lowest-doc_id holder keeps its text and every other
@@ -563,7 +565,9 @@ def q_dup_span_trim(sf_dir: str):
         m = (df.to_numpy() >= 2) & (g["doc_id"].to_numpy() != canon.to_numpy())
         return g.loc[m, ["doc_id", "pos"]].drop_duplicates()
 
-    covered = bucketed_map_groups(grams, ["gh"], dup_positions, input_bytes=nbytes)
+    covered = bucketed_map_groups(
+        grams, ["gh"], dup_positions, num_buckets=num_buckets, input_bytes=nbytes
+    )
 
     # conform both streams to (doc_id, text, pos): text rows carry pos=-1
     def tag_docs(b: pa.Table) -> pa.Table:
@@ -623,7 +627,8 @@ def q_dup_span_trim(sf_dir: str):
         )
 
     return bucketed_map_groups(
-        unioned, ["doc_id"], rebuild, input_bytes=2 * nbytes
+        unioned, ["doc_id"], rebuild, num_buckets=num_buckets,
+        input_bytes=2 * nbytes
     )
 
 

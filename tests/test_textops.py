@@ -153,6 +153,65 @@ def test_dup_spans_planted(ray_session, tmp_path):
     assert out.loc[5, "n_grams"] == 11 and out.loc[5, "n_dup_grams"] == 0
 
 
+@pytest.mark.parametrize("q", [q_doc_dup_spans, q_dup_span_trim])
+def test_dup_span_distributed_equals_local(ray_session, q):
+    """The sf fixtures are below the local-fast-path size cutoff, so the
+    oracle gate only exercises the single-task plan — force the bucketed
+    distributed plan here and require bit-identical output."""
+    local = q(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        q(SF, num_buckets=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_dup_spans_matches_bruteforce_randomized(ray_session, tmp_path, seed):
+    """Random small-vocab corpora (5-gram collisions arise naturally) vs
+    an obvious pure-Python reference for BOTH the analysis fractions and
+    the trimmed text."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = []
+    for d in range(30):
+        n = int(rng.integers(3, 25))
+        rows.append((d, " ".join(rng.choice(vocab, size=n))))
+    sf = _docs_dir(tmp_path, rows)
+    k = 5
+
+    # reference: gram -> set(docs) and positions per doc
+    gram_docs, doc_grams = {}, {}
+    for d, text in rows:
+        ws = text.split(" ")
+        doc_grams[d] = [
+            (i, " ".join(ws[i : i + k])) for i in range(len(ws) - k + 1)
+        ]
+        for _, g in doc_grams[d]:
+            gram_docs.setdefault(g, set()).add(d)
+
+    spans = q_doc_dup_spans(sf).to_pandas().set_index("doc_id")
+    trim = q_dup_span_trim(sf).to_pandas().set_index("doc_id")
+    for d, text in rows:
+        ws = text.split(" ")
+        grams = doc_grams[d]
+        if grams:
+            nd = sum(1 for _, g in grams if len(gram_docs[g]) >= 2)
+            assert spans.loc[d, "n_grams"] == len(grams)
+            assert spans.loc[d, "n_dup_grams"] == nd
+        else:
+            assert d not in spans.index
+        covered = set()
+        for i, g in grams:
+            if len(gram_docs[g]) >= 2 and min(gram_docs[g]) != d:
+                covered.update(range(i, i + k))
+        want_clean = " ".join(w for i, w in enumerate(ws) if i not in covered)
+        assert trim.loc[d, "text_clean"] == want_clean
+        assert trim.loc[d, "n_removed"] == len(covered)
+
+
 def test_dup_span_trim_planted(ray_session, tmp_path):
     """ExactSubstr removal: the lowest-doc_id holder keeps its copy, other
     holders lose exactly the covered word positions; untouched and
