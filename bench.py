@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "domain_mix_sample",
     "ann_topk_ivf_index",
     "incremental_curation",
+    # steady-state per-epoch cost: bootstrap fixture memoized per process,
+    # so the best-of-2 min is a pure ingest epoch (the capacity-planning
+    # number); incremental_curation above stays the bootstrap-inclusive demo
+    "incremental_curation_epoch",
 ]
 
 

@@ -359,4 +359,52 @@ def q_incremental_curation(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
-QUERIES = {"incremental_curation": q_incremental_curation}
+# bootstrap fixture per (process, sf_dir): the steady-state query below
+# copies it per call instead of re-paying the O(corpus) bootstrap
+_EPOCH_FIXTURE: dict[str, str] = {}
+
+
+def q_incremental_curation_epoch(sf_dir: str):
+    """STEADY-STATE cost of one ingest epoch — the number a standing
+    100-TB curator plans capacity around. The epoch-1 fixture (curator
+    bootstrapped on the first 80% of documents) is built once per process
+    and COPIED per call, so repeated timings of this query measure only
+    the per-epoch work: index the 20% of new docs, mine new×index pairs,
+    decontaminate + quality-filter, commit. (`incremental_curation` is the
+    bootstrap-inclusive demo; BASELINE.md reports both.) Returns the
+    deterministic one-row epoch summary."""
+    import tempfile
+
+    from ..stages.shuffle import table_bytes, table_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    cut = int(table_rows(path) * 0.8)
+    blocks = min(64, max(2, table_bytes(path) >> 20))
+    docs = rd.read_parquet(
+        path, columns=["doc_id", "text"], override_num_blocks=blocks
+    )
+    old = docs.map_batches(lambda b: b[b["doc_id"] < cut], batch_format="pandas")
+    new = docs.map_batches(lambda b: b[b["doc_id"] >= cut], batch_format="pandas")
+
+    fixture = _EPOCH_FIXTURE.get(sf_dir)
+    if fixture is None:
+        fixture = tempfile.mkdtemp(prefix="curfix-", dir="/tmp")
+        cur = IncrementalCurator(fixture, benchmark=path)
+        cur.bootstrap(old, update_id="epoch-1")
+        _EPOCH_FIXTURE[sf_dir] = fixture
+
+    work = tempfile.mkdtemp(prefix="curepoch-", dir="/tmp")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(fixture, work)
+    try:
+        cur = IncrementalCurator(work, benchmark=path)
+        summary = cur.ingest(new, docs, update_id="epoch-2")
+        return pd.DataFrame([summary])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES = {
+    "incremental_curation": q_incremental_curation,
+    "incremental_curation_epoch": q_incremental_curation_epoch,
+}

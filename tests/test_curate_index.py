@@ -138,3 +138,25 @@ def test_ingest_before_bootstrap_raises(tmp_path, ray_session):
     cur = IncrementalCurator(str(tmp_path / "cur2"))
     with pytest.raises(ValueError, match="bootstrap"):
         cur.ingest(_docs({30: "x"}), _docs({30: "x"}), update_id="e0")
+
+
+def test_epoch_query_steady_state_deterministic(ray_session):
+    """q_incremental_curation_epoch memoizes the bootstrap fixture per
+    process and copies it per call: repeated calls must each APPLY a fresh
+    epoch (the copy restores pre-epoch state) and return identical
+    summaries, and the epoch counts must agree with the bootstrap-inclusive
+    demo's final corpus."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import (
+        q_incremental_curation,
+        q_incremental_curation_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_incremental_curation_epoch(sf)
+    b = q_incremental_curation_epoch(sf)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert bool(a.loc[0, "applied"]) is True
+    # the demo's curated corpus size equals the fixture bootstrap's
+    # survivors + this epoch's survivors
+    demo_rows = q_incremental_curation(sf).count()
+    assert int(a.loc[0, "total_curated"]) == demo_rows
