@@ -218,4 +218,22 @@ print("\ncurator day 0:", cur.bootstrap(day0, update_id="day-0"))
 print("curator day 1:", cur.ingest(day1, all_docs, update_id="day-1"))
 print("curated total:", cur.curated().count(), "| fsck ok:", cur.fsck()["ok"])
 
+# 14. ExactSubstr dedup — substring-level: which documents share word-
+#     5-gram spans with another document, and the corpus with those spans
+#     CUT from every non-canonical holder (lowest doc_id keeps its copy).
+from nostr_data_pipeline_ray.pipelines.textops import (
+    q_doc_dup_spans,
+    q_dup_span_trim,
+)
+
+sf = "/root/testdata/sf0.001"
+spans = q_doc_dup_spans(sf).to_pandas()
+trimmed = q_dup_span_trim(sf).to_pandas()
+print("\ndup spans: docs with cross-doc 5-gram overlap:",
+      int((spans["n_dup_grams"] > 0).sum()), "of", len(spans),
+      "| words cut by trim:", int(trimmed["n_removed"].sum()),
+      "| docs emptied:",
+      int(((trimmed["n_removed"] > 0)
+           & (trimmed["text_clean"] == "")).sum()))
+
 ray.shutdown()
