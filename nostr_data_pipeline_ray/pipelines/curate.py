@@ -141,6 +141,38 @@ def q_curated_corpus_plus(sf_dir: str, counts: dict | None = None):
     return out
 
 
+def q_curated_corpus_trimmed(sf_dir: str, counts: dict | None = None):
+    """Stage 5 on top of the extended chain: ExactSubstr span removal
+    WITHIN the curated survivors — near-dup docs are already gone (stage
+    1), so what remains to cut is residual copied word-5-gram spans
+    between otherwise-distinct survivors (quoted passages, boilerplate
+    runs). Returns (doc_id, n_words, n_removed, text_clean) for every
+    surviving document; the oracle composes the trim CTEs after the
+    four-stage chain's own CTEs in ONE statement, so all five stages are
+    pinned end to end."""
+    from .textops import dup_span_trim_ds
+
+    nbytes = table_bytes(_docs_path(sf_dir))
+    surv = q_curated_corpus_plus(sf_dir, counts=counts).map_batches(
+        lambda b: b.rename_columns(["surv_id"]), batch_format="pyarrow"
+    )
+    docs = bucketed_hash_join(
+        _read_docs_text(sf_dir), surv, left_on=["doc_id"], right_on=["surv_id"],
+        how="left_semi", input_bytes=nbytes,
+    ).materialize()  # consumed twice by the trim (grams + texts)
+    out = dup_span_trim_ds(docs, docs, input_bytes=nbytes)
+    if counts is not None:
+        out = out.materialize()
+        counts["trimmed_docs"] = out.count()
+    return out
+
+
+def _read_docs_text(sf_dir: str):
+    from .analytics import _read
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+
 def curate_corpus(
     sf_dir: str, out_dir: str, budget: int = 256, jsonl: bool = False,
     plus: bool = False,
@@ -261,11 +293,47 @@ def _oracle_plus() -> str:
     """
 
 
+def _oracle_trimmed() -> str:
+    """All five stages in ONE statement: the extended chain's CTEs, a
+    ``surv`` CTE holding its survivors, the survivor texts, then the trim
+    CTE chain (textops._trim_ctes) over that relation."""
+    from .analytics import QUALITY_SQL_CTES, QUALITY_SQL_THRESHOLD
+    from .dedup import _BENCHMARK_MAX_DOC_ID, _CC_EDGE_CTES, _GRAM5_CTES
+    from .textops import _REPETITION_SQL, _TRIM_SELECT, _trim_ctes
+
+    return f"""
+        WITH RECURSIVE {_CC_EDGE_CTES}, {_GRAM5_CTES}, {QUALITY_SQL_CTES},
+        rep AS ({_REPETITION_SQL}),
+        surv AS (
+            SELECT cc.doc_id FROM cc
+            JOIN q USING (doc_id)
+            WHERE cc.doc_id = cc.cluster_id
+              AND cc.doc_id >= {_BENCHMARK_MAX_DOC_ID}
+              AND cc.doc_id NOT IN (
+                  SELECT DISTINCT g5.doc_id FROM g5 JOIN b5 USING (gram)
+                  WHERE g5.doc_id >= {_BENCHMARK_MAX_DOC_ID}
+              )
+              AND q.quality_score >= {QUALITY_SQL_THRESHOLD}
+              AND cc.doc_id NOT IN (
+                  SELECT doc_id FROM rep
+                  WHERE dup_word_frac > {REPETITION_MAX_DUP}
+              )
+        ),
+        sdocs AS (
+            SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+        ),
+        {_trim_ctes('sdocs')}
+        {_TRIM_SELECT}
+    """
+
+
 QUERIES = {
     "curated_corpus": q_curated_corpus,
     "curated_corpus_plus": q_curated_corpus_plus,
+    "curated_corpus_trimmed": q_curated_corpus_trimmed,
 }
 ORACLE = {
     "curated_corpus": _oracle(),
     "curated_corpus_plus": _oracle_plus(),
+    "curated_corpus_trimmed": _oracle_trimmed(),
 }

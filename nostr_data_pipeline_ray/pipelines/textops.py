@@ -544,7 +544,21 @@ def q_dup_span_trim(sf_dir: str, num_buckets: int | None = None):
     holder has the covered word positions cut; uncovered words are
     rejoined with single spaces. Every document appears in the output
     (n_removed = 0 when nothing was cut; a fully-duplicated non-canonical
-    doc comes back with text_clean = '').
+    doc comes back with text_clean = '')."""
+    nbytes = table_bytes(_t(sf_dir, "documents"))
+    return dup_span_trim_ds(
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        input_bytes=nbytes,
+        num_buckets=num_buckets,
+    )
+
+
+def dup_span_trim_ds(gram_src, text_src, input_bytes, num_buckets=None):
+    """The trim over arbitrary (doc_id, text) datasets — ``gram_src`` and
+    ``text_src`` must yield the SAME corpus (two fresh reads for a file
+    table, or the same materialized Dataset twice for a computed corpus,
+    e.g. the curated survivors in pipelines/curate.py).
 
     Shape: gram-position explode (hashes only leave the map stage) → ONE
     bucketed exchange by gram hash (document frequency + canonical doc,
@@ -553,8 +567,8 @@ def q_dup_span_trim(sf_dir: str, num_buckets: int | None = None):
     (union + tag, the same conform-and-bucket plan as
     stages/joins.bucketed_hash_join) and the trim is rebuilt fully
     vectorized (range-delta coverage mask + Arrow list reassembly)."""
-    nbytes = table_bytes(_t(sf_dir, "documents"))
-    grams = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    nbytes = input_bytes
+    grams = gram_src.map_batches(
         _dup_span_gram_positions, batch_format="pyarrow"
     )
 
@@ -583,7 +597,7 @@ def q_dup_span_trim(sf_dir: str, num_buckets: int | None = None):
         )
 
     unioned = (
-        _read_docs(sf_dir, ["doc_id", "text"])
+        text_src
         .map_batches(tag_docs, batch_format="pyarrow")
         .union(covered.map_batches(tag_pos, batch_format="pyarrow"))
     )
@@ -718,9 +732,12 @@ _DUP_SPANS_SQL = """
     FROM per_doc
 """
 
-_DUP_SPAN_TRIM_SQL = """
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+def _trim_ctes(src: str = "documents") -> str:
+    """The trim's CTE chain over any (doc_id, text) source relation —
+    composable into larger single-statement oracles (pipelines/curate.py
+    appends it after the curation chain's own CTEs with src='sdocs')."""
+    return f"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM {src}
     ), grams AS (
         SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS g
         FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
@@ -744,13 +761,19 @@ _DUP_SPAN_TRIM_SQL = """
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
                array_to_string(list(word ORDER BY p), ' ') AS txt
         FROM kept GROUP BY doc_id
-    )
+    )"""
+
+
+_TRIM_SELECT = """
     SELECT toks.doc_id,
            CAST(len(w) AS BIGINT) AS n_words,
            CAST(len(w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
            COALESCE(agg.txt, '') AS text_clean
     FROM toks LEFT JOIN agg USING (doc_id)
 """
+
+_DUP_SPAN_TRIM_SQL = f"WITH {_trim_ctes()} {_TRIM_SELECT}"
+
 
 QUERIES = {
     "doc_repetition": q_doc_repetition,

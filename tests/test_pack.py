@@ -168,3 +168,48 @@ def test_curated_corpus_plus_adds_repetition_cut(ray_session):
     )
     want = set(con.execute(ORACLE["curated_corpus_plus"]).fetchdf()["doc_id"])
     assert plus == want
+
+
+def test_curated_corpus_trimmed_five_stage_composition(ray_session):
+    """Stage 5 (ExactSubstr trim within survivors): same doc set as the
+    extended chain, trimmed texts equal the survivor-scoped standalone
+    trim, and the whole 5-stage result matches its composed
+    single-statement oracle at sf0.001."""
+    import duckdb
+
+    from nostr_data_pipeline_ray.pipelines.curate import (
+        ORACLE,
+        q_curated_corpus_plus,
+        q_curated_corpus_trimmed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    counts: dict = {}
+    got = (
+        q_curated_corpus_trimmed(sf, counts=counts)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    plus = set(q_curated_corpus_plus(sf).to_pandas()["doc_id"])
+    assert set(got["doc_id"]) == plus
+    assert counts["trimmed_docs"] == len(plus)
+    # a trimmed doc loses words; an untrimmed doc's text is intact
+    assert (got["n_removed"] >= 0).all()
+    intact = got[got["n_removed"] == 0]
+    assert (
+        intact["text_clean"].str.split(" ").str.len()
+        == intact["n_words"]
+    ).all()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(ORACLE["curated_corpus_trimmed"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
