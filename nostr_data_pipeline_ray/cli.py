@@ -296,6 +296,7 @@ def cmd_curate(args) -> int:
                     budget=args.budget,
                     jsonl=args.jsonl,
                     plus=args.plus,
+                    trim=args.trim,
                 )
             )
         )
@@ -306,7 +307,8 @@ def cmd_curate(args) -> int:
     from .pipelines.curate import curate_corpus
 
     print(json.dumps(curate_corpus(args.sf, args.out, budget=args.budget,
-                                   jsonl=args.jsonl, plus=args.plus)))
+                                   jsonl=args.jsonl, plus=args.plus,
+                                   trim=args.trim)))
     return 0
 
 
@@ -406,6 +408,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write curated.jsonl/ (newline-delimited JSON)")
     cu.add_argument("--plus", action="store_true",
                     help="extended chain: add the repetition cut (stage 4)")
+    cu.add_argument("--trim", action="store_true",
+                    help="five-stage chain (implies --plus semantics): also "
+                         "cut duplicated 5-gram spans within the survivors "
+                         "(ExactSubstr) — curated text is the trimmed text")
     cu.set_defaults(fn=cmd_curate)
 
     ver = sub.add_parser("version")

@@ -175,14 +175,18 @@ def _read_docs_text(sf_dir: str):
 
 def curate_corpus(
     sf_dir: str, out_dir: str, budget: int = 256, jsonl: bool = False,
-    plus: bool = False,
+    plus: bool = False, trim: bool = False,
 ) -> dict:
     """Run the curation chain and WRITE the results: ``curated.parquet``
     (the surviving documents) and ``packs.parquet`` (their training-
     sequence assignment at ``budget`` tokens). ``jsonl=True`` additionally
     writes ``curated.jsonl/`` (partitioned newline-delimited JSON — the
-    wire format most training jobs ingest). Returns per-stage survivor
-    counts plus pack stats."""
+    wire format most training jobs ingest). ``trim=True`` runs the
+    five-stage chain (implies the plus chain) and ships SPAN-TRIMMED text:
+    curated.parquet's ``text`` is the ExactSubstr-cleaned text and
+    ``n_chars`` is recomputed from it, so the packer budgets real tokens.
+    Returns per-stage survivor counts plus pack stats."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from ..stages.shuffle import bucketed_sum_count
@@ -193,8 +197,15 @@ def curate_corpus(
     n_total = table_rows(_docs_path(sf_dir))
 
     stage_counts: dict = {}
-    chain = q_curated_corpus_plus if plus else q_curated_corpus
-    kept_ids = chain(sf_dir, counts=stage_counts).materialize()
+    trimmed = None
+    if trim:
+        trimmed = q_curated_corpus_trimmed(sf_dir, counts=stage_counts).materialize()
+        kept_ids = trimmed.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ).materialize()
+    else:
+        chain = q_curated_corpus_plus if plus else q_curated_corpus
+        kept_ids = chain(sf_dir, counts=stage_counts).materialize()
     n_kept = kept_ids.count()
 
     blocks = min(64, max(2, nbytes >> 20))
@@ -210,6 +221,33 @@ def curate_corpus(
         full, kept, left_on=["doc_id"], right_on=["keep_id"],
         how="left_semi", input_bytes=nbytes,
     ).materialize()
+    if trim:
+        # swap in the span-trimmed text (same doc set) and recompute n_chars
+        clean = trimmed.map_batches(
+            lambda b: pa.table(
+                {"trim_id": b["doc_id"], "text_clean": b["text_clean"]}
+            ),
+            batch_format="pyarrow",
+        )
+        def swap_text(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": b["text_clean"],
+                    "lang": b["lang"],
+                    "source": b["source"],
+                    "n_chars": pc.cast(
+                        pc.utf8_length(b["text_clean"]), pa.int64()
+                    ),
+                }
+            )
+        curated = bucketed_hash_join(
+            curated.map_batches(
+                lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
+            ),
+            clean, left_on=["doc_id"], right_on=["trim_id"],
+            how="inner", input_bytes=nbytes,
+        ).map_batches(swap_text, batch_format="pyarrow").materialize()
     curated.write_parquet(os.path.join(out_dir, "curated.parquet"))
     if jsonl:
         curated.write_json(os.path.join(out_dir, "curated.jsonl"))
@@ -241,6 +279,8 @@ def curate_corpus(
         "budget": budget,
         "out": out_dir,
     }
+    if trim:
+        summary["words_trimmed"] = int(trimmed.sum("n_removed") or 0)
     with open(os.path.join(out_dir, "curation_summary.json"), "w") as f:
         json.dump(summary, f)
     return summary

@@ -168,6 +168,7 @@ def curate_from_lake(
     budget: int = 256,
     jsonl: bool = False,
     plus: bool = False,
+    trim: bool = False,
 ) -> dict:
     """End-to-end: export the lake as documents, then run the composed
     curation chain (dedup → decontaminate → p75 quality cut → pack) over
@@ -179,7 +180,7 @@ def curate_from_lake(
         lake_root, os.path.join(out_dir, "lake_docs"), benchmark=benchmark
     )
     summary = curate_corpus(docs_sf, out_dir, budget=budget, jsonl=jsonl,
-                            plus=plus)
+                            plus=plus, trim=trim)
     summary["lake_root"] = lake_root
     summary["exported_docs"] = int(
         table_rows(os.path.join(docs_sf, "documents.parquet"))

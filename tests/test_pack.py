@@ -213,3 +213,32 @@ def test_curated_corpus_trimmed_five_stage_composition(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_curate_corpus_trim_writes_trimmed_text(ray_session, tmp_path):
+    """curate_corpus(trim=True): curated.parquet carries the span-trimmed
+    text with n_chars recomputed from it, the doc set equals the 5-stage
+    chain's, and the summary reports the trim stage."""
+    from nostr_data_pipeline_ray.pipelines.curate import (
+        curate_corpus,
+        q_curated_corpus_trimmed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "trimmed"
+    summary = curate_corpus(sf, str(out), budget=256, trim=True)
+    assert summary["trimmed_docs"] == summary["curated_docs"]
+    assert "words_trimmed" in summary
+
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(str(out / "curated.parquet")).to_pandas()
+    want = (
+        q_curated_corpus_trimmed(sf)
+        .to_pandas()
+        .set_index("doc_id")["text_clean"]
+    )
+    assert set(got["doc_id"]) == set(want.index)
+    merged = got.set_index("doc_id")
+    assert (merged["text"] == want.loc[merged.index]).all()
+    assert (merged["text"].str.len() == merged["n_chars"]).all()
