@@ -54,6 +54,16 @@ from ..stages.actors import cached_get, per_worker
 from ..stages.dedup_stages import MinHashLSH
 from ..stages.shuffle import bucketed_map_groups
 
+# gate-collected endpoint prune before pair verification (see update()):
+# "auto" prunes only when the indexed corpus is large enough that shingling
+# it would dominate (measured at sf0.1 / 5k docs: the prune's extra plan
+# stage costs ~1 s MORE than the shingle volume it saves, so small corpora
+# take the plain full-stream plan; at 10^6+ docs the full stream is the
+# O(corpus)-per-epoch scale hazard the prune exists to remove). True/False
+# force either path — tests A/B them for bit-identical pairs.
+_VERIFY_PRUNE = "auto"
+_VERIFY_PRUNE_MIN_DOCS = 250_000
+
 # above this many touched band_hash values, skip the parquet IN-predicate
 # (a huge DNF slows planning more than it saves) and rely on the
 # vectorized residual filter alone
@@ -466,9 +476,38 @@ class MinHashIndex:
             tagged, ["band", "band_hash"], pairs_with_new, input_bytes=input_bytes
         ).materialize()
 
+        # verify-side corpus pruning: shingling the WHOLE corpus every epoch
+        # makes the steady-state epoch O(corpus); the endpoints of the mined
+        # candidates are O(epoch), so when the corpus is big enough for the
+        # shingle volume to matter (_VERIFY_PRUNE_MIN_DOCS) and the
+        # candidate set fits the size gate, collect its ids (bounded by the
+        # gate), broadcast once, and shingle only those docs. Above the gate
+        # (bootstrap-scale candidate sets) the full stream is the right
+        # plan: the endpoint set is itself corpus-sized. A/B-verified
+        # bit-identical pairs (interleaved, 3 rounds) at sf0.1.
+        feats_src = corpus
+        n_cand = candidates.count()
+        prune = (
+            self.meta["n_docs"] >= _VERIFY_PRUNE_MIN_DOCS
+            if _VERIFY_PRUNE == "auto"
+            else bool(_VERIFY_PRUNE)
+        )
+        if prune and 0 < n_cand <= _PUSHDOWN_MAX_KEYS // 2:
+            cdf = candidates.to_pandas()  # bounded by the gate
+            end_ids = np.unique(
+                np.concatenate(
+                    [cdf["doc_a"].to_numpy(np.int64), cdf["doc_b"].to_numpy(np.int64)]
+                )
+            )
+            end_ref = ray.put(end_ids)
+            feats_src = corpus.map_batches(
+                lambda b: b[np.isin(b["doc_id"].to_numpy(), cached_get(end_ref))],
+                batch_format="pandas",
+            )
+
         verified = _endpoint_verify(
             candidates,
-            corpus.map_batches(
+            feats_src.map_batches(
                 make_shingle_rows(self.meta["ngram"]), batch_format="pandas"
             ),
             "doc_a",

@@ -206,3 +206,27 @@ def test_compact_without_tombstones_folds_updates(tmp_path):
     assert idx.stats()["n_updates"] == 1 and idx.stats()["n_docs"] == 10
     assert idx.fsck()["ok"]
     assert idx.compact() == {"compacted": False, "updates": 1}
+
+
+def test_verify_prune_path_agrees_with_full_stream(tmp_path, monkeypatch):
+    """The gated endpoint prune (shingle only candidate-endpoint docs for
+    verification — the O(epoch)-per-epoch plan for large corpora) must
+    find exactly the same verified pairs as the full corpus stream."""
+    from nostr_data_pipeline_ray.pipelines import dedup_index as di
+
+    new = {
+        100: BASE[3] + " tiny tail",
+        101: "fresh unseen content alpha beta gamma delta epsilon zeta eta",
+        102: "fresh unseen content alpha beta gamma delta epsilon zeta THETA",
+    }
+    all_docs = _docs({**BASE, **new})
+
+    def run(mode):
+        monkeypatch.setattr(di, "_VERIFY_PRUNE", mode)
+        idx = MinHashIndex(str(tmp_path / f"idx-prune-{mode}"))
+        idx.bootstrap(_docs(BASE))
+        out = idx.update(_docs(new), all_docs)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        return set(zip(df["doc_a"], df["doc_b"]))
+
+    assert run(True) == run(False) >= {(3, 100), (101, 102)}
