@@ -350,6 +350,17 @@ class MinHashIndex:
         from ..stages.joins import bucketed_hash_join
 
         sig_new = self._signature_rows(new_docs)
+        if input_bytes is None:
+            # size the epoch-scoped exchanges (touched distinct, candidate
+            # pairing) from the ACTUAL signature bytes — sig_new is already
+            # materialized, so this is free. In steady state the epoch is a
+            # fraction of a bucket and both exchanges collapse to the
+            # single-task local plan; a bootstrap-sized epoch grows the
+            # byte count and takes the distributed plan automatically.
+            try:
+                input_bytes = sig_new.size_bytes()
+            except Exception:
+                pass
 
         # touched-bucket key set, computed DISTRIBUTED (bucketed distinct).
         # In steady state it is O(new · bands) and pushdown-sized; in the
