@@ -240,21 +240,33 @@ def cmd_fsck(args) -> int:
     from .state.fsck import check_lake, repair_sidecars
 
     # sidecar stores audit alongside the lake: the persisted near-dup /
-    # ANN indexes and the incremental curator carry their own manifests
+    # ANN indexes and the incremental curator carry their own manifests.
+    # fsck is read-only: the constructors CREATE a fresh store when meta is
+    # absent, so a mistyped/lost path must be an error here, never a
+    # silently-healthy empty index.
+    def _open_store(cls, path, label):
+        meta = os.path.join(path, cls.META)
+        if not os.path.exists(meta):
+            return {"ok": False,
+                    "errors": [f"no {label} at {path}: missing {cls.META}"]}
+        return cls(path).fsck(deep=getattr(args, "deep", False))
+
     extra_ok = True
     extras = {}
     if getattr(args, "neardup_index", None):
         from .pipelines.dedup_index import MinHashIndex
 
-        extras["neardup_index"] = MinHashIndex(args.neardup_index).fsck()
+        extras["neardup_index"] = _open_store(
+            MinHashIndex, args.neardup_index, "near-dup index")
     if getattr(args, "ann_index", None):
         from .pipelines.ann_index import IvfIndex
 
-        extras["ann_index"] = IvfIndex(args.ann_index).fsck()
+        extras["ann_index"] = _open_store(IvfIndex, args.ann_index, "ann index")
     if getattr(args, "curator", None):
         from .pipelines.curate_index import IncrementalCurator
 
-        extras["curator"] = IncrementalCurator(args.curator).fsck()
+        extras["curator"] = _open_store(
+            IncrementalCurator, args.curator, "curator")
     extra_ok = all(v["ok"] for v in extras.values())
 
     if not args.lake:

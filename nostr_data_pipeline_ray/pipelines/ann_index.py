@@ -42,6 +42,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..functions.linalg import sq_dists
 from ..stages.actors import cached_get
 from ..stages.shuffle import bucketed_map_groups
 
@@ -54,7 +55,7 @@ def _kmeans(sample: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarr
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = sq_dists(sample, cent)  # O(rows × n_lists) memory, not ×dim
         assign = d2.argmin(axis=1)
         for c in range(len(cent)):
             pts = sample[assign == c]
@@ -164,7 +165,7 @@ class IvfIndex:
                 return batch
             cent = cached_get(cref)
             m = _mat_of(batch, dim)
-            d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = sq_dists(m, cent)
             batch = batch.copy(deep=False)
             batch["list_id"] = d2.argmin(axis=1).astype(np.int64)
             return batch
@@ -269,6 +270,8 @@ class IvfIndex:
             raise ValueError("bootstrap() first — the quantizer is untrained")
         qvec = np.asarray(qvec, dtype=np.float64)
         qnorm = float(np.linalg.norm(qvec))
+        if qnorm == 0.0:
+            raise ValueError("zero-norm query vector — cosine is undefined")
         d2 = ((self._centroids - qvec) ** 2).sum(axis=1)
         probe = np.argsort(d2)[: min(nprobe, len(d2))]
         files = self._list_files(probe.tolist())
@@ -288,7 +291,11 @@ class IvfIndex:
                 return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
                                      "score": pd.array([], dtype="float64")})
             m = _mat_of(batch, dim)
-            s = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            norms = np.linalg.norm(m, axis=1)
+            keep = norms > 0.0  # a stored all-zero vector has no cosine rank
+            m, norms = m[keep], norms[keep]
+            batch = batch[keep]
+            s = (m @ qv) / (norms * qn)
             return pd.DataFrame({
                 "vec_id": batch["vec_id"].to_numpy(np.int64),
                 "score": _ROUND6(s),

@@ -47,7 +47,19 @@ import ray.data as rd
 
 from ..stages.actors import cached_get
 from .dedup import _explode_ngrams
-from .dedup_index import MinHashIndex
+from .dedup_index import _PUSHDOWN_MAX_KEYS, MinHashIndex
+
+# Epoch bookkeeping path: below the gate the mined pair set and the epoch's
+# doc ids are collected driver-side (bounded by the gate — the steady-state
+# shape); above it (a bootstrap-sized epoch over a large corpus) the loser
+# set is computed as a DISTRIBUTED chain — endpoint classification via
+# bucketed semi/anti joins, new×new resolution via connected components, a
+# vectorized per-label argmin — and survivors leave via a bucketed
+# anti-join, so nothing O(corpus) ever passes through the driver. "auto"
+# picks by size; True/False force either path (tests A/B them for
+# identical curated output).
+_DRIVER_EPOCH = "auto"
+_DRIVER_EPOCH_MAX = _PUSHDOWN_MAX_KEYS
 
 
 def _quality_scores(df: pd.DataFrame) -> np.ndarray:
@@ -135,7 +147,8 @@ class IncrementalCurator:
 
     # -- epochs -------------------------------------------------------------
 
-    def bootstrap(self, docs, update_id: str) -> dict:
+    def bootstrap(self, docs, update_id: str,
+                  corpus_bytes: int | None = None) -> dict:
         """Epoch 1: capture the exact p-quantile quality threshold from
         this corpus, then ingest it (bootstrap pays O(corpus) once — the
         point is that every later epoch doesn't)."""
@@ -156,16 +169,16 @@ class IncrementalCurator:
         )
         self.meta["quality_min"] = float(thr)
         self._write_meta()
-        return self.ingest(docs, docs, update_id)
+        return self.ingest(docs, docs, update_id, corpus_bytes=corpus_bytes)
 
-    def ingest(self, new_docs, corpus, update_id: str) -> dict:
+    def ingest(self, new_docs, corpus, update_id: str,
+               corpus_bytes: int | None = None) -> dict:
         """Apply the chain to one epoch's NEW docs; append survivors.
 
         ``corpus`` must cover every indexed doc plus the new ones (the
         MinHash verify attaches candidate endpoints from it — a bucketed
-        semi-join, never a scan)."""
-        from ..stages.graph import connected_components
-
+        semi-join, never a scan). ``corpus_bytes`` sizes the index's
+        un-pruned verify exchange (see MinHashIndex.update)."""
         if self.meta["quality_min"] is None:
             raise ValueError("bootstrap() first — the quality threshold is unset")
         if update_id in self.meta["applied_ids"]:
@@ -191,46 +204,52 @@ class IncrementalCurator:
         # stage 1 — dedup (also folds the new docs into the index)
         pairs = self.idx.update(
             new_docs, corpus, threshold=self.meta["threshold"],
-            update_id=update_id,
+            update_id=update_id, corpus_bytes=corpus_bytes,
         )
-        pdf = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
-        new_ids_df = new_docs.map_batches(
-            lambda b: b[["doc_id"]], batch_format="pandas"
-        ).to_pandas()  # O(epoch) ids on the driver: the epoch IS the unit
-        new_ids = new_ids_df["doc_id"].to_numpy(np.int64)
-        # edges where at least one endpoint is old → the new endpoint loses
-        lost: set[int] = set()
-        nn_edges = pd.DataFrame(columns=["src", "dst"])
-        if len(pdf):
-            a = pdf["doc_a"].to_numpy(np.int64)
-            b = pdf["doc_b"].to_numpy(np.int64)
-            a_new, b_new = np.isin(a, new_ids), np.isin(b, new_ids)
-            both = a_new & b_new
-            lost.update(a[a_new & ~b_new].tolist())
-            lost.update(b[b_new & ~a_new].tolist())
-            nn_edges = pd.DataFrame({"src": a[both], "dst": b[both]})
-        if len(nn_edges):
-            edges = rd.from_pandas(nn_edges.astype("int64"))
-            labels = connected_components(edges).to_pandas()
-            by_label: dict[int, list[int]] = {}
-            for node, lab in zip(labels["node"], labels["label"]):
-                by_label.setdefault(int(lab), []).append(int(node))
-            for lab, members in by_label.items():
-                if any(m in lost for m in members):
-                    lost.update(members)  # transitively joined an old cluster
-                else:
-                    lost.update(m for m in members if m != min(members))
-        n_lost_dedup = len(lost)
+        if isinstance(pairs, pd.DataFrame):
+            pairs_ds = rd.from_pandas(pairs) if len(pairs) else None
+        else:
+            pairs_ds = pairs if pairs.count() else None
+        n_pairs = pairs_ds.count() if pairs_ds is not None else 0
+
+        driver_path = (
+            _DRIVER_EPOCH is True
+            or (_DRIVER_EPOCH == "auto"
+                and n_new <= _DRIVER_EPOCH_MAX and n_pairs <= _DRIVER_EPOCH_MAX)
+        )
+        if driver_path:
+            lost_ds, n_lost_dedup = self._losers_driver(new_docs, pairs_ds)
+        else:
+            lost_ds, n_lost_dedup = self._losers_distributed(new_docs, pairs_ds)
+
+        # FWW dedup drop: broadcast the loser set when it fits the gate
+        # (steady state), else a bucketed anti-join (bootstrap scale)
+        if n_lost_dedup == 0:
+            base = new_docs
+        elif n_lost_dedup <= _DRIVER_EPOCH_MAX:
+            lost_arr = np.sort(
+                lost_ds.to_pandas()["loser_id"].to_numpy(np.int64)
+            )  # bounded by the gate
+            lost_ref = ray.put(lost_arr)
+            base = new_docs.map_batches(
+                lambda b: b[~np.isin(b["doc_id"].to_numpy(), cached_get(lost_ref))],
+                batch_format="pandas",
+            )
+        else:
+            from ..stages.joins import bucketed_hash_join
+
+            base = bucketed_hash_join(
+                new_docs, lost_ds, left_on=["doc_id"], right_on=["loser_id"],
+                how="left_anti", input_bytes=self._epoch_bytes(new_docs),
+            )
 
         # stages 2+3 — decontaminate + quality, one vectorized pass
         grams_ref = ray.put(
             pa.array(self.meta["benchmark_grams"], pa.string())
         )
-        lost_ref = ray.put(np.fromiter(lost, dtype=np.int64, count=len(lost)))
         qmin = self.meta["quality_min"]
 
         def survive(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[~np.isin(df["doc_id"].to_numpy(), cached_get(lost_ref))]
             if not len(df):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "text": pd.Series(dtype="object")})
@@ -253,7 +272,7 @@ class IncrementalCurator:
             keep = _quality_scores(df) >= qmin
             return df.loc[keep, ["doc_id", "text"]]
 
-        survivors = new_docs.map_batches(survive, batch_format="pandas").materialize()
+        survivors = base.map_batches(survive, batch_format="pandas").materialize()
         n_kept = survivors.count()
         self._commit_epoch(survivors, n_kept, update_id)
         return {
@@ -266,6 +285,147 @@ class IncrementalCurator:
             "curated": int(n_kept),
             "total_curated": int(self.meta["n_curated"]),
         }
+
+    @staticmethod
+    def _epoch_bytes(new_docs) -> int | None:
+        try:
+            return new_docs.size_bytes()  # materialized — free
+        except Exception:
+            return None
+
+    def _losers_driver(self, new_docs, pairs_ds):
+        """Gate-bounded loser computation: collect the epoch's ids and the
+        mined pairs (both ≤ _DRIVER_EPOCH_MAX by the caller's gate), resolve
+        FWW + new×new components driver-side. Returns (Dataset[loser_id],
+        n_lost)."""
+        from ..stages.graph import connected_components
+
+        pdf = (pairs_ds.to_pandas() if pairs_ds is not None
+               else pd.DataFrame(columns=["doc_a", "doc_b"]))
+        new_ids = new_docs.map_batches(
+            lambda b: b[["doc_id"]], batch_format="pandas"
+        ).to_pandas()["doc_id"].to_numpy(np.int64)
+        # edges where at least one endpoint is old → the new endpoint loses
+        lost: set[int] = set()
+        nn_edges = pd.DataFrame(columns=["src", "dst"])
+        if len(pdf):
+            a = pdf["doc_a"].to_numpy(np.int64)
+            b = pdf["doc_b"].to_numpy(np.int64)
+            a_new, b_new = np.isin(a, new_ids), np.isin(b, new_ids)
+            both = a_new & b_new
+            lost.update(a[a_new & ~b_new].tolist())
+            lost.update(b[b_new & ~a_new].tolist())
+            nn_edges = pd.DataFrame({"src": a[both], "dst": b[both]})
+        if len(nn_edges):
+            edges = rd.from_pandas(nn_edges.astype("int64"))
+            labels = connected_components(edges).to_pandas()
+            by_label: dict[int, list[int]] = {}
+            for node, lab in zip(labels["node"], labels["label"]):
+                by_label.setdefault(int(lab), []).append(int(node))
+            for lab, members in by_label.items():
+                if any(m in lost for m in members):
+                    lost.update(members)  # transitively joined an old cluster
+                else:
+                    lost.update(m for m in members if m != min(members))
+        arr = np.sort(np.fromiter(lost, dtype=np.int64, count=len(lost)))
+        lost_ds = rd.from_pandas(pd.DataFrame({"loser_id": arr}))
+        return lost_ds, len(lost)
+
+    def _losers_distributed(self, new_docs, pairs_ds):
+        """Bootstrap-scale loser computation — the dedup_survivors pattern:
+        endpoint novelty via bucketed semi/anti joins against the epoch's id
+        set, mixed-edge losers map-side, new×new components via the
+        checkpointed CC loop, per-label FWW argmin vectorized inside one
+        bucketed exchange. Nothing epoch- or corpus-sized on the driver.
+        Returns (Dataset[loser_id] distinct, n_lost)."""
+        from ..stages.graph import connected_components
+        from ..stages.joins import bucketed_hash_join
+        from ..stages.shuffle import bucketed_map_groups
+
+        eb = self._epoch_bytes(new_docs)
+        empty = rd.from_arrow(
+            pa.schema([("loser_id", pa.int64())]).empty_table()
+        )
+        if pairs_ds is None:
+            return empty, 0
+        new_ids = new_docs.map_batches(
+            lambda b: b[["doc_id"]], batch_format="pandas"
+        )
+        p = pairs_ds.map_batches(
+            lambda b: b[["doc_a", "doc_b"]], batch_format="pandas"
+        )
+        # classify both endpoints: two semi/anti splits per side
+        a_new = bucketed_hash_join(
+            p, new_ids, ["doc_a"], ["doc_id"], "left_semi", input_bytes=eb
+        )
+        a_old = bucketed_hash_join(
+            p, new_ids, ["doc_a"], ["doc_id"], "left_anti", input_bytes=eb
+        )
+        both_new = bucketed_hash_join(
+            a_new, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
+        )
+        a_only = bucketed_hash_join(  # doc_a new, doc_b old → doc_a loses
+            a_new, new_ids, ["doc_b"], ["doc_id"], "left_anti", input_bytes=eb
+        )
+        b_only = bucketed_hash_join(  # doc_b new, doc_a old → doc_b loses
+            a_old, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
+        )
+        lost_mixed = a_only.map_batches(
+            lambda b: pd.DataFrame({"loser_id": b["doc_a"].astype("int64")}),
+            batch_format="pandas",
+        ).union(
+            b_only.map_batches(
+                lambda b: pd.DataFrame({"loser_id": b["doc_b"].astype("int64")}),
+                batch_format="pandas",
+            )
+        ).materialize()
+
+        nn_edges = both_new.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b["doc_a"].astype("int64"),
+                 "dst": b["doc_b"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        lost = lost_mixed
+        if nn_edges.count():
+            labels = connected_components(nn_edges, input_bytes=eb)
+            # members already lost through a mixed edge drag their whole
+            # component down (transitive membership in an existing cluster)
+            flagged = bucketed_hash_join(
+                labels, lost_mixed, ["node"], ["loser_id"], "left_semi",
+                input_bytes=eb,
+            ).map_batches(
+                lambda b: b.assign(f=np.int8(1)), batch_format="pandas"
+            )
+            tagged = labels.map_batches(
+                lambda b: b.assign(f=np.int8(0)), batch_format="pandas"
+            ).union(flagged)
+
+            def cc_losers(g: pd.DataFrame) -> pd.DataFrame:
+                per = (
+                    g.groupby(["label", "node"], sort=False)["f"]
+                    .max().reset_index()
+                )
+                any_lost = per.groupby("label", sort=False)["f"].transform("max")
+                min_node = per.groupby("label", sort=False)["node"].transform("min")
+                is_loser = (any_lost == 1) | (per["node"] != min_node)
+                return pd.DataFrame(
+                    {"loser_id": per.loc[is_loser, "node"].astype("int64")}
+                )
+
+            lost = lost.union(
+                bucketed_map_groups(tagged, ["label"], cc_losers, input_bytes=eb)
+            )
+
+        distinct = bucketed_map_groups(
+            lost,
+            ["loser_id"],
+            lambda g: g.drop_duplicates(),
+            pre=lambda b: b.drop_duplicates(),
+            input_bytes=eb,
+        ).materialize()
+        return distinct, distinct.count()
 
     def _commit_epoch(self, survivors, n_kept: int, update_id: str) -> None:
         from ..state.lake import dir_writer_lock
@@ -348,9 +508,10 @@ def q_incremental_curation(sf_dir: str):
     new = docs.map_batches(lambda b: b[b["doc_id"] >= cut], batch_format="pandas")
     work = tempfile.mkdtemp(prefix="curidx-", dir="/tmp")
     try:
+        nbytes = table_bytes(path)
         cur = IncrementalCurator(work, benchmark=path)
-        cur.bootstrap(old, update_id="epoch-1")
-        cur.ingest(new, docs, update_id="epoch-2")
+        cur.bootstrap(old, update_id="epoch-1", corpus_bytes=nbytes)
+        cur.ingest(new, docs, update_id="epoch-2", corpus_bytes=nbytes)
         out = cur.curated().map_batches(
             lambda b: b[["doc_id"]], batch_format="pandas"
         ).materialize()  # detach from the curator's files
@@ -388,9 +549,15 @@ def q_incremental_curation_epoch(sf_dir: str):
 
     fixture = _EPOCH_FIXTURE.get(sf_dir)
     if fixture is None:
+        import atexit
+
         fixture = tempfile.mkdtemp(prefix="curfix-", dir="/tmp")
+        # the memoized bootstrap tree is per-process scratch: reap it at
+        # interpreter exit so repeated bench processes don't leak index
+        # copies under /tmp
+        atexit.register(shutil.rmtree, fixture, ignore_errors=True)
         cur = IncrementalCurator(fixture, benchmark=path)
-        cur.bootstrap(old, update_id="epoch-1")
+        cur.bootstrap(old, update_id="epoch-1", corpus_bytes=table_bytes(path))
         _EPOCH_FIXTURE[sf_dir] = fixture
 
     work = tempfile.mkdtemp(prefix="curepoch-", dir="/tmp")
@@ -398,7 +565,8 @@ def q_incremental_curation_epoch(sf_dir: str):
     shutil.copytree(fixture, work)
     try:
         cur = IncrementalCurator(work, benchmark=path)
-        summary = cur.ingest(new, docs, update_id="epoch-2")
+        summary = cur.ingest(new, docs, update_id="epoch-2",
+                             corpus_bytes=table_bytes(path))
         return pd.DataFrame([summary])
     finally:
         shutil.rmtree(work, ignore_errors=True)

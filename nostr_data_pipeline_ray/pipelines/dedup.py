@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.linalg import sq_dists
 from ..stages.actors import cached_get, per_worker
 from ..stages.joins import bucketed_hash_join
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
@@ -533,7 +534,7 @@ def _endpoint_verify(
     key_a: str,
     key_b: str,
     verify_fn,
-    input_bytes: int,
+    input_bytes: int | None,
     empty_feat="",
     allow_local: bool = True,
 ):
@@ -1167,7 +1168,7 @@ def q_ann_topk_ivf(
     rng = np.random.default_rng(17)
     centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = sq_dists(mat, centroids)  # O(rows × n_lists) memory, not ×dim
         assign = d2.argmin(axis=1)
         for c in range(len(centroids)):
             pts = mat[assign == c]
@@ -1187,7 +1188,7 @@ def q_ann_topk_ivf(
             .to_numpy(zero_copy_only=False)
             .reshape(-1, len(qvec_w)).astype(np.float64)
         )
-        d2 = ((m[:, None, :] - centroids_w[None, :, :]) ** 2).sum(axis=2)
+        d2 = sq_dists(m, centroids_w)
         keep = np.isin(d2.argmin(axis=1), list(probe_w))
         m = m[keep]
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]

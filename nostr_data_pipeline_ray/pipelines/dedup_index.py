@@ -335,6 +335,7 @@ class MinHashIndex:
         threshold: float = 0.5,
         input_bytes: int | None = None,
         update_id: str | None = None,
+        corpus_bytes: int | None = None,
     ):
         """Mine verified near-dup pairs involving at least one NEW document,
         then fold the new docs into the index.
@@ -344,7 +345,16 @@ class MinHashIndex:
         Dataset[doc_id, text] covering every indexed doc plus the new ones
         (only candidate ENDPOINTS are attached from it — a bucketed
         semi-join, never a scan-side quadratic). Returns a materialized
-        Dataset / DataFrame of (doc_a, doc_b, jaccard)."""
+        Dataset / DataFrame of (doc_a, doc_b, jaccard).
+
+        ``input_bytes`` sizes the EPOCH-scoped exchanges (touched distinct,
+        candidate pairing); when omitted it is derived from the materialized
+        signature bytes. ``corpus_bytes`` sizes the verify exchange in the
+        un-pruned case, where the shingle stream is the FULL corpus — an
+        epoch-sized estimate there would let a tiny epoch over a large
+        corpus collapse the whole corpus's exploded shingles into one local
+        task. When omitted and un-pruned, the verify stays distributed
+        (never guess small)."""
         from .dedup import _endpoint_verify, make_jaccard_verify, make_shingle_rows
 
         from ..stages.joins import bucketed_hash_join
@@ -497,6 +507,7 @@ class MinHashIndex:
         # plan: the endpoint set is itself corpus-sized. A/B-verified
         # bit-identical pairs (interleaved, 3 rounds) at sf0.1.
         feats_src = corpus
+        pruned = False
         n_cand = candidates.count()
         prune = (
             self.meta["n_docs"] >= _VERIFY_PRUNE_MIN_DOCS
@@ -515,7 +526,11 @@ class MinHashIndex:
                 lambda b: b[np.isin(b["doc_id"].to_numpy(), cached_get(end_ref))],
                 batch_format="pandas",
             )
+            pruned = True
 
+        # un-pruned verify streams the FULL corpus's shingles: size it from
+        # corpus bytes (None → distributed), never from the epoch signature
+        verify_bytes = input_bytes if pruned else corpus_bytes
         verified = _endpoint_verify(
             candidates,
             feats_src.map_batches(
@@ -524,7 +539,7 @@ class MinHashIndex:
             "doc_a",
             "doc_b",
             make_jaccard_verify(threshold),
-            input_bytes=input_bytes,
+            input_bytes=verify_bytes,
         )
         if not isinstance(verified, pd.DataFrame):
             verified = verified.materialize()
@@ -613,7 +628,8 @@ def q_incremental_near_dup(sf_dir: str, threshold: float = 0.5):
         idx = MinHashIndex(work)
         idx.bootstrap(old, update_id="epoch-1")
         out = idx.update(
-            new, docs, threshold=threshold, input_bytes=nbytes, update_id="epoch-2"
+            new, docs, threshold=threshold, input_bytes=nbytes,
+            update_id="epoch-2", corpus_bytes=nbytes,
         )
         if not isinstance(out, pd.DataFrame):
             out = out.materialize()  # detach from the index files

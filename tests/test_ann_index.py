@@ -175,6 +175,52 @@ def test_approximate_probe_recall_on_planted(ray_session, tmp_path):
     assert len(hits) >= 8
 
 
+def test_sq_dists_matches_broadcast_kernel():
+    """The matmul-form kernel (O(rows×lists) memory) must assign every
+    point to the same centroid as the broadcast-temporary form it
+    replaced — including on EXACT ties, planted via integer-valued
+    vectors (both forms are then exact in float64, so equal d² ties
+    break identically at argmin's first-min rule)."""
+    from nostr_data_pipeline_ray.functions.linalg import sq_dists
+
+    rng = np.random.default_rng(42)
+    for x, c in [
+        (rng.standard_normal((257, 48)), rng.standard_normal((19, 48))),
+        # integer case with duplicated centroids -> exact argmin ties
+        (
+            rng.integers(-5, 6, size=(300, 8)).astype(np.float64),
+            np.repeat(rng.integers(-5, 6, size=(6, 8)).astype(np.float64), 2, axis=0),
+        ),
+    ]:
+        ref = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        got = sq_dists(x, c)
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-9)
+        np.testing.assert_array_equal(got.argmin(axis=1), ref.argmin(axis=1))
+
+
+def test_query_zero_norm_guard(ray_session, tmp_path):
+    """A zero query vector raises; a stored all-zero embedding is excluded
+    from results instead of emitting NaN scores that corrupt the top-k."""
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((40, 16))
+    mat[7] = 0.0  # planted zero-norm stored vector
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    idx = IvfIndex(str(tmp_path / "idx"), n_lists=4)
+    idx.bootstrap(_vecs(str(tmp_path)), update_id="e1")
+    with pytest.raises(ValueError, match="zero-norm query"):
+        idx.query(np.zeros(16), k=5)
+    res = idx.query(mat[0], k=len(mat), nprobe=4, exclude=0)
+    assert 7 not in set(res["vec_id"])
+    assert not res["score"].isna().any()
+
+
 def test_single_writer_lock_on_index_mutations(ray_session, tmp_path):
     import fcntl
 

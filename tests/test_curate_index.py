@@ -134,6 +134,50 @@ def test_benchmark_ids_refused(curator):
     assert out["new_docs"] == 0 and out["curated"] == 0
 
 
+def test_distributed_losers_match_driver_path(tmp_path, ray_session):
+    """The bootstrap-scale loser computation (bucketed semi/anti joins + CC
+    + vectorized per-label FWW, nothing epoch-sized on the driver) must
+    produce the SAME epoch summary and curated corpus as the gate-bounded
+    driver path, on a case that exercises every loser class: mixed-edge
+    loss, new×new min-id loss, and a new×new component dragged down whole
+    by one member's mixed edge."""
+    import nostr_data_pipeline_ray.pipelines.curate_index as ci
+
+    base = _base()
+    long = {
+        100: base[22][:190] + " tiny tail",                # mixed edge: loses
+        200: _pad("brand new long prose " + " ".join(f"n{j}" for j in range(30)), 300),
+        500: _pad("another original piece " + " ".join(f"m{j}" for j in range(30)), 300),
+        # component {600, 601} where 601 ALSO near-dups old doc 23 → whole
+        # component (600 and 601) must lose transitively
+        601: base[23][:190] + " small edit",
+    }
+    long[201] = long[200][:-10] + " variation"             # new×new: 201 loses
+    long[600] = long[601][:-10] + " more edit"
+    corpus_rows = {**base, **long}
+
+    def run(force):
+        bench = _benchmark(str(tmp_path / f"bench-{force}.parquet"))
+        cur = IncrementalCurator(str(tmp_path / f"cur-{force}"), benchmark=bench)
+        cur.bootstrap(_docs(base), update_id="e0")
+        old = ci._DRIVER_EPOCH
+        ci._DRIVER_EPOCH = force
+        try:
+            out = cur.ingest(_docs(long), _docs(corpus_rows), update_id="e1")
+        finally:
+            ci._DRIVER_EPOCH = old
+        ids = sorted(cur.curated().to_pandas()["doc_id"].tolist())
+        return out, ids
+
+    drv_out, drv_ids = run(True)
+    dst_out, dst_ids = run(False)
+    assert drv_out == dst_out
+    assert drv_ids == dst_ids
+    # the planted losses actually happened (not a vacuous agreement)
+    assert drv_out["dropped_dedup"] == 4  # 100, 201, 600, 601
+    assert set(drv_ids) - set(base) == {200, 500}
+
+
 def test_ingest_before_bootstrap_raises(tmp_path, ray_session):
     cur = IncrementalCurator(str(tmp_path / "cur2"))
     with pytest.raises(ValueError, match="bootstrap"):
