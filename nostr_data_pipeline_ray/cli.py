@@ -244,6 +244,9 @@ def cmd_fsck(args) -> int:
     # fsck is read-only: the constructors CREATE a fresh store when meta is
     # absent, so a mistyped/lost path must be an error here, never a
     # silently-healthy empty index.
+    if args.deep or (args.repair and args.lake):
+        _ray()  # deep scans / sidecar rebuilds are Ray Data jobs
+
     def _open_store(cls, path, label):
         meta = os.path.join(path, cls.META)
         if not os.path.exists(meta):
@@ -276,9 +279,6 @@ def cmd_fsck(args) -> int:
             return 2
         print(json.dumps(extras, indent=2))
         return 0 if extra_ok else 1
-
-    if args.deep or args.repair:
-        _ray()  # both launch Ray Data jobs — same guarded session as the rest
 
     if args.repair:
         rebuilt = repair_sidecars(args.lake)

@@ -68,6 +68,41 @@ def _mat_of(batch: pd.DataFrame, dim: int) -> np.ndarray:
     return np.stack(batch["embedding"].to_numpy()).reshape(-1, dim).astype(np.float64)
 
 
+def _check_list_file(path: str, ctx: dict) -> list[str]:
+    """Deep-fsck content checks for one per-list parquet: exact schema,
+    dim == meta dim, vec_id sorted, assignment == nearest centroid."""
+    import pyarrow.parquet as pq
+
+    from ..functions.linalg import sq_dists as _sq
+
+    name = os.path.basename(path)
+    lid = int(name.split("-")[1].split(".")[0])
+    t = pq.read_table(path)
+    if set(t.column_names) != {"vec_id", "embedding"}:
+        return [f"{name}: schema {sorted(t.column_names)} != "
+                "['embedding', 'vec_id']"]
+    if not t.num_rows:
+        return []
+    errs: list[str] = []
+    vids = t["vec_id"].to_numpy(zero_copy_only=False)
+    if np.any(np.diff(vids) < 0):
+        errs.append(f"{name}: vec_id not sorted")
+    emb = t["embedding"].combine_chunks()
+    lens = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+    if np.any(lens != ctx["dim"]):
+        errs.append(f"{name}: embedding dim != meta dim {ctx['dim']}")
+        return errs
+    m = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, ctx["dim"])
+    assign = _sq(m.astype(np.float64), ctx["centroids"]).argmin(axis=1)
+    bad = int((assign != lid).sum())
+    if bad:
+        errs.append(
+            f"{name}: {bad} vector(s) whose nearest centroid is not list "
+            f"{lid} — probes would miss them"
+        )
+    return errs
+
+
 class IvfIndex:
     """Inverted-file ANN index persisted as per-list parquet."""
 
@@ -396,9 +431,16 @@ class IvfIndex:
             "n_updates": len(self.meta["committed"])
         }
 
-    def fsck(self) -> dict:
+    def fsck(self, deep: bool = False) -> dict:
         """Integrity audit: committed subdirs exist and footer row counts
-        sum to n_vecs; orphans reported, not errors (next add overwrites)."""
+        sum to n_vecs; orphans reported, not errors (next add overwrites).
+
+        ``deep`` adds a distributed per-list-file content scan validating
+        rows against the meta: exact schema, embedding dim == meta dim,
+        vec_id sorted (the write contract), and every vector's nearest
+        centroid == the file's list id — a misassigned vector is invisible
+        to the probes that should find it, the worst silent corruption an
+        IVF layout can carry."""
         import pyarrow.parquet as pq
 
         errors, missing, total = [], [], 0
@@ -414,6 +456,14 @@ class IvfIndex:
             errors.append(f"committed subdirs missing: {missing}")
         if not missing and total != self.meta["n_vecs"]:
             errors.append(f"row count {total} != n_vecs {self.meta['n_vecs']}")
+        if deep and not missing and self._centroids is not None:
+            from ..state.fsck import deep_scan_files
+
+            files = self._list_files(range(len(self._centroids)))
+            errors.extend(deep_scan_files(
+                files, _check_list_file,
+                {"dim": self.meta["dim"], "centroids": self._centroids},
+            ))
         orphans = [
             s for s in os.listdir(self.rows_dir)
             if os.path.isdir(os.path.join(self.rows_dir, s))

@@ -77,6 +77,39 @@ def _quality_scores(df: pd.DataFrame) -> np.ndarray:
     return np.floor(length_score * 0.3 * 100.0 + 0.5) / 100.0
 
 
+def _check_curated_file(path: str, ctx: dict) -> list[str]:
+    """Deep-fsck content checks for one curated part: schema, benchmark-id
+    cutoff, frozen quality threshold, zero benchmark-gram hits."""
+    name = os.path.basename(path)
+    t = pq.read_table(path)
+    if set(t.column_names) != {"doc_id", "text"}:
+        return [f"{name}: schema {sorted(t.column_names)} != ['doc_id', 'text']"]
+    if not t.num_rows:
+        return []
+    errs: list[str] = []
+    df = t.to_pandas()
+    below = int((df["doc_id"].to_numpy(np.int64) < ctx["cutoff"]).sum())
+    if below:
+        errs.append(f"{name}: {below} doc_id(s) below the benchmark cutoff "
+                    f"{ctx['cutoff']}")
+    if ctx["quality_min"] is not None:
+        bad_q = int((_quality_scores(df) < ctx["quality_min"]).sum())
+        if bad_q:
+            errs.append(f"{name}: {bad_q} row(s) below the frozen quality "
+                        f"threshold {ctx['quality_min']}")
+    if ctx["grams"]:
+        exploded = _explode_ngrams(t, 5)
+        hits = exploded.filter(
+            pc.is_in(exploded["word"],
+                     value_set=pa.array(ctx["grams"], pa.string()))
+        )
+        if hits.num_rows:
+            n_bad = len(set(hits["doc_id"].to_pylist()))
+            errs.append(f"{name}: {n_bad} contaminated doc(s) — benchmark "
+                        "5-grams present in curated text")
+    return errs
+
+
 class IncrementalCurator:
     """Persisted, epoch-incremental dedup+decontaminate+quality curation."""
 
@@ -463,23 +496,41 @@ class IncrementalCurator:
             )
         return rd.read_parquet(files)
 
-    def fsck(self) -> dict:
+    def fsck(self, deep: bool = False) -> dict:
         """Committed epoch dirs exist; row totals match n_curated; the
-        owned near-dup index passes its own audit."""
+        owned near-dup index passes its own audit (``deep`` propagates).
+
+        ``deep`` adds a distributed per-file content scan of the curated
+        output against the frozen meta: exact schema, no doc_id below the
+        benchmark cutoff, every row's quality score ≥ the frozen threshold,
+        and zero benchmark 5-gram hits — i.e. the three curation invariants
+        actually HOLD in what's on disk, not just in the epoch counters."""
         errors, missing, total = [], [], 0
+        files: list[str] = []
         for sub in self.meta["committed"]:
             d = os.path.join(self.curated_dir, sub)
             if not os.path.isdir(d):
                 missing.append(sub)
                 continue
-            for f in os.listdir(d):
+            for f in sorted(os.listdir(d)):
                 if f.endswith(".parquet"):
-                    total += pq.read_metadata(os.path.join(d, f)).num_rows
+                    p = os.path.join(d, f)
+                    total += pq.read_metadata(p).num_rows
+                    files.append(p)
         if missing:
             errors.append(f"committed epoch dirs missing: {missing}")
         if not missing and total != self.meta["n_curated"]:
             errors.append(f"curated rows {total} != n_curated {self.meta['n_curated']}")
-        sub_audit = self.idx.fsck()
+        if deep and not missing:
+            from ..state.fsck import deep_scan_files
+
+            errors.extend(deep_scan_files(
+                files, _check_curated_file,
+                {"quality_min": self.meta["quality_min"],
+                 "cutoff": self.meta["benchmark_max_doc_id"],
+                 "grams": self.meta["benchmark_grams"]},
+            ))
+        sub_audit = self.idx.fsck(deep=deep)
         if not sub_audit["ok"]:
             errors.append(f"near-dup index: {sub_audit['errors']}")
         return {"ok": not errors, "errors": errors, "rows": total}

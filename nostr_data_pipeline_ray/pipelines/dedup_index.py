@@ -79,6 +79,37 @@ def _pack_keys(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
     return (band_hash.astype(np.uint64) << np.uint64(6)) | band.astype(np.uint64)
 
 
+def _check_index_file(path: str, ctx: dict) -> list[str]:
+    """Deep-fsck content checks for one committed index file: exact schema,
+    band values within [0, bands), band_hash sorted (the read-side
+    row-group pruning contract)."""
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(path)
+    t = pq.read_table(path)
+    want = {"band", "band_hash", "doc_id"}
+    if set(t.column_names) != want:
+        return [f"{name}: schema {sorted(t.column_names)} != {sorted(want)}"]
+    errs: list[str] = []
+    if t.num_rows:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        if band.min() < 0 or band.max() >= ctx["bands"]:
+            errs.append(
+                f"{name}: band values [{band.min()}, {band.max()}] outside "
+                f"[0, {ctx['bands']})"
+            )
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        if np.any(np.diff(bh) < 0):
+            errs.append(f"{name}: band_hash not sorted — row-group pruning broken")
+    return errs
+
+
+def _deep_scan_files(files, check_fn, ctx):
+    from ..state.fsck import deep_scan_files
+
+    return deep_scan_files(files, check_fn, ctx)
+
+
 class MinHashIndex:
     """Persisted LSH bucket table with incremental candidate mining."""
 
@@ -554,12 +585,19 @@ class MinHashIndex:
             "row_files": len(self._row_files()),
         }
 
-    def fsck(self) -> dict:
+    def fsck(self, deep: bool = False) -> dict:
         """Integrity audit (the lake-fsck analog for the index): every
         committed subdir must exist and the total committed row count must
         equal n_docs · bands (each signed doc emits exactly one row per
         band). Orphan subdirs (a crash between write and commit) are
-        reported, not errors — the next fold-in at that slot overwrites."""
+        reported, not errors — the next fold-in at that slot overwrites.
+
+        ``deep`` adds a Ray Data scan (one task per committed file, the
+        lake-fsck pattern) validating row CONTENTS against the meta: exact
+        schema, band values in [0, bands), and band_hash sorted within each
+        file (the read-side row-group pruning contract); plus a
+        footer-level per-subdir rows % bands == 0 check (a fold-in commits
+        whole docs — a torn file inside a committed subdir breaks it)."""
         import pyarrow.parquet as pq
 
         errors, missing = [], []
@@ -569,9 +607,16 @@ class MinHashIndex:
             if not os.path.isdir(d):
                 missing.append(sub)
                 continue
+            sub_rows = 0
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
-                    total_rows += pq.read_metadata(os.path.join(d, f)).num_rows
+                    sub_rows += pq.read_metadata(os.path.join(d, f)).num_rows
+            total_rows += sub_rows
+            if deep and sub_rows % self.meta["bands"] != 0:
+                errors.append(
+                    f"subdir {sub}: {sub_rows} rows not a multiple of "
+                    f"bands={self.meta['bands']} (torn fold-in?)"
+                )
         if missing:
             errors.append(f"committed subdirs missing on disk: {missing}")
         want_rows = self.meta["n_docs"] * self.meta["bands"]
@@ -580,6 +625,9 @@ class MinHashIndex:
                 f"row count {total_rows} != n_docs*bands {want_rows} "
                 "(partial write inside a committed subdir?)"
             )
+        if deep and not missing:
+            errors.extend(_deep_scan_files(self._row_files(), _check_index_file,
+                                           {"bands": self.meta["bands"]}))
         orphans = [
             s
             for s in os.listdir(self.rows_dir)

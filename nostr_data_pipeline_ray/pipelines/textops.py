@@ -627,9 +627,14 @@ def dup_span_trim_ds(gram_src, text_src, input_bytes, num_buckets=None):
             np.repeat(np.arange(len(doc_ids)), lengths)[~covered_mask],
             minlength=len(doc_ids),
         )
-        offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+        # int64 offsets (LargeListArray): a doc_id bucket holding >2^31
+        # total kept words would silently wrap int32 offsets — unlikely at
+        # the default 64MB bucket sizing but unguarded with an explicit
+        # small num_buckets on a large corpus
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int64)
         clean = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), " "
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept),
+            " ",
         )
         return pd.DataFrame(
             {

@@ -297,3 +297,38 @@ def check_lake(lake_root: str, deep: bool = False) -> dict[str, Any]:
                 (errors if sev == "error" else warnings).append(f)
     return {"ok": not errors, "errors": errors, "warnings": warnings,
             "info": info}
+
+
+def deep_scan_files(files: list[str], check_fn, ctx: dict) -> list[str]:
+    """Distributed per-file content audit for the sidecar stores (near-dup
+    index / IVF index / curator): run ``check_fn(path, ctx) -> list[str]``
+    over every file as a Ray Data job (one slice per task, the lake's deep
+    pattern — never a driver read loop), returning the error strings.
+    ``ctx`` (meta the checks validate against — band counts, centroids,
+    thresholds) ships through the object store once."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..stages.actors import cached_get
+
+    if not files:
+        return []
+    ctx_ref = ray.put(ctx)
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(ctx_ref)
+        errs: list[str] = []
+        for p in batch["item"]:
+            try:
+                errs.extend(check_fn(p, c))
+            except Exception as e:  # unreadable/torn file IS a finding
+                errs.append(f"{os.path.basename(p)}: unreadable ({e})")
+        return pd.DataFrame({"err": pd.Series(errs, dtype="object")})
+
+    out = (
+        rd.from_items(files, override_num_blocks=min(len(files), 64))
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()  # findings only — bounded, near-always empty
+    )
+    return out["err"].tolist() if len(out) else []

@@ -1,7 +1,13 @@
 """Simulate the driver's correctness gate: run every queries() entry at
 sf0.01 and compare to oracle_sql() via DuckDB (row count + sorted-column
 order-insensitive value equality). Owns its Ray session (do not run under
-an existing one)."""
+an existing one).
+
+Also enforces the registry's COST guard: a query slower than
+``MAX_QUERY_SECONDS`` at sf0.01 is a failure even when correct — the round-3
+regression class where the suite grew too slow for the driver's snapshot to
+cover it must not silently return (override: env NDP_MAX_QUERY_SECONDS;
+pytest mirrors the threshold in tests/test_skew_and_cli.py)."""
 
 import json
 import sys
@@ -15,6 +21,7 @@ import pandas as pd
 import ray
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+MAX_QUERY_SECONDS = float(__import__("os").environ.get("NDP_MAX_QUERY_SECONDS", "10"))
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -67,9 +74,14 @@ def main():
                         status, detail = "FAIL", str(ex).splitlines()[0]
         except Exception as ex:  # noqa: BLE001
             status, detail = "ERROR", f"{type(ex).__name__}: {ex}"
-        if status in ("FAIL", "ERROR"):
+        elapsed = time.time() - t0
+        if (status in ("OK", "ROWS_ONLY") and elapsed > MAX_QUERY_SECONDS
+                and SF_DIR.endswith("0.01")):
+            status = "SLOW"
+            detail += f" (> {MAX_QUERY_SECONDS:.0f}s cost guard)"
+        if status in ("FAIL", "ERROR", "SLOW"):
             failures.append(name)
-        print(f"{status:9s} {name:28s} {time.time()-t0:6.1f}s  {detail}")
+        print(f"{status:9s} {name:28s} {elapsed:6.1f}s  {detail}")
 
     con.close()
     ray.shutdown()

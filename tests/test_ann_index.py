@@ -264,3 +264,48 @@ def test_compact_overwrites_stale_staged_dir(ray_session, tmp_path):
     out = idx.compact()
     assert out["compacted"] and out["rows"] == 500
     assert idx.fsck()["ok"]
+
+
+def test_deep_fsck_catches_misassignment_and_dim(ray_session, tmp_path):
+    """Deep mode validates vectors against the quantizer: a vector filed
+    under the wrong list (invisible to the probes that should find it) and
+    a dim mismatch are caught with row counts intact — shallow is blind to
+    both."""
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=4)
+    idx.bootstrap(_vecs(SF), update_id="e1")
+    assert idx.fsck(deep=True)["ok"]
+
+    sub = os.path.join(idx.rows_dir, idx.meta["committed"][0])
+    files = sorted(
+        os.path.join(sub, f) for f in os.listdir(sub) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    a, b = files[0], files[1]
+    ta, tb = pq.read_table(a), pq.read_table(b)
+    # swap one row between two lists: totals unchanged, assignment broken
+    swapped_a = pa.concat_tables([ta.slice(1), tb.slice(0, 1)]).sort_by("vec_id")
+    swapped_b = pa.concat_tables([tb.slice(1), ta.slice(0, 1)]).sort_by("vec_id")
+    pq.write_table(swapped_a, a)
+    pq.write_table(swapped_b, b)
+    audit = idx.fsck(deep=True)
+    assert not audit["ok"]
+    assert any("nearest centroid is not list" in e for e in audit["errors"])
+    assert idx.fsck()["ok"]  # shallow passes — row counts are intact
+
+    # dim mismatch: truncate every embedding in one file
+    trunc = pa.table(
+        {
+            "vec_id": ta["vec_id"],
+            "embedding": pa.array(
+                [v[:-1] for v in ta["embedding"].to_pylist()],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(ta, a)
+    pq.write_table(tb, b)
+    assert idx.fsck(deep=True)["ok"]  # restored
+    pq.write_table(trunc, a)
+    audit = idx.fsck(deep=True)
+    assert not audit["ok"] and any("dim" in e for e in audit["errors"])

@@ -204,3 +204,78 @@ def test_epoch_query_steady_state_deterministic(ray_session):
     # survivors + this epoch's survivors
     demo_rows = q_incremental_curation(sf).count()
     assert int(a.loc[0, "total_curated"]) == demo_rows
+
+
+def test_deep_fsck_validates_curated_contents(curator, tmp_path):
+    """Deep mode re-checks the three curation invariants against what's ON
+    DISK (row counts preserved, so shallow passes): quality threshold,
+    benchmark contamination, benchmark-id cutoff; and propagates deep into
+    the owned near-dup index."""
+    base = _base()
+    curator.bootstrap(_docs(base), update_id="e0")
+    assert curator.fsck(deep=True)["ok"]
+
+    files = [
+        os.path.join(curator.curated_dir, sub, f)
+        for sub in curator.meta["committed"]
+        for f in sorted(os.listdir(os.path.join(curator.curated_dir, sub)))
+        if f.endswith(".parquet")
+    ]
+    victim = next(f for f in files if pq.read_metadata(f).num_rows)
+    orig = pq.read_table(victim)
+    n = orig.num_rows
+
+    def rewrite(doc_ids, texts):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            victim,
+        )
+
+    ids = orig["doc_id"].to_pylist()
+
+    # quality violation (short text scores far below the frozen p75)
+    rewrite(ids, ["tiny"] * n)
+    audit = curator.fsck(deep=True)
+    assert not audit["ok"] and any("quality" in e for e in audit["errors"])
+    assert curator.fsck()["ok"]  # shallow is blind — row counts intact
+
+    # contamination (benchmark 5-gram present)
+    rewrite(ids, [_pad(_BENCH_GRAM + " smuggled back in", 250)] * n)
+    audit = curator.fsck(deep=True)
+    assert not audit["ok"] and any("contaminated" in e for e in audit["errors"])
+
+    # benchmark-id cutoff violation
+    rewrite([1] * n, orig["text"].to_pylist())
+    audit = curator.fsck(deep=True)
+    assert not audit["ok"] and any("cutoff" in e for e in audit["errors"])
+
+    # restore -> healthy; then corrupt the OWNED INDEX and see it propagate
+    pq.write_table(orig, victim)
+    assert curator.fsck(deep=True)["ok"]
+    idx_file = next(
+        f for f in curator.idx._row_files() if pq.read_metadata(f).num_rows
+    )
+    it = pq.read_table(idx_file)
+    pq.write_table(it.rename_columns(["x", "band_hash", "doc_id"]), idx_file)
+    audit = curator.fsck(deep=True)
+    assert not audit["ok"] and any("near-dup index" in e for e in audit["errors"])
+    assert curator.fsck()["ok"]  # shallow still blind
+
+
+def test_cli_fsck_missing_store_is_an_error(tmp_path):
+    """A read-only audit of a mistyped/lost store path must FAIL, not
+    silently create a fresh empty store and report it healthy."""
+    import json as _json
+
+    from nostr_data_pipeline_ray.cli import main
+
+    missing = str(tmp_path / "no_such_index")
+    rc = main(["fsck", "--neardup-index", missing])
+    assert rc == 1
+    assert not os.path.exists(missing)  # nothing was created
+    rc = main(["fsck", "--ann-index", str(tmp_path / "nope2"),
+               "--curator", str(tmp_path / "nope3")])
+    assert rc == 1
+    assert not os.path.exists(str(tmp_path / "nope2"))
+    assert not os.path.exists(str(tmp_path / "nope3"))

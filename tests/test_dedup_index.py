@@ -230,3 +230,56 @@ def test_verify_prune_path_agrees_with_full_stream(tmp_path, monkeypatch):
         return set(zip(df["doc_a"], df["doc_b"]))
 
     assert run(True) == run(False) >= {(3, 100), (101, 102)}
+
+
+def _first_row_file(idx):
+    import os
+
+    for f in idx._row_files():
+        import pyarrow.parquet as pq
+
+        if pq.read_metadata(f).num_rows:
+            return f
+    raise AssertionError("no nonempty committed file")
+
+
+def test_deep_fsck_catches_content_corruption(tmp_path, ray_session):
+    """Deep mode validates row CONTENTS the shallow footer sums can't see:
+    out-of-range band values, unsorted band_hash, wrong schema — each
+    planted with the row count preserved so only deep can catch it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    idx.bootstrap(_docs(BASE), update_id="e1")
+    assert idx.fsck(deep=True)["ok"]
+    victim = _first_row_file(idx)
+    orig = pq.read_table(victim)
+
+    # band out of range
+    bad = orig.set_column(
+        orig.schema.get_field_index("band"),
+        "band",
+        pa.array(
+            np.full(orig.num_rows, idx.meta["bands"] + 3, np.int64), pa.int64()
+        ),
+    )
+    pq.write_table(bad, victim)
+    audit = idx.fsck(deep=True)
+    assert not audit["ok"] and any("band values" in e for e in audit["errors"])
+    assert idx.fsck()["ok"]  # shallow is blind to it — deep is the point
+
+    # band_hash unsorted (breaks the row-group pruning contract)
+    rev = orig.sort_by([("band_hash", "descending")])
+    pq.write_table(rev, victim)
+    audit = idx.fsck(deep=True)
+    assert not audit["ok"] and any("not sorted" in e for e in audit["errors"])
+
+    # wrong schema
+    pq.write_table(orig.rename_columns(["x", "band_hash", "doc_id"]), victim)
+    audit = idx.fsck(deep=True)
+    assert not audit["ok"] and any("schema" in e for e in audit["errors"])
+
+    # restore -> healthy again
+    pq.write_table(orig, victim)
+    assert idx.fsck(deep=True)["ok"]
