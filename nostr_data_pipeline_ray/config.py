@@ -42,13 +42,16 @@ class EngineConfig:
     # tmpfs path (e.g. /dev/shm/...) models per-node scratch bandwidth.
     # None → inside the lake directory.
     scratch_dir: str | None = None
-    # exchange file format: "parquet" (snappy) compresses the shuffle — the
-    # right choice when staged bytes cross a network, and the compression is
-    # parallel CPU work so it also scales better; "ipc" (uncompressed Arrow)
-    # is ~35% faster absolute on single-node tmpfs but memory-bandwidth-bound;
-    # "ipc-lz4" / "ipc-zstd" buffer-compress the IPC frames — the byte/CPU
-    # middle points (see BASELINE.md exchange matrix).
-    staged_format: str = "parquet"
+    # exchange file format. "auto" (default, POLICY since the r4 exchange
+    # matrix): "ipc-lz4" when the scratch filesystem is node-local (tmpfs /
+    # local ext4/xfs — lz4 won BOTH 32-CPU throughput, 4.16M ev/s, and 8→32
+    # scaling efficiency there), "parquet" when scratch looks like shared /
+    # network storage (snappy-compressed bytes crossing a network, plus
+    # tooling ubiquity) or the filesystem is unknown. Explicit values:
+    # "parquet"; "ipc" (uncompressed Arrow — ~35% faster absolute on tmpfs
+    # but memory-bandwidth-bound); "ipc-lz4" / "ipc-zstd" buffer-compress
+    # the IPC frames (see BASELINE.md exchange matrix).
+    staged_format: str = "auto"
     # dictionary-encode string columns of IPC staged files (parquet already
     # dict-encodes pages internally). Measured: no win on this workload —
     # the exchange bytes are dominated by near-unique transcript text, which
@@ -82,8 +85,49 @@ class EngineConfig:
             epoch_segments=int(os.environ.get("NDP_EPOCH_SEGMENTS", 8)),
             batch_size=int(os.environ.get("NDP_BATCH_SIZE", 65536)),
             scratch_dir=os.environ.get("NDP_SCRATCH_DIR") or None,
-            staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
+            staged_format=os.environ.get("NDP_STAGED_FORMAT", "auto"),
             staged_dict=bool(int(os.environ.get("NDP_STAGED_DICT", "0"))),
             merge_policy=os.environ.get("NDP_MERGE_POLICY", "rewrite"),
             snapshot_cache_mb=int(os.environ.get("NDP_SNAPSHOT_CACHE_MB", 0)),
         )
+
+
+# filesystem types considered node-local for staged-exchange purposes: the
+# lz4-compressed IPC frames only pay off when encode/decode bandwidth is the
+# bottleneck, not network bytes
+_LOCAL_FS_TYPES = {
+    "tmpfs", "ramfs", "ext4", "xfs", "btrfs", "zfs", "f2fs", "overlay",
+    "devtmpfs",
+}
+
+
+def _fs_type(path: str) -> str | None:
+    """Filesystem type of the longest /proc/mounts prefix of ``path``
+    (the path need not exist yet — staged dirs are created lazily)."""
+    path = os.path.realpath(path)
+    best, fstype = "", None
+    try:
+        with open("/proc/mounts") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                mnt, t = parts[1], parts[2]
+                pref = mnt.rstrip("/") + "/"
+                if (path == mnt or path.startswith(pref)) and len(mnt) > len(best):
+                    best, fstype = mnt, t
+    except OSError:
+        return None
+    return fstype
+
+
+def resolve_staged_format(fmt: str, scratch_path: str) -> str:
+    """Resolve ``staged_format="auto"`` against the scratch location:
+    ipc-lz4 on node-local filesystems (tmpfs/local disk — the r4 exchange
+    matrix's winner for both throughput and scaling there), parquet on
+    shared/network storage or when the filesystem is unrecognizable
+    (conservative: compressed bytes + tooling ubiquity). Explicit formats
+    pass through untouched."""
+    if fmt != "auto":
+        return fmt
+    return "ipc-lz4" if _fs_type(scratch_path) in _LOCAL_FS_TYPES else "parquet"

@@ -155,10 +155,11 @@ class IvfIndex:
 
     # -- build ------------------------------------------------------------
 
-    def bootstrap(self, vecs, update_id: str, sample_max: int = 100_000,
-                  input_bytes: int | None = None) -> int:
-        """Train the quantizer on a bounded sample of ``vecs`` (a Dataset of
-        (vec_id, embedding)), then fold the whole input in as epoch 1."""
+    def train(self, vecs, sample_max: int = 100_000) -> np.ndarray:
+        """Train the coarse quantizer on a bounded sample of ``vecs`` (a
+        Dataset of (vec_id, embedding)) WITHOUT folding anything in — the
+        embedding curator mines its bootstrap epoch's pairs between train
+        and add, the same mine-before-fold order as MinHashIndex.update."""
         if self._centroids is not None:
             raise ValueError("index already bootstrapped — use add()")
         sample_df = vecs.limit(sample_max).to_pandas()  # bounded by design
@@ -170,6 +171,13 @@ class IvfIndex:
         self._centroids = cent
         self.meta["dim"] = dim
         self._write_meta()
+        return cent
+
+    def bootstrap(self, vecs, update_id: str, sample_max: int = 100_000,
+                  input_bytes: int | None = None) -> int:
+        """Train the quantizer on a bounded sample of ``vecs`` (a Dataset of
+        (vec_id, embedding)), then fold the whole input in as epoch 1."""
+        self.train(vecs, sample_max=sample_max)
         return self.add(vecs, update_id, input_bytes=input_bytes)
 
     def add(self, vecs, update_id: str, input_bytes: int | None = None) -> int:

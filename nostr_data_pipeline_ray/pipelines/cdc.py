@@ -697,8 +697,14 @@ def apply_epoch(
             batch_size=config.batch_size,
         )
         delta = part if delta is None else delta.union(part)
+    from ..config import resolve_staged_format
+
     split = SplitStage(
-        staged_root, config.num_partitions, config.staged_format, config.staged_dict
+        staged_root,
+        config.num_partitions,
+        # "auto": ipc-lz4 on node-local scratch, parquet on shared storage
+        resolve_staged_format(config.staged_format, scratch),
+        config.staged_dict,
     )
     meta_rows = (
         delta.map_batches(precombine, batch_format="pyarrow", batch_size=None)

@@ -321,144 +321,13 @@ class IncrementalCurator:
 
     @staticmethod
     def _epoch_bytes(new_docs) -> int | None:
-        try:
-            return new_docs.size_bytes()  # materialized — free
-        except Exception:
-            return None
+        return _epoch_bytes(new_docs)
 
     def _losers_driver(self, new_docs, pairs_ds):
-        """Gate-bounded loser computation: collect the epoch's ids and the
-        mined pairs (both ≤ _DRIVER_EPOCH_MAX by the caller's gate), resolve
-        FWW + new×new components driver-side. Returns (Dataset[loser_id],
-        n_lost)."""
-        from ..stages.graph import connected_components
-
-        pdf = (pairs_ds.to_pandas() if pairs_ds is not None
-               else pd.DataFrame(columns=["doc_a", "doc_b"]))
-        new_ids = new_docs.map_batches(
-            lambda b: b[["doc_id"]], batch_format="pandas"
-        ).to_pandas()["doc_id"].to_numpy(np.int64)
-        # edges where at least one endpoint is old → the new endpoint loses
-        lost: set[int] = set()
-        nn_edges = pd.DataFrame(columns=["src", "dst"])
-        if len(pdf):
-            a = pdf["doc_a"].to_numpy(np.int64)
-            b = pdf["doc_b"].to_numpy(np.int64)
-            a_new, b_new = np.isin(a, new_ids), np.isin(b, new_ids)
-            both = a_new & b_new
-            lost.update(a[a_new & ~b_new].tolist())
-            lost.update(b[b_new & ~a_new].tolist())
-            nn_edges = pd.DataFrame({"src": a[both], "dst": b[both]})
-        if len(nn_edges):
-            edges = rd.from_pandas(nn_edges.astype("int64"))
-            labels = connected_components(edges).to_pandas()
-            by_label: dict[int, list[int]] = {}
-            for node, lab in zip(labels["node"], labels["label"]):
-                by_label.setdefault(int(lab), []).append(int(node))
-            for lab, members in by_label.items():
-                if any(m in lost for m in members):
-                    lost.update(members)  # transitively joined an old cluster
-                else:
-                    lost.update(m for m in members if m != min(members))
-        arr = np.sort(np.fromiter(lost, dtype=np.int64, count=len(lost)))
-        lost_ds = rd.from_pandas(pd.DataFrame({"loser_id": arr}))
-        return lost_ds, len(lost)
+        return _losers_driver(new_docs, pairs_ds)
 
     def _losers_distributed(self, new_docs, pairs_ds):
-        """Bootstrap-scale loser computation — the dedup_survivors pattern:
-        endpoint novelty via bucketed semi/anti joins against the epoch's id
-        set, mixed-edge losers map-side, new×new components via the
-        checkpointed CC loop, per-label FWW argmin vectorized inside one
-        bucketed exchange. Nothing epoch- or corpus-sized on the driver.
-        Returns (Dataset[loser_id] distinct, n_lost)."""
-        from ..stages.graph import connected_components
-        from ..stages.joins import bucketed_hash_join
-        from ..stages.shuffle import bucketed_map_groups
-
-        eb = self._epoch_bytes(new_docs)
-        empty = rd.from_arrow(
-            pa.schema([("loser_id", pa.int64())]).empty_table()
-        )
-        if pairs_ds is None:
-            return empty, 0
-        new_ids = new_docs.map_batches(
-            lambda b: b[["doc_id"]], batch_format="pandas"
-        )
-        p = pairs_ds.map_batches(
-            lambda b: b[["doc_a", "doc_b"]], batch_format="pandas"
-        )
-        # classify both endpoints: two semi/anti splits per side
-        a_new = bucketed_hash_join(
-            p, new_ids, ["doc_a"], ["doc_id"], "left_semi", input_bytes=eb
-        )
-        a_old = bucketed_hash_join(
-            p, new_ids, ["doc_a"], ["doc_id"], "left_anti", input_bytes=eb
-        )
-        both_new = bucketed_hash_join(
-            a_new, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
-        )
-        a_only = bucketed_hash_join(  # doc_a new, doc_b old → doc_a loses
-            a_new, new_ids, ["doc_b"], ["doc_id"], "left_anti", input_bytes=eb
-        )
-        b_only = bucketed_hash_join(  # doc_b new, doc_a old → doc_b loses
-            a_old, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
-        )
-        lost_mixed = a_only.map_batches(
-            lambda b: pd.DataFrame({"loser_id": b["doc_a"].astype("int64")}),
-            batch_format="pandas",
-        ).union(
-            b_only.map_batches(
-                lambda b: pd.DataFrame({"loser_id": b["doc_b"].astype("int64")}),
-                batch_format="pandas",
-            )
-        ).materialize()
-
-        nn_edges = both_new.map_batches(
-            lambda b: pd.DataFrame(
-                {"src": b["doc_a"].astype("int64"),
-                 "dst": b["doc_b"].astype("int64")}
-            ),
-            batch_format="pandas",
-        ).materialize()
-        lost = lost_mixed
-        if nn_edges.count():
-            labels = connected_components(nn_edges, input_bytes=eb)
-            # members already lost through a mixed edge drag their whole
-            # component down (transitive membership in an existing cluster)
-            flagged = bucketed_hash_join(
-                labels, lost_mixed, ["node"], ["loser_id"], "left_semi",
-                input_bytes=eb,
-            ).map_batches(
-                lambda b: b.assign(f=np.int8(1)), batch_format="pandas"
-            )
-            tagged = labels.map_batches(
-                lambda b: b.assign(f=np.int8(0)), batch_format="pandas"
-            ).union(flagged)
-
-            def cc_losers(g: pd.DataFrame) -> pd.DataFrame:
-                per = (
-                    g.groupby(["label", "node"], sort=False)["f"]
-                    .max().reset_index()
-                )
-                any_lost = per.groupby("label", sort=False)["f"].transform("max")
-                min_node = per.groupby("label", sort=False)["node"].transform("min")
-                is_loser = (any_lost == 1) | (per["node"] != min_node)
-                return pd.DataFrame(
-                    {"loser_id": per.loc[is_loser, "node"].astype("int64")}
-                )
-
-            lost = lost.union(
-                bucketed_map_groups(tagged, ["label"], cc_losers, input_bytes=eb)
-            )
-
-        distinct = bucketed_map_groups(
-            lost,
-            ["loser_id"],
-            lambda g: g.drop_duplicates(),
-            pre=lambda b: b.drop_duplicates(),
-            input_bytes=eb,
-        ).materialize()
-        return distinct, distinct.count()
+        return _losers_distributed(new_docs, pairs_ds, _epoch_bytes(new_docs))
 
     def _commit_epoch(self, survivors, n_kept: int, update_id: str) -> None:
         from ..state.lake import dir_writer_lock
@@ -535,6 +404,151 @@ class IncrementalCurator:
             errors.append(f"near-dup index: {sub_audit['errors']}")
         return {"ok": not errors, "errors": errors, "rows": total}
 
+
+
+
+def _epoch_bytes(new_docs) -> int | None:
+    try:
+        return new_docs.size_bytes()  # materialized — free
+    except Exception:
+        return None
+
+
+def _losers_driver(new_docs, pairs_ds):
+    """Gate-bounded FWW loser computation (shared by the text and embedding
+    curators — ``new_docs`` only needs a ``doc_id`` column, ``pairs_ds``
+    needs ``doc_a``/``doc_b``): collect the epoch's ids and the mined pairs
+    (both ≤ _DRIVER_EPOCH_MAX by the caller's gate), resolve mixed-edge and
+    new×new-component losses driver-side. Returns (Dataset[loser_id],
+    n_lost)."""
+    from ..stages.graph import connected_components
+
+    pdf = (pairs_ds.to_pandas() if pairs_ds is not None
+           else pd.DataFrame(columns=["doc_a", "doc_b"]))
+    new_ids = new_docs.map_batches(
+        lambda b: b[["doc_id"]], batch_format="pandas"
+    ).to_pandas()["doc_id"].to_numpy(np.int64)
+    # edges where at least one endpoint is old → the new endpoint loses
+    lost: set[int] = set()
+    nn_edges = pd.DataFrame(columns=["src", "dst"])
+    if len(pdf):
+        a = pdf["doc_a"].to_numpy(np.int64)
+        b = pdf["doc_b"].to_numpy(np.int64)
+        a_new, b_new = np.isin(a, new_ids), np.isin(b, new_ids)
+        both = a_new & b_new
+        lost.update(a[a_new & ~b_new].tolist())
+        lost.update(b[b_new & ~a_new].tolist())
+        nn_edges = pd.DataFrame({"src": a[both], "dst": b[both]})
+    if len(nn_edges):
+        edges = rd.from_pandas(nn_edges.astype("int64"))
+        labels = connected_components(edges).to_pandas()
+        by_label: dict[int, list[int]] = {}
+        for node, lab in zip(labels["node"], labels["label"]):
+            by_label.setdefault(int(lab), []).append(int(node))
+        for lab, members in by_label.items():
+            if any(m in lost for m in members):
+                lost.update(members)  # transitively joined an old cluster
+            else:
+                lost.update(m for m in members if m != min(members))
+    arr = np.sort(np.fromiter(lost, dtype=np.int64, count=len(lost)))
+    lost_ds = rd.from_pandas(pd.DataFrame({"loser_id": arr}))
+    return lost_ds, len(lost)
+
+def _losers_distributed(new_docs, pairs_ds, epoch_bytes=None):
+    """Bootstrap-scale loser computation — the dedup_survivors pattern:
+    endpoint novelty via bucketed semi/anti joins against the epoch's id
+    set, mixed-edge losers map-side, new×new components via the
+    checkpointed CC loop, per-label FWW argmin vectorized inside one
+    bucketed exchange. Nothing epoch- or corpus-sized on the driver.
+    Returns (Dataset[loser_id] distinct, n_lost)."""
+    from ..stages.graph import connected_components
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    eb = epoch_bytes if epoch_bytes is not None else _epoch_bytes(new_docs)
+    empty = rd.from_arrow(
+        pa.schema([("loser_id", pa.int64())]).empty_table()
+    )
+    if pairs_ds is None:
+        return empty, 0
+    new_ids = new_docs.map_batches(
+        lambda b: b[["doc_id"]], batch_format="pandas"
+    )
+    p = pairs_ds.map_batches(
+        lambda b: b[["doc_a", "doc_b"]], batch_format="pandas"
+    )
+    # classify both endpoints: two semi/anti splits per side
+    a_new = bucketed_hash_join(
+        p, new_ids, ["doc_a"], ["doc_id"], "left_semi", input_bytes=eb
+    )
+    a_old = bucketed_hash_join(
+        p, new_ids, ["doc_a"], ["doc_id"], "left_anti", input_bytes=eb
+    )
+    both_new = bucketed_hash_join(
+        a_new, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
+    )
+    a_only = bucketed_hash_join(  # doc_a new, doc_b old → doc_a loses
+        a_new, new_ids, ["doc_b"], ["doc_id"], "left_anti", input_bytes=eb
+    )
+    b_only = bucketed_hash_join(  # doc_b new, doc_a old → doc_b loses
+        a_old, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
+    )
+    lost_mixed = a_only.map_batches(
+        lambda b: pd.DataFrame({"loser_id": b["doc_a"].astype("int64")}),
+        batch_format="pandas",
+    ).union(
+        b_only.map_batches(
+            lambda b: pd.DataFrame({"loser_id": b["doc_b"].astype("int64")}),
+            batch_format="pandas",
+        )
+    ).materialize()
+
+    nn_edges = both_new.map_batches(
+        lambda b: pd.DataFrame(
+            {"src": b["doc_a"].astype("int64"),
+             "dst": b["doc_b"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    lost = lost_mixed
+    if nn_edges.count():
+        labels = connected_components(nn_edges, input_bytes=eb)
+        # members already lost through a mixed edge drag their whole
+        # component down (transitive membership in an existing cluster)
+        flagged = bucketed_hash_join(
+            labels, lost_mixed, ["node"], ["loser_id"], "left_semi",
+            input_bytes=eb,
+        ).map_batches(
+            lambda b: b.assign(f=np.int8(1)), batch_format="pandas"
+        )
+        tagged = labels.map_batches(
+            lambda b: b.assign(f=np.int8(0)), batch_format="pandas"
+        ).union(flagged)
+
+        def cc_losers(g: pd.DataFrame) -> pd.DataFrame:
+            per = (
+                g.groupby(["label", "node"], sort=False)["f"]
+                .max().reset_index()
+            )
+            any_lost = per.groupby("label", sort=False)["f"].transform("max")
+            min_node = per.groupby("label", sort=False)["node"].transform("min")
+            is_loser = (any_lost == 1) | (per["node"] != min_node)
+            return pd.DataFrame(
+                {"loser_id": per.loc[is_loser, "node"].astype("int64")}
+            )
+
+        lost = lost.union(
+            bucketed_map_groups(tagged, ["label"], cc_losers, input_bytes=eb)
+        )
+
+    distinct = bucketed_map_groups(
+        lost,
+        ["loser_id"],
+        lambda g: g.drop_duplicates(),
+        pre=lambda b: b.drop_duplicates(),
+        input_bytes=eb,
+    ).materialize()
+    return distinct, distinct.count()
 
 def q_incremental_curation(sf_dir: str):
     """Driver-facing demo of the incremental flow: bootstrap the curator on
@@ -623,7 +637,356 @@ def q_incremental_curation_epoch(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+class EmbeddingCurator:
+    """Epoch-incremental embedding dedup — the IVF-index twin of
+    ``IncrementalCurator`` (which uses MinHashIndex as its near-dup
+    memory): each epoch's vectors fold into a persisted ``IvfIndex`` and
+    near-duplicates by cosine are dropped first-writer-wins across epochs.
+
+    Mining is the MinHashIndex.update pattern transposed to vector space:
+    candidates are generated ONLY within the inverted lists the epoch
+    touches — each new vector probes its ``mine_probes`` nearest lists,
+    the stored vectors of exactly those lists are point-read from the
+    index's per-list files (the index IS the vector storage), and exact
+    cosine runs per list inside one bucketed exchange (never an all-pairs
+    scan; recall is bounded by list co-location, same contract as LSH
+    banding — raise mine_probes for recall, like nprobe at query time).
+    Mine-before-fold order makes a retried epoch re-mine identically
+    (self-pairs are excluded by vec_id, and the loser classification is by
+    id membership, not storage state). Losers resolve through the SAME
+    gated dual-path FWW machinery as the text curator (_losers_driver /
+    _losers_distributed). Survivor ids commit exactly like every store
+    here: staged epoch subdir + atomic meta + update_id exactly-once under
+    the single-writer flock."""
+
+    META = "emb_curator_meta.json"
+    FORMAT = 1
+
+    def __init__(self, root: str, threshold: float = 0.42,
+                 mine_probes: int = 4, **ivf_params):
+        from .ann_index import IvfIndex
+
+        self.root = root
+        self.curated_dir = os.path.join(root, "curated")
+        self.idx = IvfIndex(os.path.join(root, "ann_index"), **ivf_params)
+        meta_path = os.path.join(root, self.META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
+            if self.meta.get("format") != self.FORMAT:
+                raise ValueError(f"embedding curator at {root} uses a different format")
+            if self.meta["threshold"] != threshold and threshold != 0.42:
+                raise ValueError(
+                    f"embedding curator at {root} was built with threshold "
+                    f"{self.meta['threshold']}, not {threshold}"
+                )
+        else:
+            os.makedirs(self.curated_dir, exist_ok=True)
+            self.meta = {
+                "format": self.FORMAT,
+                "threshold": threshold,
+                "mine_probes": mine_probes,
+                "committed": [],
+                "applied_ids": [],
+                "n_curated": 0,
+            }
+            self._write_meta()
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.root, f".{self.META}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.root, self.META))
+
+    # -- epochs -------------------------------------------------------------
+
+    def bootstrap(self, vecs, update_id: str) -> dict:
+        """Epoch 1: train the coarse quantizer, then ingest the corpus
+        (mining its internal near-dups new×new, min-id canonical)."""
+        self.idx.train(vecs)
+        return self.ingest(vecs, update_id)
+
+    def ingest(self, new_vecs, update_id: str) -> dict:
+        """Dedup one epoch's vectors against the index memory (and each
+        other), fold ALL of them into the index (losers stay visible as
+        candidate memory — the MinHash curator's convention), append
+        survivor ids to curated/."""
+        from ..functions.linalg import sq_dists
+        from .dedup_index import _MAX_BUCKET
+
+        if self.idx._centroids is None:
+            raise ValueError("bootstrap() first — the quantizer is untrained")
+        if update_id in self.meta["applied_ids"]:
+            return {"applied": False, "update_id": update_id}
+
+        new_vecs = new_vecs.materialize()
+        n_new = new_vecs.count()
+        known = int(self.idx.meta["n_vecs"])
+        thr = self.meta["threshold"]
+        dim = self.idx.meta["dim"]
+        probes = min(self.meta["mine_probes"], len(self.idx._centroids))
+        cref = ray.put(self.idx._centroids)
+
+        def probe_lists(b: pd.DataFrame) -> pd.DataFrame:
+            # explode each new vector to its `probes` nearest lists (the
+            # mining candidate space; storage assignment stays top-1 in add)
+            if not len(b):
+                return pd.DataFrame({
+                    "list_id": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "embedding": pd.Series(dtype="object"),
+                    "is_new": pd.Series(dtype="int8"),
+                })
+            cent = cached_get(cref)
+            m = np.stack(b["embedding"].to_numpy()).reshape(-1, dim)
+            d2 = sq_dists(m, cent)
+            top = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+            n = len(b)
+            return pd.DataFrame({
+                "list_id": top.ravel().astype(np.int64),
+                "vec_id": np.repeat(b["vec_id"].to_numpy(np.int64), probes),
+                "embedding": np.repeat(b["embedding"].to_numpy(), probes),
+                "is_new": np.int8(1),
+            })
+
+        sig_new = new_vecs.map_batches(
+            probe_lists, batch_format="pandas"
+        ).materialize()
+        eb = _epoch_bytes(sig_new)
+
+        # touched lists: bounded by n_lists (≈ sqrt(corpus)) by construction
+        touched = sorted(
+            set(
+                sig_new.map_batches(
+                    lambda b: b[["list_id"]].drop_duplicates(),
+                    batch_format="pandas",
+                ).to_pandas()["list_id"].tolist()
+            )
+        )
+        files = self.idx._list_files(touched)
+        tagged = sig_new
+        if files:
+            dead = self.idx._tombstone_ids()
+            dead_ref = ray.put(dead)
+
+            def old_rows(b: pd.DataFrame) -> pd.DataFrame:
+                lids = (
+                    b["path"].str.rsplit("-", n=1).str[-1]
+                    .str.removesuffix(".parquet").astype("int64")
+                )
+                out = pd.DataFrame({
+                    "list_id": lids,
+                    "vec_id": b["vec_id"].astype("int64"),
+                    "embedding": b["embedding"],
+                    "is_new": np.int8(0),
+                })
+                dead_w = cached_get(dead_ref)
+                if len(dead_w):
+                    out = out[~np.isin(out["vec_id"].to_numpy(), dead_w)]
+                return out
+
+            old = rd.read_parquet(files, include_paths=True).map_batches(
+                old_rows, batch_format="pandas"
+            )
+            old_bytes = sum(os.path.getsize(f) for f in files)
+            eb = (eb or 0) + old_bytes
+            tagged = tagged.union(old)
+
+        def pair_fn(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                  "doc_b": pd.Series(dtype="int64")})
+            outs = []
+            for _, grp in g.groupby("list_id", sort=False):
+                # a vec may appear as both new (probe replica) and old
+                # (stored) — classify by ANY new row, keep one embedding
+                per = grp.sort_values("is_new", ascending=False).drop_duplicates(
+                    "vec_id"
+                )
+                newg = per[per["is_new"] == 1].sort_values("vec_id")[:_MAX_BUCKET]
+                oldg = per[per["is_new"] == 0].sort_values("vec_id")[:_MAX_BUCKET]
+                if not len(newg):
+                    continue
+                mn = np.stack(newg["embedding"].to_numpy()).reshape(-1, dim)
+                mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True), 1e-30)
+                ids_n = newg["vec_id"].to_numpy(np.int64)
+                if len(oldg):
+                    mo = np.stack(oldg["embedding"].to_numpy()).reshape(-1, dim)
+                    mo = mo / np.maximum(
+                        np.linalg.norm(mo, axis=1, keepdims=True), 1e-30
+                    )
+                    ids_o = oldg["vec_id"].to_numpy(np.int64)
+                    s = mn @ mo.T
+                    ia, ib = np.where(s >= thr)
+                    aa, bb = ids_n[ia], ids_o[ib]
+                    keep = aa != bb  # a re-ingested vec never pairs with itself
+                    outs.append(pd.DataFrame({
+                        "doc_a": np.minimum(aa[keep], bb[keep]),
+                        "doc_b": np.maximum(aa[keep], bb[keep]),
+                    }))
+                if len(newg) >= 2:
+                    s = mn @ mn.T
+                    ia, ib = np.triu_indices(len(ids_n), k=1)
+                    hit = s[ia, ib] >= thr
+                    outs.append(pd.DataFrame({
+                        "doc_a": ids_n[ia[hit]], "doc_b": ids_n[ib[hit]],
+                    }))
+            if not outs:
+                return empty
+            out = pd.concat(outs, ignore_index=True).drop_duplicates()
+            return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+        from ..stages.shuffle import bucketed_map_groups
+
+        pairs = bucketed_map_groups(
+            tagged, ["list_id"], pair_fn, input_bytes=eb
+        ).materialize()
+        pairs_ds = pairs if pairs.count() else None
+        n_pairs = pairs_ds.count() if pairs_ds is not None else 0
+
+        new_ids = sig_new.map_batches(
+            lambda b: b[["vec_id"]].drop_duplicates().rename(
+                columns={"vec_id": "doc_id"}
+            ),
+            batch_format="pandas",
+        )
+        driver_path = (
+            _DRIVER_EPOCH is True
+            or (_DRIVER_EPOCH == "auto"
+                and n_new <= _DRIVER_EPOCH_MAX and n_pairs <= _DRIVER_EPOCH_MAX)
+        )
+        if driver_path:
+            lost_ds, n_lost = _losers_driver(new_ids, pairs_ds)
+        else:
+            lost_ds, n_lost = _losers_distributed(new_ids, pairs_ds, eb)
+
+        survivors_src = new_vecs.map_batches(
+            lambda b: b[["vec_id"]], batch_format="pandas"
+        )
+        if n_lost == 0:
+            survivors = survivors_src
+        elif n_lost <= _DRIVER_EPOCH_MAX:
+            lost_arr = np.sort(lost_ds.to_pandas()["loser_id"].to_numpy(np.int64))
+            lost_ref = ray.put(lost_arr)
+            survivors = survivors_src.map_batches(
+                lambda b: b[~np.isin(b["vec_id"].to_numpy(), cached_get(lost_ref))],
+                batch_format="pandas",
+            )
+        else:
+            from ..stages.joins import bucketed_hash_join
+
+            survivors = bucketed_hash_join(
+                survivors_src, lost_ds, left_on=["vec_id"],
+                right_on=["loser_id"], how="left_anti", input_bytes=eb,
+            )
+        survivors = survivors.materialize()
+        n_kept = survivors.count()
+
+        # fold ALL epoch vectors into the index memory, then commit the
+        # survivor ids — idx.add is itself exactly-once by update_id, so a
+        # crash between the two leaves a retry that re-mines identically
+        self.idx.add(new_vecs, update_id, input_bytes=_epoch_bytes(new_vecs))
+        self._commit_epoch(survivors, n_kept, update_id)
+        return {
+            "applied": True,
+            "update_id": update_id,
+            "new_vecs": int(n_new),
+            "known_before": known,
+            "pairs": int(n_pairs),
+            "dropped_dedup": int(n_lost),
+            "curated": int(n_kept),
+            "total_curated": int(self.meta["n_curated"]),
+        }
+
+    def _commit_epoch(self, survivors, n_kept: int, update_id: str) -> None:
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.root, "embedding curator"):
+            sub = f"epoch-{len(self.meta['committed']):05d}"
+            target = os.path.join(self.curated_dir, sub)
+            shutil.rmtree(target, ignore_errors=True)
+            if n_kept:
+                survivors.write_parquet(target)
+            else:
+                os.makedirs(target, exist_ok=True)
+            self.meta["committed"].append(sub)
+            self.meta["applied_ids"].append(update_id)
+            self.meta["n_curated"] += n_kept
+            self._write_meta()
+
+    # -- read ---------------------------------------------------------------
+
+    def curated(self) -> "rd.Dataset":
+        files = [
+            os.path.join(self.curated_dir, sub, f)
+            for sub in self.meta["committed"]
+            if os.path.isdir(os.path.join(self.curated_dir, sub))
+            for f in sorted(os.listdir(os.path.join(self.curated_dir, sub)))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return rd.from_arrow(
+                pa.schema([("vec_id", pa.int64())]).empty_table()
+            )
+        return rd.read_parquet(files)
+
+    def fsck(self, deep: bool = False) -> dict:
+        """Committed epoch dirs exist; row totals match n_curated; the
+        owned IVF index passes its own audit (``deep`` propagates into its
+        per-list content scan)."""
+        errors, missing, total = [], [], 0
+        for sub in self.meta["committed"]:
+            d = os.path.join(self.curated_dir, sub)
+            if not os.path.isdir(d):
+                missing.append(sub)
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(d, f)).num_rows
+        if missing:
+            errors.append(f"committed epoch dirs missing: {missing}")
+        if not missing and total != self.meta["n_curated"]:
+            errors.append(f"curated rows {total} != n_curated {self.meta['n_curated']}")
+        sub_audit = self.idx.fsck(deep=deep)
+        if not sub_audit["ok"]:
+            errors.append(f"ivf index: {sub_audit['errors']}")
+        return {"ok": not errors, "errors": errors, "rows": total}
+
+
+def q_incremental_curation_embedding(sf_dir: str):
+    """Driver-facing demo of the embedding-dedup incremental flow: bootstrap
+    the embedding curator on the first 80% of vectors (trains the IVF
+    quantizer, dedups the bootstrap corpus new×new), ingest the remaining
+    20% as epoch 2 — dropping near-dups by cosine against the index memory,
+    O(epoch · touched lists), never all-pairs — and return the curated
+    vec_ids. Rows-only: FWW across epochs is order-dependent state (the
+    static SQL twin is `dedup_clusters_embedding`'s min-id convention)."""
+    import tempfile
+
+    from ..stages.shuffle import table_bytes, table_rows
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cut = int(table_rows(path) * 0.8)  # vec_ids are 0..n-1
+    blocks = min(64, max(2, table_bytes(path) >> 20))
+    vecs = rd.read_parquet(
+        path, columns=["vec_id", "embedding"], override_num_blocks=blocks
+    )
+    old = vecs.map_batches(lambda b: b[b["vec_id"] < cut], batch_format="pandas")
+    new = vecs.map_batches(lambda b: b[b["vec_id"] >= cut], batch_format="pandas")
+    work = tempfile.mkdtemp(prefix="embcur-", dir="/tmp")
+    try:
+        cur = EmbeddingCurator(work, threshold=0.42, n_lists=8)
+        cur.bootstrap(old, update_id="epoch-1")
+        cur.ingest(new, update_id="epoch-2")
+        out = cur.curated().map_batches(
+            lambda b: b[["vec_id"]], batch_format="pandas"
+        ).materialize()  # detach from the curator's files
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "incremental_curation": q_incremental_curation,
     "incremental_curation_epoch": q_incremental_curation_epoch,
+    "incremental_curation_embedding": q_incremental_curation_embedding,
 }

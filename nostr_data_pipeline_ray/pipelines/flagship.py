@@ -34,7 +34,7 @@ CONFIG = EngineConfig(
     turn_bucket=256,
     epoch_segments=64,
     scratch_dir=_SCRATCH,
-    staged_format=os.environ.get("NDP_STAGED_FORMAT", "parquet"),
+    staged_format=os.environ.get("NDP_STAGED_FORMAT", "auto"),
 )
 
 _SYNTH_ROOT = "/tmp/ndp_synth"

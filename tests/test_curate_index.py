@@ -279,3 +279,110 @@ def test_cli_fsck_missing_store_is_an_error(tmp_path):
     assert rc == 1
     assert not os.path.exists(str(tmp_path / "nope2"))
     assert not os.path.exists(str(tmp_path / "nope3"))
+
+
+def _vec_table(path, rows):
+    """rows: dict[vec_id -> np.ndarray]."""
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(list(rows), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in rows.values()],
+                pa.list_(pa.float64()),
+            ),
+        }),
+        path,
+    )
+    return rd.read_parquet(str(path))
+
+
+def test_embedding_curator_cross_epoch_fww(tmp_path, ray_session):
+    """IVF-backed embedding dedup across epochs: an epoch-2 near-dup of an
+    epoch-1 vector loses (FWW), an epoch-2 internal near-dup pair keeps its
+    min id, distinct vectors survive, retried epochs are exactly-once, and
+    a reopened curator continues from disk."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = {i: rng.standard_normal(dim) for i in range(10, 20)}
+    e1 = _vec_table(tmp_path / "e1.parquet", base)
+
+    cur = EmbeddingCurator(str(tmp_path / "cur"), threshold=0.9,
+                           n_lists=4, mine_probes=4)
+    out1 = cur.bootstrap(e1, update_id="e1")
+    assert out1["curated"] == 10 and out1["dropped_dedup"] == 0
+
+    b_new = rng.standard_normal(dim)
+    epoch2 = {
+        100: base[12] + 0.01 * rng.standard_normal(dim),  # ~ old 12: loses
+        101: b_new,                                       # new×new pair min id: survives
+        102: b_new + 0.01 * rng.standard_normal(dim),     # loses to 101
+        103: rng.standard_normal(dim),                    # distinct: survives
+    }
+    e2 = _vec_table(tmp_path / "e2.parquet", epoch2)
+    out2 = cur.ingest(e2, update_id="e2")
+    assert out2["new_vecs"] == 4
+    assert out2["dropped_dedup"] == 2  # 100 (vs old 12), 102 (vs new 101)
+    assert out2["curated"] == 2
+    got = set(cur.curated().to_pandas()["vec_id"])
+    assert got == set(base) | {101, 103}
+    assert cur.fsck(deep=True)["ok"]
+    # index memory holds EVERYTHING (losers included — candidate memory)
+    assert cur.idx.meta["n_vecs"] == 14
+
+    # retried epoch is exactly-once
+    again = cur.ingest(e2, update_id="e2")
+    assert again == {"applied": False, "update_id": "e2"}
+    assert cur.meta["n_curated"] == out2["total_curated"]
+
+    # reopen continues; epoch 3 near-dup of an epoch-2 SURVIVOR loses,
+    # near-dup of an epoch-2 LOSER also loses (losers stay in the memory)
+    reopened = EmbeddingCurator(cur.root, threshold=0.9)
+    epoch3 = {
+        200: epoch2[101] + 0.01 * rng.standard_normal(dim),  # ~ survivor 101
+        201: epoch2[102] + 0.01 * rng.standard_normal(dim),  # ~ loser 102
+        202: rng.standard_normal(dim),                       # survives
+    }
+    e3 = _vec_table(tmp_path / "e3.parquet", epoch3)
+    out3 = reopened.ingest(e3, update_id="e3")
+    assert out3["dropped_dedup"] == 2 and out3["curated"] == 1
+    assert 202 in set(reopened.curated().to_pandas()["vec_id"])
+
+
+def test_embedding_curator_distributed_losers_match(tmp_path, ray_session):
+    """The embedding curator rides the same gated dual-path FWW machinery:
+    forcing the distributed path must reproduce the driver path's summary
+    and curated ids."""
+    import nostr_data_pipeline_ray.pipelines.curate_index as ci
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    base = {i: rng.standard_normal(dim) for i in range(10)}
+    shared = rng.standard_normal(dim)
+    epoch2 = {
+        100: base[3] + 0.01 * rng.standard_normal(dim),
+        101: shared,
+        102: shared + 0.01 * rng.standard_normal(dim),
+        103: rng.standard_normal(dim),
+    }
+
+    def run(force):
+        e1 = _vec_table(tmp_path / f"a-{force}.parquet", base)
+        e2 = _vec_table(tmp_path / f"b-{force}.parquet", epoch2)
+        cur = EmbeddingCurator(str(tmp_path / f"cur-{force}"), threshold=0.9,
+                               n_lists=4, mine_probes=4)
+        cur.bootstrap(e1, update_id="e1")
+        old = ci._DRIVER_EPOCH
+        ci._DRIVER_EPOCH = force
+        try:
+            out = cur.ingest(e2, update_id="e2")
+        finally:
+            ci._DRIVER_EPOCH = old
+        return out, sorted(cur.curated().to_pandas()["vec_id"].tolist())
+
+    drv = run(True)
+    dst = run(False)
+    assert drv == dst
+    assert drv[0]["dropped_dedup"] == 2

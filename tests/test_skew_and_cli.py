@@ -187,3 +187,25 @@ def test_html_report_renders(tmp_path):
     assert not re.findall(r'(width|height|cx|cy|x1|x2|y1|y2|r)="(-[\d.]+)"', doc)
     starts = [tuple(map(float, m)) for m in re.findall(r'd="M(-?[\d.]+),(-?[\d.]+)', doc)]
     assert min(x for x, _ in starts) >= 0 and min(y for _, y in starts) >= 0
+
+
+def test_staged_format_auto_policy(tmp_path):
+    """'auto' resolves by scratch filesystem: node-local (tmpfs / local
+    disk) -> ipc-lz4 (the r4 exchange-matrix winner there), unknown/shared
+    -> parquet; explicit formats pass through."""
+    from nostr_data_pipeline_ray.config import (
+        _fs_type,
+        resolve_staged_format,
+    )
+
+    # this sandbox: /tmp is local (ext4), /dev/shm is tmpfs
+    assert resolve_staged_format("auto", str(tmp_path)) == "ipc-lz4"
+    assert resolve_staged_format("auto", "/dev/shm/anywhere") == "ipc-lz4"
+    assert resolve_staged_format("parquet", "/dev/shm/x") == "parquet"
+    assert resolve_staged_format("ipc-zstd", str(tmp_path)) == "ipc-zstd"
+    # a network-looking fs type falls back to parquet (simulated: the
+    # resolver maps any unrecognized type conservatively)
+    from nostr_data_pipeline_ray import config as cfgmod
+
+    assert cfgmod.resolve_staged_format("auto", "/proc") == "parquet"  # procfs
+    assert _fs_type("/proc") == "proc"
