@@ -236,4 +236,16 @@ print("\ndup spans: docs with cross-doc 5-gram overlap:",
       int(((trimmed["n_removed"] > 0)
            & (trimmed["text_clean"] == "")).sum()))
 
+# 15. the loop CLOSED — binlog → lake → incremental curation, keyed on the
+#     lake's own watermarks: each applied lake epoch drives exactly one
+#     curator epoch (update_id = manifest epoch), only partitions whose
+#     watermark moved are read, and an updated conversation keeps its first
+#     curated version (strict FWW). Re-running against an unchanged lake is
+#     a no-op.
+from nostr_data_pipeline_ray.pipelines.lake_docs import curate_epoch_from_lake
+
+loop_cur = f"{BASE}/lake_curator"
+print("\nlake-loop epoch 1:", curate_epoch_from_lake(lake, loop_cur))
+print("lake-loop rerun:  ", curate_epoch_from_lake(lake, loop_cur))
+
 ray.shutdown()

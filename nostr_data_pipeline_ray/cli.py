@@ -296,6 +296,21 @@ def cmd_curate(args) -> int:
     ``--from-lake`` feeds the chain from an applied CDC lake instead of a
     documents fixture (one document per conversation)."""
     _ray()
+    if args.from_lake and args.incremental:
+        # the standing loop: one exactly-once curator epoch per applied
+        # lake epoch, keyed on the lake's manifest epoch + watermarks
+        from .pipelines.lake_docs import curate_epoch_from_lake
+
+        print(json.dumps(curate_epoch_from_lake(
+            args.from_lake, args.incremental, benchmark=args.benchmark
+        )))
+        return 0
+    if args.incremental:
+        print("curate: --incremental requires --from-lake", file=sys.stderr)
+        return 2
+    if not args.out:
+        print("curate: --out is required (batch chain)", file=sys.stderr)
+        return 2
     if args.from_lake:
         from .pipelines.lake_docs import curate_from_lake
 
@@ -414,7 +429,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--benchmark",
                     help="documents table whose sub-cutoff rows are the "
                          "held-out set for decontamination (--from-lake only)")
-    cu.add_argument("--out", required=True)
+    cu.add_argument("--incremental", metavar="CURATOR_DIR",
+                    help="with --from-lake: run ONE incremental-curator "
+                         "epoch covering the lake epochs applied since the "
+                         "curator's last run (exactly-once per lake epoch; "
+                         "re-run on an unchanged lake is a no-op)")
+    cu.add_argument("--out", required=False,
+                    help="output dir (batch chain; not used with --incremental)")
     cu.add_argument("--budget", type=int, default=256, help="tokens per pack")
     cu.add_argument("--jsonl", action="store_true",
                     help="also write curated.jsonl/ (newline-delimited JSON)")

@@ -186,3 +186,174 @@ def curate_from_lake(
         table_rows(os.path.join(docs_sf, "documents.parquet"))
     )
     return summary
+
+
+def _changed_conv_ids(lake, changed_pk: list[int], prev_wm: dict[int, int]):
+    """Distinct conv_ids with at least one row applied after the cursor:
+    partition-level pruning first (only partitions whose watermark moved
+    are read at all), then a per-row lsn > prev-watermark[pkey] filter —
+    the lineage structure doing its job. Returns a Dataset[cid]."""
+    import ray
+
+    from ..stages.actors import cached_get
+    from .cdc import materialize_partition
+
+    thr_ref = ray.put({pk: prev_wm.get(pk, -1) for pk in changed_pk})
+    changed = set(changed_pk)
+    if lake.has_deltas():
+        import pyarrow.compute as pc_
+
+        parts = lake.partition_files()
+        items = [
+            {"pkey": pk, "base": b, "deltas": d}
+            for pk, (b, d) in sorted(parts.items())
+            if pk in changed
+        ]
+
+        def mat(batch: pa.Table) -> pa.Table:
+            thr = cached_get(thr_ref)
+            outs = []
+            for i in range(batch.num_rows):
+                pk = batch["pkey"][i].as_py()
+                t = materialize_partition(
+                    batch["base"][i].as_py(), list(batch["deltas"][i].as_py() or [])
+                )
+                hit = t.filter(pc_.greater(t["lsn"], thr[pk]))
+                outs.append(pa.table({"cid": hit["conv_id"]}))
+            return (
+                pa.concat_tables(outs)
+                if outs
+                else pa.table({"cid": pa.array([], pa.string())})
+            )
+
+        rows = rd.from_items(
+            items, override_num_blocks=max(1, len(items))
+        ).map_batches(mat, batch_format="pyarrow", batch_size=None)
+    else:
+        files = lake.snapshot_files(pkeys=sorted(changed))
+
+        def newer(df: pd.DataFrame) -> pd.DataFrame:
+            thr = cached_get(thr_ref)
+            lim = df["pkey"].map(thr).to_numpy()
+            return pd.DataFrame(
+                {"cid": df.loc[df["lsn"].to_numpy() > lim, "conv_id"]}
+            )
+
+        rows = rd.read_parquet(
+            files, columns=["conv_id", "lsn", "pkey"]
+        ).map_batches(newer, batch_format="pandas")
+    return bucketed_map_groups(
+        rows,
+        ["cid"],
+        lambda g: g.drop_duplicates(),
+        pre=lambda b: b.drop_duplicates(),
+        input_bytes=_lake_bytes(lake.root),
+    )
+
+
+def curate_epoch_from_lake(
+    lake_root: str, curator_root: str, benchmark: str | None = None
+) -> dict:
+    """One exactly-once INCREMENTAL curation epoch off the lake's own
+    watermarks — the loop closed: binlog → lake → incremental curation.
+
+    The curator epoch = conversations newly APPLIED since the curator's
+    last run: the update_id is the lake's manifest epoch (a re-run against
+    an unchanged lake is a no-op), changed conversations are found by
+    comparing the current per-partition watermarks against the manifest
+    retained at the curator's previous lake epoch (partitions whose
+    watermark didn't move are never read), and already-indexed doc_ids are
+    anti-joined away so an UPDATED conversation keeps its first curated
+    version (strict FWW — the curated corpus is append-only, versioning is
+    the lake's job). The full lake fold (``conversations_as_documents``) is
+    still materialized once per epoch as the verify-side corpus — the
+    selective stages (shingling, mining, curation) stay O(changed).
+
+    Requires the manifest chain to retain the curator's cursor epoch;
+    re-bootstrap a fresh curator if retention pruned it."""
+    from ..stages.joins import bucketed_hash_join
+    from ..state.lake import Lake
+    from .curate_index import IncrementalCurator
+
+    lake = Lake(lake_root)
+    m = lake.current_manifest()
+    if m is None:
+        raise ValueError(f"no committed lake at {lake_root}")
+    lake_epoch = int(m["epoch"])
+    cur = IncrementalCurator(curator_root, benchmark=benchmark)
+    update_id = f"lake-epoch-{lake_epoch}"
+    if update_id in cur.meta["applied_ids"]:
+        return {"applied": False, "update_id": update_id,
+                "lake_epoch": lake_epoch}
+
+    lb = _lake_bytes(lake_root)
+    docs = conversations_as_documents(lake_root).map_batches(
+        lambda b: b[["doc_id", "text", "conv_id"]], batch_format="pandas"
+    ).materialize()
+
+    prev_epochs = [
+        int(u.rsplit("-", 1)[1])
+        for u in cur.meta["applied_ids"]
+        if u.startswith("lake-epoch-")
+    ]
+    if cur.meta["quality_min"] is None:
+        # bootstrap: the whole lake is the curator's first epoch
+        out = cur.bootstrap(
+            docs.map_batches(lambda b: b[["doc_id", "text"]],
+                             batch_format="pandas"),
+            update_id, corpus_bytes=lb,
+        )
+        out["lake_epoch"] = lake_epoch
+        return out
+
+    prev = max(prev_epochs)
+    prev_path = os.path.join(lake_root, "manifests", f"epoch-{prev}.json")
+    if not os.path.exists(prev_path):
+        raise ValueError(
+            f"manifest epoch-{prev}.json was pruned by retention — the "
+            "watermark cursor is gone; re-bootstrap a fresh curator"
+        )
+    import json as _json
+
+    with open(prev_path) as f:
+        prev_wm = {int(k): int(v)
+                   for k, v in _json.load(f).get("watermarks", {}).items()}
+    wm_now = lake.watermarks()
+    changed_pk = sorted(pk for pk, w in wm_now.items()
+                        if w > prev_wm.get(pk, -1))
+    if changed_pk:
+        cids = _changed_conv_ids(lake, changed_pk, prev_wm)
+        new_docs = bucketed_hash_join(
+            docs, cids, left_on=["conv_id"], right_on=["cid"],
+            how="left_semi", input_bytes=lb,
+        )
+        # strict FWW: a conversation the index has already seen (an UPDATE,
+        # not an arrival) never re-enters — its first version is canonical
+        if cur.idx.meta["committed"]:
+            seen = rd.read_parquet(
+                cur.idx._row_files(), columns=["doc_id"]
+            ).map_batches(
+                lambda b: b.rename(columns={"doc_id": "seen_id"})
+                .drop_duplicates(),
+                batch_format="pandas",
+            )
+            new_docs = bucketed_hash_join(
+                new_docs, seen, left_on=["doc_id"], right_on=["seen_id"],
+                how="left_anti", input_bytes=lb,
+            )
+        new_docs = new_docs.map_batches(
+            lambda b: b[["doc_id", "text"]], batch_format="pandas"
+        )
+    else:
+        new_docs = rd.from_arrow(
+            pa.schema([("doc_id", pa.int64()),
+                       ("text", pa.string())]).empty_table()
+        )
+    out = cur.ingest(
+        new_docs,
+        docs.map_batches(lambda b: b[["doc_id", "text"]],
+                         batch_format="pandas"),
+        update_id, corpus_bytes=lb,
+    )
+    out["lake_epoch"] = lake_epoch
+    return out

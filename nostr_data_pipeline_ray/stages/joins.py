@@ -93,6 +93,16 @@ def bucketed_hash_join(
     overlap = set(lcols) & set(rcols)
     assert not overlap, f"bucketed_hash_join needs disjoint columns, got {overlap}"
 
+    def _arrow_type(t) -> pa.DataType:
+        # a pandas-block Dataset (e.g. out of bucketed_map_groups) reports
+        # numpy dtypes; object columns are strings throughout this engine
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
     def _na_dtype(t: pa.DataType) -> str:
         # nullable pandas dtypes so all-NA columns still carry the right
         # Arrow type (an object column of Nones would become `null` and the
@@ -107,8 +117,8 @@ def bucketed_hash_join(
             return "boolean"
         return "string"
 
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
     order = lcols + rcols  # identical column order on both sides
 
     def tag(side: int, keys: list[str], other_types: dict):
