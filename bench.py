@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     # so the best-of-2 min is a pure ingest epoch (the capacity-planning
     # number); incremental_curation above stays the bootstrap-inclusive demo
     "incremental_curation_epoch",
+    # round-5: the IVF-backed embedding curator (per-epoch cosine dedup
+    # against the persisted vector index, mining only touched lists)
+    "incremental_curation_embedding",
 ]
 
 
