@@ -39,10 +39,15 @@ def _entry_module():
     return entrymod
 
 
+_RAY_OWNED = False  # True only when the CLI itself started the session
+
+
 def _ray():
     import ray
 
     if not ray.is_initialized():
+        global _RAY_OWNED
+        _RAY_OWNED = True
         ray.init(
             address="local",
             include_dashboard=False,
@@ -270,12 +275,17 @@ def cmd_fsck(args) -> int:
 
         extras["curator"] = _open_store(
             IncrementalCurator, args.curator, "curator")
+    if getattr(args, "emb_curator", None):
+        from .pipelines.curate_index import EmbeddingCurator
+
+        extras["emb_curator"] = _open_store(
+            EmbeddingCurator, args.emb_curator, "embedding curator")
     extra_ok = all(v["ok"] for v in extras.values())
 
     if not args.lake:
         if not extras:
             print("fsck: one of --lake / --neardup-index / --ann-index / "
-                  "--curator is required", file=sys.stderr)
+                  "--curator / --emb-curator is required", file=sys.stderr)
             return 2
         print(json.dumps(extras, indent=2))
         return 0 if extra_ok else 1
@@ -417,6 +427,8 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--ann-index", dest="ann_index",
                     help="also audit a persisted IVF ANN index")
     fs.add_argument("--curator", help="also audit an incremental curator")
+    fs.add_argument("--emb-curator", dest="emb_curator",
+                    help="also audit an incremental embedding curator")
     fs.set_defaults(fn=cmd_fsck)
 
     cu = sub.add_parser(
@@ -456,7 +468,9 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         import ray
 
-        if ray.is_initialized():
+        # only tear down a session this CLI started — main() is also
+        # callable in-process (tests, notebooks) under a caller-owned Ray
+        if _RAY_OWNED and ray.is_initialized():
             ray.shutdown()
 
 

@@ -477,13 +477,15 @@ def _losers_distributed(new_docs, pairs_ds, epoch_bytes=None):
     p = pairs_ds.map_batches(
         lambda b: b[["doc_a", "doc_b"]], batch_format="pandas"
     )
-    # classify both endpoints: two semi/anti splits per side
+    # classify both endpoints: two semi/anti splits per side. Each split
+    # feeds TWO downstream joins — materialize so the lazy upstream isn't
+    # re-executed per consumer (pair sets are id-only, bytes are small)
     a_new = bucketed_hash_join(
         p, new_ids, ["doc_a"], ["doc_id"], "left_semi", input_bytes=eb
-    )
+    ).materialize()
     a_old = bucketed_hash_join(
         p, new_ids, ["doc_a"], ["doc_id"], "left_anti", input_bytes=eb
-    )
+    ).materialize()
     both_new = bucketed_hash_join(
         a_new, new_ids, ["doc_b"], ["doc_id"], "left_semi", input_bytes=eb
     )

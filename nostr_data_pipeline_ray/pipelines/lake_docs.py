@@ -306,18 +306,24 @@ def curate_epoch_from_lake(
         out["lake_epoch"] = lake_epoch
         return out
 
-    prev = max(prev_epochs)
-    prev_path = os.path.join(lake_root, "manifests", f"epoch-{prev}.json")
-    if not os.path.exists(prev_path):
-        raise ValueError(
-            f"manifest epoch-{prev}.json was pruned by retention — the "
-            "watermark cursor is gone; re-bootstrap a fresh curator"
-        )
-    import json as _json
+    if prev_epochs:
+        prev = max(prev_epochs)
+        prev_path = os.path.join(lake_root, "manifests", f"epoch-{prev}.json")
+        if not os.path.exists(prev_path):
+            raise ValueError(
+                f"manifest epoch-{prev}.json was pruned by retention — the "
+                "watermark cursor is gone; re-bootstrap a fresh curator"
+            )
+        import json as _json
 
-    with open(prev_path) as f:
-        prev_wm = {int(k): int(v)
-                   for k, v in _json.load(f).get("watermarks", {}).items()}
+        with open(prev_path) as f:
+            prev_wm = {int(k): int(v)
+                       for k, v in _json.load(f).get("watermarks", {}).items()}
+    else:
+        # curator bootstrapped outside the lake loop: no watermark cursor —
+        # treat every partition as changed once; the seen-id anti-join
+        # below still keeps already-indexed conversations out
+        prev_wm = {}
     wm_now = lake.watermarks()
     changed_pk = sorted(pk for pk, w in wm_now.items()
                         if w > prev_wm.get(pk, -1))

@@ -386,3 +386,29 @@ def test_embedding_curator_distributed_losers_match(tmp_path, ray_session):
     dst = run(False)
     assert drv == dst
     assert drv[0]["dropped_dedup"] == 2
+
+
+def test_cli_fsck_embedding_curator(tmp_path, ray_session):
+    """fsck --emb-curator audits a real store and errors on a missing one."""
+    import json as _json
+    from io import StringIO
+    from contextlib import redirect_stdout
+
+    from nostr_data_pipeline_ray.cli import main
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(4)
+    rows = {i: rng.standard_normal(8) for i in range(12)}
+    vecs = _vec_table(tmp_path / "v.parquet", rows)
+    root = str(tmp_path / "embcur")
+    cur = EmbeddingCurator(root, threshold=0.9, n_lists=2)
+    cur.bootstrap(vecs, update_id="e1")
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        rc = main(["fsck", "--emb-curator", root])
+    assert rc == 0
+    assert _json.loads(buf.getvalue())["emb_curator"]["ok"]
+
+    rc = main(["fsck", "--emb-curator", str(tmp_path / "nope")])
+    assert rc == 1 and not os.path.exists(str(tmp_path / "nope"))
