@@ -252,11 +252,20 @@ def cmd_fsck(args) -> int:
     if args.deep or (args.repair and args.lake):
         _ray()  # deep scans / sidecar rebuilds are Ray Data jobs
 
-    def _open_store(cls, path, label):
-        meta = os.path.join(path, cls.META)
-        if not os.path.exists(meta):
+    def _open_store(cls, path, label, inner=None):
+        # ``inner`` = (subdir, meta-name) of a store the class OWNS: its
+        # constructor would silently re-create a lost inner index, whose
+        # fsck then trivially passes (0 rows == 0 vecs) — check it exists
+        # BEFORE constructing, same as the outer meta.
+        missing = []
+        if not os.path.exists(os.path.join(path, cls.META)):
+            missing.append(cls.META)
+        if inner and not os.path.exists(os.path.join(path, *inner)):
+            missing.append(os.path.join(*inner))
+        if missing:
             return {"ok": False,
-                    "errors": [f"no {label} at {path}: missing {cls.META}"]}
+                    "errors": [f"no {label} at {path}: missing {m}"
+                               for m in missing]}
         return cls(path).fsck(deep=getattr(args, "deep", False))
 
     extra_ok = True
@@ -273,13 +282,19 @@ def cmd_fsck(args) -> int:
     if getattr(args, "curator", None):
         from .pipelines.curate_index import IncrementalCurator
 
+        from .pipelines.dedup_index import MinHashIndex as _MHI
+
         extras["curator"] = _open_store(
-            IncrementalCurator, args.curator, "curator")
+            IncrementalCurator, args.curator, "curator",
+            inner=("neardup_index", _MHI.META))
     if getattr(args, "emb_curator", None):
         from .pipelines.curate_index import EmbeddingCurator
 
+        from .pipelines.ann_index import IvfIndex as _IVF
+
         extras["emb_curator"] = _open_store(
-            EmbeddingCurator, args.emb_curator, "embedding curator")
+            EmbeddingCurator, args.emb_curator, "embedding curator",
+            inner=("ann_index", _IVF.META))
     extra_ok = all(v["ok"] for v in extras.values())
 
     if not args.lake:
@@ -469,9 +484,13 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         # only tear down a session this CLI started — main() is also
-        # callable in-process (tests, notebooks) under a caller-owned Ray
+        # callable in-process (tests, notebooks) under a caller-owned Ray.
+        # Reset the flag so a LATER in-process main() call doesn't tear
+        # down a session the caller started between calls.
+        global _RAY_OWNED
         if _RAY_OWNED and ray.is_initialized():
             ray.shutdown()
+        _RAY_OWNED = False
 
 
 if __name__ == "__main__":

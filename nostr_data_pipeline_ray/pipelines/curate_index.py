@@ -110,11 +110,85 @@ def _check_curated_file(path: str, ctx: dict) -> list[str]:
     return errs
 
 
-class IncrementalCurator:
+class _EpochStore:
+    """Shared persisted-epoch machinery for both curators (text and
+    embedding): atomic meta writes, staged epoch-subdir commits under the
+    single-writer flock, committed-files reads, and the shallow row-count
+    audit. One implementation so a fix to the commit protocol can't
+    silently diverge between the two."""
+
+    META: str
+    LOCK_LABEL: str
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.root, f".{self.META}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.root, self.META))
+
+    def _commit_epoch(self, survivors, n_kept: int, update_id: str) -> None:
+        from ..state.lake import dir_writer_lock
+
+        with dir_writer_lock(self.root, self.LOCK_LABEL):
+            sub = f"epoch-{len(self.meta['committed']):05d}"
+            target = os.path.join(self.curated_dir, sub)
+            shutil.rmtree(target, ignore_errors=True)
+            if n_kept:
+                survivors.write_parquet(target)
+            else:
+                os.makedirs(target, exist_ok=True)
+            self.meta["committed"].append(sub)
+            self.meta["applied_ids"].append(update_id)
+            self.meta["n_curated"] += n_kept
+            self._write_meta()
+
+    def _curated_files(self) -> list[str]:
+        return [
+            os.path.join(self.curated_dir, sub, f)
+            for sub in self.meta["committed"]
+            if os.path.isdir(os.path.join(self.curated_dir, sub))
+            for f in sorted(os.listdir(os.path.join(self.curated_dir, sub)))
+            if f.endswith(".parquet")
+        ]
+
+    def curated(self) -> "rd.Dataset":
+        """The curated output so far (committed epochs only)."""
+        files = self._curated_files()
+        if not files:
+            return rd.from_arrow(self.CURATED_SCHEMA.empty_table())
+        return rd.read_parquet(files)
+
+    def _epochs_rowcount_audit(self):
+        """Shallow audit: committed epoch dirs exist and their footer row
+        total matches n_curated. Returns (errors, files, total)."""
+        errors, missing, total = [], [], 0
+        files: list[str] = []
+        for sub in self.meta["committed"]:
+            d = os.path.join(self.curated_dir, sub)
+            if not os.path.isdir(d):
+                missing.append(sub)
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    total += pq.read_metadata(p).num_rows
+                    files.append(p)
+        if missing:
+            errors.append(f"committed epoch dirs missing: {missing}")
+        if not missing and total != self.meta["n_curated"]:
+            errors.append(
+                f"curated rows {total} != n_curated {self.meta['n_curated']}"
+            )
+        return errors, files, total
+
+
+class IncrementalCurator(_EpochStore):
     """Persisted, epoch-incremental dedup+decontaminate+quality curation."""
 
     META = "curator_meta.json"
     FORMAT = 1
+    LOCK_LABEL = "curator"
+    CURATED_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
 
     def __init__(
         self,
@@ -171,12 +245,6 @@ class IncrementalCurator:
                 "n_curated": 0,
             }
             self._write_meta()
-
-    def _write_meta(self) -> None:
-        tmp = os.path.join(self.root, f".{self.META}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(self.meta, f)
-        os.replace(tmp, os.path.join(self.root, self.META))
 
     # -- epochs -------------------------------------------------------------
 
@@ -239,42 +307,14 @@ class IncrementalCurator:
             new_docs, corpus, threshold=self.meta["threshold"],
             update_id=update_id, corpus_bytes=corpus_bytes,
         )
-        if isinstance(pairs, pd.DataFrame):
-            pairs_ds = rd.from_pandas(pairs) if len(pairs) else None
-        else:
-            pairs_ds = pairs if pairs.count() else None
-        n_pairs = pairs_ds.count() if pairs_ds is not None else 0
-
-        driver_path = (
-            _DRIVER_EPOCH is True
-            or (_DRIVER_EPOCH == "auto"
-                and n_new <= _DRIVER_EPOCH_MAX and n_pairs <= _DRIVER_EPOCH_MAX)
+        pairs_h, n_pairs = _pairs_handle(pairs)
+        lost_ds, n_lost_dedup = _resolve_losers(
+            new_docs, pairs_h, n_pairs, n_new, self._epoch_bytes(new_docs)
         )
-        if driver_path:
-            lost_ds, n_lost_dedup = self._losers_driver(new_docs, pairs_ds)
-        else:
-            lost_ds, n_lost_dedup = self._losers_distributed(new_docs, pairs_ds)
-
-        # FWW dedup drop: broadcast the loser set when it fits the gate
-        # (steady state), else a bucketed anti-join (bootstrap scale)
-        if n_lost_dedup == 0:
-            base = new_docs
-        elif n_lost_dedup <= _DRIVER_EPOCH_MAX:
-            lost_arr = np.sort(
-                lost_ds.to_pandas()["loser_id"].to_numpy(np.int64)
-            )  # bounded by the gate
-            lost_ref = ray.put(lost_arr)
-            base = new_docs.map_batches(
-                lambda b: b[~np.isin(b["doc_id"].to_numpy(), cached_get(lost_ref))],
-                batch_format="pandas",
-            )
-        else:
-            from ..stages.joins import bucketed_hash_join
-
-            base = bucketed_hash_join(
-                new_docs, lost_ds, left_on=["doc_id"], right_on=["loser_id"],
-                how="left_anti", input_bytes=self._epoch_bytes(new_docs),
-            )
+        base = _drop_losers(
+            new_docs, lost_ds, n_lost_dedup, "doc_id",
+            self._epoch_bytes(new_docs),
+        )
 
         # stages 2+3 — decontaminate + quality, one vectorized pass
         grams_ref = ray.put(
@@ -323,47 +363,7 @@ class IncrementalCurator:
     def _epoch_bytes(new_docs) -> int | None:
         return _epoch_bytes(new_docs)
 
-    def _losers_driver(self, new_docs, pairs_ds):
-        return _losers_driver(new_docs, pairs_ds)
-
-    def _losers_distributed(self, new_docs, pairs_ds):
-        return _losers_distributed(new_docs, pairs_ds, _epoch_bytes(new_docs))
-
-    def _commit_epoch(self, survivors, n_kept: int, update_id: str) -> None:
-        from ..state.lake import dir_writer_lock
-
-        with dir_writer_lock(self.root, "curator"):
-            sub = f"epoch-{len(self.meta['committed']):05d}"
-            target = os.path.join(self.curated_dir, sub)
-            shutil.rmtree(target, ignore_errors=True)
-            if n_kept:
-                survivors.write_parquet(target)
-            else:
-                os.makedirs(target, exist_ok=True)
-            self.meta["committed"].append(sub)
-            self.meta["applied_ids"].append(update_id)
-            self.meta["n_curated"] += n_kept
-            self._write_meta()
-
     # -- read ---------------------------------------------------------------
-
-    def curated(self) -> "rd.Dataset":
-        """The curated corpus so far (committed epochs only)."""
-        files = []
-        for sub in self.meta["committed"]:
-            d = os.path.join(self.curated_dir, sub)
-            if os.path.isdir(d):
-                files.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
-        if not files:
-            return rd.from_arrow(
-                pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
-                .empty_table()
-            )
-        return rd.read_parquet(files)
 
     def fsck(self, deep: bool = False) -> dict:
         """Committed epoch dirs exist; row totals match n_curated; the
@@ -374,23 +374,10 @@ class IncrementalCurator:
         benchmark cutoff, every row's quality score ≥ the frozen threshold,
         and zero benchmark 5-gram hits — i.e. the three curation invariants
         actually HOLD in what's on disk, not just in the epoch counters."""
-        errors, missing, total = [], [], 0
-        files: list[str] = []
-        for sub in self.meta["committed"]:
-            d = os.path.join(self.curated_dir, sub)
-            if not os.path.isdir(d):
-                missing.append(sub)
-                continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    p = os.path.join(d, f)
-                    total += pq.read_metadata(p).num_rows
-                    files.append(p)
-        if missing:
-            errors.append(f"committed epoch dirs missing: {missing}")
-        if not missing and total != self.meta["n_curated"]:
-            errors.append(f"curated rows {total} != n_curated {self.meta['n_curated']}")
-        if deep and not missing:
+        errors, files, total = self._epochs_rowcount_audit()
+        no_missing = not any(e.startswith("committed epoch dirs missing")
+                             for e in errors)
+        if deep and no_missing:
             from ..state.fsck import deep_scan_files
 
             errors.extend(deep_scan_files(
@@ -414,6 +401,54 @@ def _epoch_bytes(new_docs) -> int | None:
         return None
 
 
+def _pairs_handle(pairs):
+    """Normalize index-mined pairs — a pandas DataFrame under the pushdown
+    gate, a Dataset above it — to (pairs_or_none, n_pairs) WITHOUT a Ray
+    round trip: the steady-state DataFrame stays a DataFrame (the old
+    from_pandas → count → to_pandas detour paid object-store serialization
+    plus two executions per epoch for nothing)."""
+    if isinstance(pairs, pd.DataFrame):
+        return (pairs if len(pairs) else None), len(pairs)
+    n = pairs.count()
+    return (pairs if n else None), n
+
+
+def _resolve_losers(new_ids, pairs, n_pairs, n_new, epoch_bytes):
+    """Dispatch FWW loser resolution by the driver-epoch gate (shared by
+    both curators). ``pairs`` may be a DataFrame or a Dataset."""
+    driver_path = (
+        _DRIVER_EPOCH is True
+        or (_DRIVER_EPOCH == "auto"
+            and n_new <= _DRIVER_EPOCH_MAX and n_pairs <= _DRIVER_EPOCH_MAX)
+    )
+    if driver_path:
+        return _losers_driver(new_ids, pairs)
+    return _losers_distributed(new_ids, pairs, epoch_bytes)
+
+
+def _drop_losers(src, lost_ds, n_lost, id_col, epoch_bytes):
+    """FWW drop of the loser set from ``src`` by ``id_col``: broadcast the
+    ids under the gate (steady state), else a bucketed anti-join
+    (bootstrap scale). Shared by both curators."""
+    if n_lost == 0:
+        return src
+    if n_lost <= _DRIVER_EPOCH_MAX:
+        lost_arr = np.sort(
+            lost_ds.to_pandas()["loser_id"].to_numpy(np.int64)
+        )  # bounded by the gate
+        lost_ref = ray.put(lost_arr)
+        return src.map_batches(
+            lambda b: b[~np.isin(b[id_col].to_numpy(), cached_get(lost_ref))],
+            batch_format="pandas",
+        )
+    from ..stages.joins import bucketed_hash_join
+
+    return bucketed_hash_join(
+        src, lost_ds, left_on=[id_col], right_on=["loser_id"],
+        how="left_anti", input_bytes=epoch_bytes,
+    )
+
+
 def _losers_driver(new_docs, pairs_ds):
     """Gate-bounded FWW loser computation (shared by the text and embedding
     curators — ``new_docs`` only needs a ``doc_id`` column, ``pairs_ds``
@@ -423,8 +458,12 @@ def _losers_driver(new_docs, pairs_ds):
     n_lost)."""
     from ..stages.graph import connected_components
 
-    pdf = (pairs_ds.to_pandas() if pairs_ds is not None
-           else pd.DataFrame(columns=["doc_a", "doc_b"]))
+    if pairs_ds is None:
+        pdf = pd.DataFrame(columns=["doc_a", "doc_b"])
+    elif isinstance(pairs_ds, pd.DataFrame):
+        pdf = pairs_ds
+    else:
+        pdf = pairs_ds.to_pandas()
     new_ids = new_docs.map_batches(
         lambda b: b[["doc_id"]], batch_format="pandas"
     ).to_pandas()["doc_id"].to_numpy(np.int64)
@@ -471,6 +510,8 @@ def _losers_distributed(new_docs, pairs_ds, epoch_bytes=None):
     )
     if pairs_ds is None:
         return empty, 0
+    if isinstance(pairs_ds, pd.DataFrame):
+        pairs_ds = rd.from_pandas(pairs_ds)
     new_ids = new_docs.map_batches(
         lambda b: b[["doc_id"]], batch_format="pandas"
     )
@@ -639,7 +680,7 @@ def q_incremental_curation_epoch(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
-class EmbeddingCurator:
+class EmbeddingCurator(_EpochStore):
     """Epoch-incremental embedding dedup — the IVF-index twin of
     ``IncrementalCurator`` (which uses MinHashIndex as its near-dup
     memory): each epoch's vectors fold into a persisted ``IvfIndex`` and
@@ -663,42 +704,47 @@ class EmbeddingCurator:
 
     META = "emb_curator_meta.json"
     FORMAT = 1
+    LOCK_LABEL = "embedding curator"
+    CURATED_SCHEMA = pa.schema([("vec_id", pa.int64())])
 
-    def __init__(self, root: str, threshold: float = 0.42,
-                 mine_probes: int = 4, **ivf_params):
+    def __init__(self, root: str, threshold: float | None = None,
+                 mine_probes: int | None = None, **ivf_params):
         from .ann_index import IvfIndex
 
         self.root = root
         self.curated_dir = os.path.join(root, "curated")
         self.idx = IvfIndex(os.path.join(root, "ann_index"), **ivf_params)
         meta_path = os.path.join(root, self.META)
+        # None = "use the store's persisted value" (IvfIndex's convention:
+        # reopen adopts persisted params; any EXPLICITLY passed mismatch
+        # raises — no sentinel value is overloaded as 'unspecified')
+        explicit = {k: v for k, v in
+                    (("threshold", threshold), ("mine_probes", mine_probes))
+                    if v is not None}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.meta = json.load(f)
             if self.meta.get("format") != self.FORMAT:
                 raise ValueError(f"embedding curator at {root} uses a different format")
-            if self.meta["threshold"] != threshold and threshold != 0.42:
+            mismatch = {k: (self.meta[k], v) for k, v in explicit.items()
+                        if self.meta[k] != v}
+            if mismatch:
                 raise ValueError(
-                    f"embedding curator at {root} was built with threshold "
-                    f"{self.meta['threshold']}, not {threshold}"
+                    f"embedding curator at {root} was built with different "
+                    f"parameters: {mismatch} (persisted, requested) — "
+                    "epochs would silently diverge"
                 )
         else:
             os.makedirs(self.curated_dir, exist_ok=True)
             self.meta = {
                 "format": self.FORMAT,
-                "threshold": threshold,
-                "mine_probes": mine_probes,
+                "threshold": explicit.get("threshold", 0.42),
+                "mine_probes": explicit.get("mine_probes", 4),
                 "committed": [],
                 "applied_ids": [],
                 "n_curated": 0,
             }
             self._write_meta()
-
-    def _write_meta(self) -> None:
-        tmp = os.path.join(self.root, f".{self.META}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(self.meta, f)
-        os.replace(tmp, os.path.join(self.root, self.META))
 
     # -- epochs -------------------------------------------------------------
 
@@ -842,8 +888,7 @@ class EmbeddingCurator:
         pairs = bucketed_map_groups(
             tagged, ["list_id"], pair_fn, input_bytes=eb
         ).materialize()
-        pairs_ds = pairs if pairs.count() else None
-        n_pairs = pairs_ds.count() if pairs_ds is not None else 0
+        pairs_h, n_pairs = _pairs_handle(pairs)
 
         new_ids = sig_new.map_batches(
             lambda b: b[["vec_id"]].drop_duplicates().rename(
@@ -851,36 +896,14 @@ class EmbeddingCurator:
             ),
             batch_format="pandas",
         )
-        driver_path = (
-            _DRIVER_EPOCH is True
-            or (_DRIVER_EPOCH == "auto"
-                and n_new <= _DRIVER_EPOCH_MAX and n_pairs <= _DRIVER_EPOCH_MAX)
-        )
-        if driver_path:
-            lost_ds, n_lost = _losers_driver(new_ids, pairs_ds)
-        else:
-            lost_ds, n_lost = _losers_distributed(new_ids, pairs_ds, eb)
+        lost_ds, n_lost = _resolve_losers(new_ids, pairs_h, n_pairs, n_new, eb)
 
         survivors_src = new_vecs.map_batches(
             lambda b: b[["vec_id"]], batch_format="pandas"
         )
-        if n_lost == 0:
-            survivors = survivors_src
-        elif n_lost <= _DRIVER_EPOCH_MAX:
-            lost_arr = np.sort(lost_ds.to_pandas()["loser_id"].to_numpy(np.int64))
-            lost_ref = ray.put(lost_arr)
-            survivors = survivors_src.map_batches(
-                lambda b: b[~np.isin(b["vec_id"].to_numpy(), cached_get(lost_ref))],
-                batch_format="pandas",
-            )
-        else:
-            from ..stages.joins import bucketed_hash_join
-
-            survivors = bucketed_hash_join(
-                survivors_src, lost_ds, left_on=["vec_id"],
-                right_on=["loser_id"], how="left_anti", input_bytes=eb,
-            )
-        survivors = survivors.materialize()
+        survivors = _drop_losers(
+            survivors_src, lost_ds, n_lost, "vec_id", eb
+        ).materialize()
         n_kept = survivors.count()
 
         # fold ALL epoch vectors into the index memory, then commit the
@@ -899,55 +922,13 @@ class EmbeddingCurator:
             "total_curated": int(self.meta["n_curated"]),
         }
 
-    def _commit_epoch(self, survivors, n_kept: int, update_id: str) -> None:
-        from ..state.lake import dir_writer_lock
-
-        with dir_writer_lock(self.root, "embedding curator"):
-            sub = f"epoch-{len(self.meta['committed']):05d}"
-            target = os.path.join(self.curated_dir, sub)
-            shutil.rmtree(target, ignore_errors=True)
-            if n_kept:
-                survivors.write_parquet(target)
-            else:
-                os.makedirs(target, exist_ok=True)
-            self.meta["committed"].append(sub)
-            self.meta["applied_ids"].append(update_id)
-            self.meta["n_curated"] += n_kept
-            self._write_meta()
-
     # -- read ---------------------------------------------------------------
-
-    def curated(self) -> "rd.Dataset":
-        files = [
-            os.path.join(self.curated_dir, sub, f)
-            for sub in self.meta["committed"]
-            if os.path.isdir(os.path.join(self.curated_dir, sub))
-            for f in sorted(os.listdir(os.path.join(self.curated_dir, sub)))
-            if f.endswith(".parquet")
-        ]
-        if not files:
-            return rd.from_arrow(
-                pa.schema([("vec_id", pa.int64())]).empty_table()
-            )
-        return rd.read_parquet(files)
 
     def fsck(self, deep: bool = False) -> dict:
         """Committed epoch dirs exist; row totals match n_curated; the
         owned IVF index passes its own audit (``deep`` propagates into its
         per-list content scan)."""
-        errors, missing, total = [], [], 0
-        for sub in self.meta["committed"]:
-            d = os.path.join(self.curated_dir, sub)
-            if not os.path.isdir(d):
-                missing.append(sub)
-                continue
-            for f in os.listdir(d):
-                if f.endswith(".parquet"):
-                    total += pq.read_metadata(os.path.join(d, f)).num_rows
-        if missing:
-            errors.append(f"committed epoch dirs missing: {missing}")
-        if not missing and total != self.meta["n_curated"]:
-            errors.append(f"curated rows {total} != n_curated {self.meta['n_curated']}")
+        errors, _files, total = self._epochs_rowcount_audit()
         sub_audit = self.idx.fsck(deep=deep)
         if not sub_audit["ok"]:
             errors.append(f"ivf index: {sub_audit['errors']}")

@@ -104,12 +104,6 @@ def _check_index_file(path: str, ctx: dict) -> list[str]:
     return errs
 
 
-def _deep_scan_files(files, check_fn, ctx):
-    from ..state.fsck import deep_scan_files
-
-    return deep_scan_files(files, check_fn, ctx)
-
-
 class MinHashIndex:
     """Persisted LSH bucket table with incremental candidate mining."""
 
@@ -202,6 +196,38 @@ class MinHashIndex:
                 )
         return out
 
+    def row_files_excluding(self, update_id: str) -> list[str]:
+        """Committed row files EXCLUDING the subdir folded by ``update_id``.
+
+        The lake→curator loop needs this on a crash retry: if a run died
+        after the index fold committed but before the curator epoch did,
+        the retried epoch's docs are already in the index — a seen-id
+        filter built from ALL row files would drop them and commit an
+        empty epoch (permanent data loss under strict FWW). Raises when
+        the attribution was lost (a compact folded the subdirs together)
+        rather than silently returning the unsafe full set."""
+        sub = self.meta.get("update_subs", {}).get(update_id)
+        if sub is None:
+            if update_id in self.meta["applied_ids"]:
+                raise ValueError(
+                    f"update {update_id!r} is applied but its subdir "
+                    "attribution is gone (compacted?) — cannot safely "
+                    "exclude its rows; re-bootstrap the curator"
+                )
+            return self._row_files()
+        out: list[str] = []
+        for s in self.meta["committed"]:
+            if s == sub:
+                continue
+            d = os.path.join(self.rows_dir, s)
+            if os.path.isdir(d):
+                out.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
     # -- write path ---------------------------------------------------------
 
     def _signature_rows(self, docs):
@@ -238,6 +264,9 @@ class MinHashIndex:
         self.meta["committed"].append(sub)
         if update_id is not None:
             self.meta["applied_ids"].append(update_id)
+            # subdir attribution: lets row_files_excluding() carve a
+            # half-applied update's rows out of a retry's seen-set
+            self.meta.setdefault("update_subs", {})[update_id] = sub
         # every signed doc emits exactly `bands` rows
         self.meta["n_docs"] += n_rows // self.meta["bands"]
         self._write_meta()
@@ -343,6 +372,9 @@ class MinHashIndex:
         old = list(subs)
         old_ts = list(self.meta.get("tombstones", []))
         self.meta["committed"] = [new_sub]
+        # per-update subdir attribution is folded away — drop the map so
+        # row_files_excluding() refuses (raises) instead of lying
+        self.meta["update_subs"] = {}
         self.meta["compactions"] = gen + 1
         self.meta["n_docs"] -= purged // self.meta["bands"]
         self.meta["tombstones"] = []
@@ -626,8 +658,10 @@ class MinHashIndex:
                 "(partial write inside a committed subdir?)"
             )
         if deep and not missing:
-            errors.extend(_deep_scan_files(self._row_files(), _check_index_file,
-                                           {"bands": self.meta["bands"]}))
+            from ..state.fsck import deep_scan_files
+
+            errors.extend(deep_scan_files(self._row_files(), _check_index_file,
+                                          {"bands": self.meta["bands"]}))
         orphans = [
             s
             for s in os.listdir(self.rows_dir)

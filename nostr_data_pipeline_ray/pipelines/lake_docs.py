@@ -334,10 +334,18 @@ def curate_epoch_from_lake(
             how="left_semi", input_bytes=lb,
         )
         # strict FWW: a conversation the index has already seen (an UPDATE,
-        # not an arrival) never re-enters — its first version is canonical
-        if cur.idx.meta["committed"]:
+        # not an arrival) never re-enters — its first version is canonical.
+        # Crash-retry carve-out: if a prior run died AFTER the index fold
+        # committed but BEFORE the curator epoch did (update_id applied on
+        # the index side only), this epoch's own docs are already in the
+        # index — the seen-set must exclude that half-applied update's
+        # rows or the retry would drop every doc and commit an empty epoch.
+        half_applied = update_id in cur.idx.meta["applied_ids"]
+        seen_files = (cur.idx.row_files_excluding(update_id)
+                      if half_applied else cur.idx._row_files())
+        if seen_files:
             seen = rd.read_parquet(
-                cur.idx._row_files(), columns=["doc_id"]
+                seen_files, columns=["doc_id"]
             ).map_batches(
                 lambda b: b.rename(columns={"doc_id": "seen_id"})
                 .drop_duplicates(),

@@ -55,9 +55,11 @@ def main():
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
-        try:
+        engine_s = None  # engine query + collect only — the cost guard's
+        try:                # subject; oracle SQL + compare are excluded
             got = fn(SF_DIR)
             got = got.to_pandas() if hasattr(got, "to_pandas") else got
+            engine_s = time.time() - t0
             status, detail = "ROWS_ONLY", f"{len(got)} rows"
             if name in oracles:
                 want = con.execute(oracles[name]).df()
@@ -75,7 +77,8 @@ def main():
         except Exception as ex:  # noqa: BLE001
             status, detail = "ERROR", f"{type(ex).__name__}: {ex}"
         elapsed = time.time() - t0
-        if (status in ("OK", "ROWS_ONLY") and elapsed > MAX_QUERY_SECONDS
+        if (status in ("OK", "ROWS_ONLY") and engine_s is not None
+                and engine_s > MAX_QUERY_SECONDS
                 and SF_DIR.endswith("0.01")):
             status = "SLOW"
             detail += f" (> {MAX_QUERY_SECONDS:.0f}s cost guard)"

@@ -412,3 +412,71 @@ def test_cli_fsck_embedding_curator(tmp_path, ray_session):
 
     rc = main(["fsck", "--emb-curator", str(tmp_path / "nope")])
     assert rc == 1 and not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_cli_fsck_lost_inner_index_is_an_error(tmp_path, ray_session):
+    """A curator whose INNER index directory was lost must fail fsck —
+    constructing it would silently re-create a fresh empty index whose
+    audit trivially passes (the 'healthy empty index' failure mode)."""
+    import shutil as _shutil
+
+    from nostr_data_pipeline_ray.cli import main
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(4)
+    rows = {i: rng.standard_normal(8) for i in range(12)}
+    vecs = _vec_table(tmp_path / "v.parquet", rows)
+    root = str(tmp_path / "embcur")
+    cur = EmbeddingCurator(root, threshold=0.9, n_lists=2)
+    cur.bootstrap(vecs, update_id="e1")
+    del cur
+
+    _shutil.rmtree(os.path.join(root, "ann_index"))
+    rc = main(["fsck", "--emb-curator", root])
+    assert rc == 1
+    # the audit did NOT quietly re-create the inner index
+    assert not os.path.exists(os.path.join(root, "ann_index"))
+
+    # same hole for the text curator's near-dup index
+    from nostr_data_pipeline_ray.pipelines.curate_index import (
+        IncrementalCurator,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(100, 108)),
+        "text": [" ".join(f"c{i}w{j}" for j in range(12)) for i in range(8)],
+    }))
+    croot = str(tmp_path / "cur")
+    tcur = IncrementalCurator(croot)
+    tcur.bootstrap(docs, update_id="e1")
+    del tcur
+    _shutil.rmtree(os.path.join(croot, "neardup_index"))
+    rc = main(["fsck", "--curator", croot])
+    assert rc == 1
+    assert not os.path.exists(os.path.join(croot, "neardup_index"))
+
+
+def test_embedding_curator_reopen_rejects_explicit_mismatch(tmp_path, ray_session):
+    """Reopen adopts persisted parameters; any EXPLICITLY passed mismatch
+    raises — including threshold=0.42 (formerly overloaded as the
+    'unspecified' sentinel) and mine_probes."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(9)
+    rows = {i: rng.standard_normal(8) for i in range(10)}
+    vecs = _vec_table(tmp_path / "v.parquet", rows)
+    root = str(tmp_path / "embcur")
+    cur = EmbeddingCurator(root, threshold=0.9, n_lists=2, mine_probes=2)
+    cur.bootstrap(vecs, update_id="e1")
+    del cur
+
+    # bare reopen adopts the store's params
+    re1 = EmbeddingCurator(root)
+    assert re1.meta["threshold"] == 0.9 and re1.meta["mine_probes"] == 2
+    # matching explicit values are fine
+    EmbeddingCurator(root, threshold=0.9, mine_probes=2)
+    # ANY explicit mismatch raises — 0.42 is no longer a silent sentinel
+    with pytest.raises(ValueError, match="different"):
+        EmbeddingCurator(root, threshold=0.42)
+    with pytest.raises(ValueError, match="different"):
+        EmbeddingCurator(root, mine_probes=8)

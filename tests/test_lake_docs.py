@@ -6,6 +6,7 @@ benchmark 5-gram overlap so every chain stage is observably live."""
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -258,6 +259,7 @@ def test_incremental_curation_off_lake_watermarks(tmp_path, ray_session):
     assert out1["applied"] and out1["lake_epoch"] > lake_epoch0
     # base-0 changed but is already indexed → filtered by the FWW anti-join
     assert out1["new_docs"] == 2
+    assert out1["dropped_dedup"] == 0
     assert out1["curated"] == 2
 
     from nostr_data_pipeline_ray.pipelines.curate_index import (
@@ -281,3 +283,117 @@ def test_incremental_curation_off_lake_watermarks(tmp_path, ray_session):
     # third run against the unchanged lake → no-op again
     out2 = curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
     assert out2["applied"] is False
+
+
+def test_lake_epoch_retry_after_crash_between_fold_and_commit(
+    tmp_path, ray_session, monkeypatch
+):
+    """Exactly-once under the worst crash window: a run dies AFTER the
+    near-dup index folds the epoch (update_id committed index-side) but
+    BEFORE the curator commits it. The retry's seen-id filter must NOT
+    treat the half-applied fold's docs as 'already seen' — that would
+    commit an empty epoch and lose the conversations forever (strict FWW).
+    row_files_excluding() carves the half-applied subdir out of the
+    seen-set, so the retry curates the epoch's docs exactly once."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import (
+        IncrementalCurator,
+    )
+    from nostr_data_pipeline_ray.pipelines.lake_docs import (
+        curate_epoch_from_lake,
+    )
+
+    binlog = str(tmp_path / "binlog")
+    lake_root = str(tmp_path / "lake")
+    os.makedirs(binlog)
+    bench = str(tmp_path / "benchmark.parquet")
+    _write_benchmark(bench)
+
+    rows0 = []
+    for k in range(6):
+        rows0.append((f"base-{k}", 0, "user",
+                      _pad_turn(" ".join(f"b{k}w{j}" for j in range(10)))))
+        rows0.append((f"base-{k}", 1, "assistant",
+                      _pad_turn(" ".join(f"b{k}r{j}" for j in range(10)))))
+    pq.write_table(_seg_table(rows0, 1), os.path.join(binlog, "seg-00000.parquet"))
+    cfg = EngineConfig(num_partitions=4)
+    apply_changelog(lake_root, binlog, cfg)
+
+    cur_root = str(tmp_path / "cur")
+    out0 = curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+    assert out0["applied"] and out0["curated"] == 6
+
+    rows1 = [
+        ("new-0", 0, "user",
+         _pad_turn(" ".join(f"n0w{j}" for j in range(10)), 250)),
+        ("new-0", 1, "assistant",
+         _pad_turn(" ".join(f"n0r{j}" for j in range(10)), 250)),
+        ("new-1", 0, "user",
+         _pad_turn(" ".join(f"n1w{j}" for j in range(10)), 250)),
+        ("new-1", 1, "assistant",
+         _pad_turn(" ".join(f"n1r{j}" for j in range(10)), 250)),
+    ]
+    pq.write_table(_seg_table(rows1, 100), os.path.join(binlog, "seg-00001.parquet"))
+    apply_changelog(lake_root, binlog, cfg)
+
+    # crash exactly between the index fold and the curator commit
+    real_commit = IncrementalCurator._commit_epoch
+
+    def boom(self, survivors, n_kept, update_id):
+        raise RuntimeError("simulated crash before curator commit")
+
+    with monkeypatch.context() as m:
+        m.setattr(IncrementalCurator, "_commit_epoch", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+
+    # half-applied: the index has the update, the curator does not
+    cur = IncrementalCurator(cur_root, benchmark=bench)
+    uid = [u for u in cur.idx.meta["applied_ids"] if u.startswith("lake-epoch-")][-1]
+    assert uid not in cur.meta["applied_ids"]
+    del cur
+
+    # retry curates the epoch's docs — NOT an empty epoch
+    out1 = curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+    assert out1["applied"] and out1["update_id"] == uid
+    assert out1["new_docs"] == 2
+    assert out1["dropped_dedup"] == 0
+    assert out1["curated"] == 2
+
+    cur = IncrementalCurator(cur_root, benchmark=bench)
+    assert cur.meta["n_curated"] == 8
+    assert cur.fsck()["ok"]
+    curated = cur.curated().to_pandas()
+    assert len(curated) == 8 and curated["doc_id"].is_unique
+    texts = " ".join(curated["text"])
+    assert "n0w0" in texts and "n1w0" in texts
+
+    # idempotent after recovery
+    out2 = curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+    assert out2["applied"] is False
+
+
+def test_row_files_excluding_refuses_after_compact(tmp_path, ray_session):
+    """Compaction folds subdirs together, destroying per-update
+    attribution — excluding a half-applied update's rows is then
+    impossible, and the index must refuse loudly instead of returning
+    the unsafe full set."""
+    import ray.data as rd
+
+    from nostr_data_pipeline_ray.pipelines.dedup_index import MinHashIndex
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma delta",
+                                                 "epsilon zeta eta theta"]})
+    )
+    idx.bootstrap(docs, update_id="e1")
+    assert idx.row_files_excluding("e1") == []  # only e1's subdir exists
+    assert idx.row_files_excluding("never-applied") == idx._row_files()
+    docs2 = rd.from_pandas(
+        pd.DataFrame({"doc_id": [3], "text": ["iota kappa lambda mu"]})
+    )
+    idx.update(docs2, docs.union(docs2), update_id="e2")
+    assert len(idx.row_files_excluding("e2")) < len(idx._row_files())
+    idx.compact()
+    with pytest.raises(ValueError, match="attribution is gone"):
+        idx.row_files_excluding("e2")
