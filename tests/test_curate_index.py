@@ -480,3 +480,105 @@ def test_embedding_curator_reopen_rejects_explicit_mismatch(tmp_path, ray_sessio
         EmbeddingCurator(root, threshold=0.42)
     with pytest.raises(ValueError, match="different"):
         EmbeddingCurator(root, mine_probes=8)
+
+
+def test_curator_ingest_retry_after_crash_between_fold_and_commit(
+    tmp_path, ray_session, monkeypatch
+):
+    """Standalone-API crash window: ingest() dies after MinHashIndex folded
+    the epoch but before the curator committed it. The retry re-mines
+    against an index that already holds the epoch's own rows — pair
+    classification is by id membership, not storage state, so the summary
+    and curated output must equal a never-crashed run's."""
+    base = {i: " ".join(f"d{i}w{j}" for j in range(14)) for i in range(100, 110)}
+    dup_src = " ".join(f"s{j}word" for j in range(14))  # base-like length
+    epoch2 = {
+        200: base[103],          # near-dup of an OLD doc: loses (FWW)
+        201: dup_src,            # new×new pair min id: survives
+        202: dup_src + " tail",  # loses to 201
+        203: " ".join(f"x{j}word" for j in range(14)),  # distinct: survives
+    }
+
+    def docs(d):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": list(d), "text": list(d.values())}
+        ))
+
+    def build(root, crash):
+        cur = IncrementalCurator(str(root))
+        cur.bootstrap(docs(base), update_id="e1")
+        if crash:
+            def boom(self, survivors, n_kept, update_id):
+                raise RuntimeError("simulated crash")
+            with monkeypatch.context() as m:
+                m.setattr(IncrementalCurator, "_commit_epoch", boom)
+                with pytest.raises(RuntimeError, match="simulated crash"):
+                    cur.ingest(docs(epoch2), docs({**base, **epoch2}), "e2")
+            assert "e2" in cur.idx.meta["applied_ids"]  # fold committed
+            assert "e2" not in cur.meta["applied_ids"]  # epoch did not
+        out = cur.ingest(docs(epoch2), docs({**base, **epoch2}), "e2")
+        ids = sorted(cur.curated().to_pandas()["doc_id"].tolist())
+        assert cur.fsck()["ok"]
+        return out, ids
+
+    clean = build(tmp_path / "clean", crash=False)
+    retried = build(tmp_path / "crashed", crash=True)
+    # known_before is a point-in-time stat: the retry correctly reports the
+    # half-applied fold's rows as already indexed — exclude it, pin the rest
+    for out, _ in (clean, retried):
+        out.pop("known_before")
+    assert retried == clean
+    assert clean[0]["dropped_dedup"] == 2  # 200 (vs old 103), 202 (vs 201)
+    assert clean[0]["curated"] == 2
+
+
+def test_embedding_curator_retry_after_crash_between_add_and_commit(
+    tmp_path, ray_session, monkeypatch
+):
+    """Same crash window for the embedding curator: idx.add committed the
+    epoch's vectors, the curator epoch did not. The retry re-mines with
+    the epoch's vectors already in the index memory — self-pairs are
+    excluded by vec_id and classification is by id membership, so the
+    result must equal a never-crashed run's."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    base = {i: rng.standard_normal(dim) for i in range(10, 20)}
+    shared = rng.standard_normal(dim)
+    epoch2 = {
+        100: base[12] + 0.01 * rng.standard_normal(dim),  # loses to old 12
+        101: shared,                                      # min id: survives
+        102: shared + 0.01 * rng.standard_normal(dim),    # loses to 101
+        103: rng.standard_normal(dim),                    # survives
+    }
+
+    def build(tag, crash):
+        e1 = _vec_table(tmp_path / f"e1-{tag}.parquet", base)
+        e2 = _vec_table(tmp_path / f"e2-{tag}.parquet", epoch2)
+        cur = EmbeddingCurator(str(tmp_path / f"cur-{tag}"),
+                               threshold=0.9, n_lists=4, mine_probes=4)
+        cur.bootstrap(e1, update_id="e1")
+        if crash:
+            def boom(self, survivors, n_kept, update_id):
+                raise RuntimeError("simulated crash")
+            with monkeypatch.context() as m:
+                m.setattr(EmbeddingCurator, "_commit_epoch", boom)
+                with pytest.raises(RuntimeError, match="simulated crash"):
+                    cur.ingest(e2, update_id="e2")
+            assert "e2" in cur.idx.meta["applied_ids"]
+            assert "e2" not in cur.meta["applied_ids"]
+        out = cur.ingest(e2, update_id="e2")
+        ids = sorted(cur.curated().to_pandas()["vec_id"].tolist())
+        assert cur.fsck()["ok"]
+        # the index memory holds each vector exactly once despite the retry
+        assert cur.idx.meta["n_vecs"] == len(base) + len(epoch2)
+        return out, ids
+
+    clean = build("clean", crash=False)
+    retried = build("crashed", crash=True)
+    for out, _ in (clean, retried):
+        out.pop("known_before")
+    assert retried == clean
+    assert clean[0]["dropped_dedup"] == 2
+    assert clean[0]["curated"] == 2
