@@ -160,7 +160,7 @@ class _EpochStore:
 
     def _epochs_rowcount_audit(self):
         """Shallow audit: committed epoch dirs exist and their footer row
-        total matches n_curated. Returns (errors, files, total)."""
+        total matches n_curated. Returns (errors, files, total, missing)."""
         errors, missing, total = [], [], 0
         files: list[str] = []
         for sub in self.meta["committed"]:
@@ -179,7 +179,7 @@ class _EpochStore:
             errors.append(
                 f"curated rows {total} != n_curated {self.meta['n_curated']}"
             )
-        return errors, files, total
+        return errors, files, total, missing
 
 
 class IncrementalCurator(_EpochStore):
@@ -374,10 +374,8 @@ class IncrementalCurator(_EpochStore):
         benchmark cutoff, every row's quality score ≥ the frozen threshold,
         and zero benchmark 5-gram hits — i.e. the three curation invariants
         actually HOLD in what's on disk, not just in the epoch counters."""
-        errors, files, total = self._epochs_rowcount_audit()
-        no_missing = not any(e.startswith("committed epoch dirs missing")
-                             for e in errors)
-        if deep and no_missing:
+        errors, files, total, missing = self._epochs_rowcount_audit()
+        if deep and not missing:
             from ..state.fsck import deep_scan_files
 
             errors.extend(deep_scan_files(
@@ -928,7 +926,7 @@ class EmbeddingCurator(_EpochStore):
         """Committed epoch dirs exist; row totals match n_curated; the
         owned IVF index passes its own audit (``deep`` propagates into its
         per-list content scan)."""
-        errors, _files, total = self._epochs_rowcount_audit()
+        errors, _files, total, _missing = self._epochs_rowcount_audit()
         sub_audit = self.idx.fsck(deep=deep)
         if not sub_audit["ok"]:
             errors.append(f"ivf index: {sub_audit['errors']}")

@@ -196,37 +196,35 @@ class MinHashIndex:
                 )
         return out
 
-    def row_files_excluding(self, update_id: str) -> list[str]:
-        """Committed row files EXCLUDING the subdir folded by ``update_id``.
+    def row_files_excluding(self, update_ids) -> list[str]:
+        """Committed row files EXCLUDING the subdirs folded by the given
+        update id(s) (a str or an iterable of them).
 
         The lake→curator loop needs this on a crash retry: if a run died
         after the index fold committed but before the curator epoch did,
-        the retried epoch's docs are already in the index — a seen-id
-        filter built from ALL row files would drop them and commit an
-        empty epoch (permanent data loss under strict FWW). Raises when
-        the attribution was lost (a compact folded the subdirs together)
-        rather than silently returning the unsafe full set."""
-        sub = self.meta.get("update_subs", {}).get(update_id)
-        if sub is None:
-            if update_id in self.meta["applied_ids"]:
+        that epoch's docs are already in the index — a seen-id filter
+        built from ALL row files would drop them and they could never
+        re-enter (permanent data loss under strict FWW). The caller
+        passes EVERY id applied index-side but not curator-side (more
+        than one if further lake epochs committed between the crash and
+        the retry). Raises when an applied id's attribution was lost (a
+        compact folded the subdirs together) rather than silently
+        returning the unsafe full set."""
+        ids = {update_ids} if isinstance(update_ids, str) else set(update_ids)
+        subs: set[str] = set()
+        attrib = self.meta.get("update_subs", {})
+        for uid in ids:
+            if uid in attrib:
+                if attrib[uid] is not None:  # None = a delete: no subdir
+                    subs.add(attrib[uid])
+            elif uid in self.meta["applied_ids"]:
                 raise ValueError(
-                    f"update {update_id!r} is applied but its subdir "
+                    f"update {uid!r} is applied but its subdir "
                     "attribution is gone (compacted?) — cannot safely "
                     "exclude its rows; re-bootstrap the curator"
                 )
-            return self._row_files()
-        out: list[str] = []
-        for s in self.meta["committed"]:
-            if s == sub:
-                continue
-            d = os.path.join(self.rows_dir, s)
-            if os.path.isdir(d):
-                out.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
-        return out
+        excl = {os.path.join(self.rows_dir, s) for s in subs}
+        return [f for f in self._row_files() if os.path.dirname(f) not in excl]
 
     # -- write path ---------------------------------------------------------
 
@@ -305,6 +303,10 @@ class MinHashIndex:
             self.meta.setdefault("tombstones", []).append(name)
             if update_id is not None:
                 self.meta["applied_ids"].append(update_id)
+                # a delete folds no subdir: record the attribution as None
+                # so row_files_excluding() knows there is nothing to
+                # exclude (vs a fold whose attribution was lost — an error)
+                self.meta.setdefault("update_subs", {})[update_id] = None
             self._write_meta()
             return len(ids)
 

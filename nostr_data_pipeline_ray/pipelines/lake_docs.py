@@ -336,12 +336,18 @@ def curate_epoch_from_lake(
         # strict FWW: a conversation the index has already seen (an UPDATE,
         # not an arrival) never re-enters — its first version is canonical.
         # Crash-retry carve-out: if a prior run died AFTER the index fold
-        # committed but BEFORE the curator epoch did (update_id applied on
-        # the index side only), this epoch's own docs are already in the
-        # index — the seen-set must exclude that half-applied update's
-        # rows or the retry would drop every doc and commit an empty epoch.
-        half_applied = update_id in cur.idx.meta["applied_ids"]
-        seen_files = (cur.idx.row_files_excluding(update_id)
+        # committed but BEFORE the curator epoch did, that epoch's docs
+        # are in the index but not in the curated set — the seen-set must
+        # exclude EVERY such half-applied update's rows (not just the
+        # current update_id: if the lake committed further epochs between
+        # the crash and the retry, the orphaned fold carries an OLDER
+        # lake-epoch id that will never be retried under its own name) or
+        # those conversations would be dropped as 'seen' and, under FWW,
+        # never re-enter.
+        curator_applied = set(cur.meta["applied_ids"])
+        half_applied = [u for u in cur.idx.meta["applied_ids"]
+                        if u not in curator_applied]
+        seen_files = (cur.idx.row_files_excluding(half_applied)
                       if half_applied else cur.idx._row_files())
         if seen_files:
             seen = rd.read_parquet(

@@ -336,8 +336,6 @@ def test_lake_epoch_retry_after_crash_between_fold_and_commit(
     apply_changelog(lake_root, binlog, cfg)
 
     # crash exactly between the index fold and the curator commit
-    real_commit = IncrementalCurator._commit_epoch
-
     def boom(self, survivors, n_kept, update_id):
         raise RuntimeError("simulated crash before curator commit")
 
@@ -397,3 +395,118 @@ def test_row_files_excluding_refuses_after_compact(tmp_path, ray_session):
     idx.compact()
     with pytest.raises(ValueError, match="attribution is gone"):
         idx.row_files_excluding("e2")
+
+
+def test_lake_epoch_crash_then_newer_epoch_still_recovers_docs(
+    tmp_path, ray_session, monkeypatch
+):
+    """Harder crash window: the fold for lake epoch N commits index-side,
+    the curator commit dies, and the lake then advances to epoch N+1
+    BEFORE the next curate run. The retry runs under update_id
+    'lake-epoch-N+1' — the orphaned 'lake-epoch-N' fold is never retried
+    under its own name, so the seen-set must exclude EVERY half-applied
+    update's rows (not just the current id) or epoch N's conversations
+    are dropped as 'seen' and lost forever."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import (
+        IncrementalCurator,
+    )
+    from nostr_data_pipeline_ray.pipelines.lake_docs import (
+        curate_epoch_from_lake,
+    )
+
+    binlog = str(tmp_path / "binlog")
+    lake_root = str(tmp_path / "lake")
+    os.makedirs(binlog)
+    bench = str(tmp_path / "benchmark.parquet")
+    _write_benchmark(bench)
+
+    rows0 = []
+    for k in range(6):
+        rows0.append((f"base-{k}", 0, "user",
+                      _pad_turn(" ".join(f"b{k}w{j}" for j in range(10)))))
+        rows0.append((f"base-{k}", 1, "assistant",
+                      _pad_turn(" ".join(f"b{k}r{j}" for j in range(10)))))
+    pq.write_table(_seg_table(rows0, 1), os.path.join(binlog, "seg-00000.parquet"))
+    cfg = EngineConfig(num_partitions=4)
+    apply_changelog(lake_root, binlog, cfg)
+
+    cur_root = str(tmp_path / "cur")
+    out0 = curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+    assert out0["applied"] and out0["curated"] == 6
+
+    # lake epoch N: two new conversations; curate run crashes mid-epoch
+    rows1 = [
+        ("new-0", 0, "user",
+         _pad_turn(" ".join(f"n0w{j}" for j in range(10)), 250)),
+        ("new-0", 1, "assistant",
+         _pad_turn(" ".join(f"n0r{j}" for j in range(10)), 250)),
+        ("new-1", 0, "user",
+         _pad_turn(" ".join(f"n1w{j}" for j in range(10)), 250)),
+        ("new-1", 1, "assistant",
+         _pad_turn(" ".join(f"n1r{j}" for j in range(10)), 250)),
+    ]
+    pq.write_table(_seg_table(rows1, 100), os.path.join(binlog, "seg-00001.parquet"))
+    apply_changelog(lake_root, binlog, cfg)
+
+    def boom(self, survivors, n_kept, update_id):
+        raise RuntimeError("simulated crash before curator commit")
+
+    with monkeypatch.context() as m:
+        m.setattr(IncrementalCurator, "_commit_epoch", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+
+    cur = IncrementalCurator(cur_root, benchmark=bench)
+    orphan = [u for u in cur.idx.meta["applied_ids"]
+              if u.startswith("lake-epoch-")][-1]
+    assert orphan not in cur.meta["applied_ids"]
+    del cur
+
+    # the lake advances to epoch N+1 BEFORE the retry
+    rows2 = [
+        ("new-2", 0, "user",
+         _pad_turn(" ".join(f"n2w{j}" for j in range(10)), 250)),
+        ("new-2", 1, "assistant",
+         _pad_turn(" ".join(f"n2r{j}" for j in range(10)), 250)),
+    ]
+    pq.write_table(_seg_table(rows2, 200), os.path.join(binlog, "seg-00002.parquet"))
+    apply_changelog(lake_root, binlog, cfg)
+
+    # the retry (under the NEWER epoch's update_id) recovers epoch N's
+    # conversations alongside epoch N+1's
+    out = curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)
+    assert out["applied"] and out["update_id"] != orphan
+    assert out["new_docs"] == 3
+    assert out["dropped_dedup"] == 0
+    assert out["curated"] == 3
+
+    cur = IncrementalCurator(cur_root, benchmark=bench)
+    assert cur.meta["n_curated"] == 9
+    assert cur.fsck()["ok"]
+    curated = cur.curated().to_pandas()
+    assert len(curated) == 9 and curated["doc_id"].is_unique
+    texts = " ".join(curated["text"])
+    for marker in ("n0w0", "n1w0", "n2w0"):
+        assert marker in texts
+
+    # recovered state is stable: another run is a no-op
+    assert curate_epoch_from_lake(lake_root, cur_root, benchmark=bench)[
+        "applied"] is False
+
+
+def test_row_files_excluding_delete_updates_are_not_errors(tmp_path, ray_session):
+    """A delete's update_id lands in applied_ids without a folded subdir —
+    it must count as 'nothing to exclude', not as lost attribution."""
+    import ray.data as rd
+
+    from nostr_data_pipeline_ray.pipelines.dedup_index import MinHashIndex
+
+    idx = MinHashIndex(str(tmp_path / "idx"))
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma delta",
+                                                 "epsilon zeta eta theta"]})
+    )
+    idx.bootstrap(docs, update_id="e1")
+    idx.delete([1], update_id="del-1")
+    assert idx.row_files_excluding("del-1") == idx._row_files()
+    assert idx.row_files_excluding(["e1", "del-1"]) == []
