@@ -91,6 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_ci.QUERIES)  # rows-only: epoch-incremental curation (FWW)
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.publish as _pub
+
+        qs.update(_pub.QUERIES)  # rows-only: publish-back round-trip (S6)
+    except ImportError:
+        pass
     return _snapshot_order(qs)
 
 

@@ -29,6 +29,7 @@ from nostr_data_pipeline_ray.config import EngineConfig
 from nostr_data_pipeline_ray.pipelines.cdc import (
     apply_changelog,
     apply_epoch,
+    final_table,
     lake_lineage,
     list_segments,
     read_final,
@@ -247,5 +248,22 @@ from nostr_data_pipeline_ray.pipelines.lake_docs import curate_epoch_from_lake
 loop_cur = f"{BASE}/lake_curator"
 print("\nlake-loop epoch 1:", curate_epoch_from_lake(lake, loop_cur))
 print("lake-loop rerun:  ", curate_epoch_from_lake(lake, loop_cur))
+
+# 16. publish-back (S6): forward the applied changelog to downstream sink
+#     dirs — each sink is itself a valid binlog, so a replica replaying it
+#     reaches the publisher's exact final state (deletes included).
+#     Exactly-once per sink via _published.json; re-publishing is a no-op.
+from nostr_data_pipeline_ray.pipelines.publish import publish_changelog
+
+pub = publish_changelog(lake, [binlog, stream2],
+                        [f"{BASE}/sink-a", f"{BASE}/sink-b"])
+print("\npublish-back:", {s: r["published"] for s, r in pub["sinks"].items()})
+replica = f"{BASE}/replica"
+apply_changelog(replica, f"{BASE}/sink-a", cfg)
+print("replica rows:", final_table(replica).num_rows,
+      "== lake rows:", final_table(lake).num_rows)
+print("re-publish is a no-op:",
+      publish_changelog(lake, [binlog, stream2], [f"{BASE}/sink-a"])
+      ["sinks"][f"{BASE}/sink-a"]["published"] == 0)
 
 ray.shutdown()

@@ -233,6 +233,15 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_publish(args) -> int:
+    _ray()
+    from .pipelines.publish import publish_changelog
+
+    out = publish_changelog(args.lake, args.binlog, args.sink)
+    print(json.dumps(out))
+    return 0 if all(s["ok"] for s in out["sinks"].values()) else 1
+
+
 def cmd_vacuum(args) -> int:
     from .state.lake import Lake
 
@@ -426,6 +435,17 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--out", required=True)
     ex.add_argument("--force", action="store_true", help="rewrite finished partitions")
     ex.set_defaults(fn=cmd_export)
+
+    pb = sub.add_parser(
+        "publish",
+        help="forward applied changelog segments to downstream sink dirs "
+        "(publish-back; exactly-once per sink, per-sink failure isolation)",
+    )
+    pb.add_argument("--lake", required=True)
+    pb.add_argument("--binlog", required=True)
+    pb.add_argument("--sink", action="append", required=True,
+                    help="sink directory (repeatable for fan-out)")
+    pb.set_defaults(fn=cmd_publish)
 
     v = sub.add_parser("vacuum", help="delete part files no manifest references")
     v.add_argument("--lake", required=True)
