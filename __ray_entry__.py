@@ -195,4 +195,15 @@ def oracle_sql() -> dict[str, str]:
     # the persisted IVF index answers with an exhaustive probe, so its
     # result is exactly the brute-force top-k — same oracle as ann_topk
     out["ann_topk_ivf_index"] = _an.ORACLE["ann_topk"]
+    # drift tripwire: _oracle_keys() mirrors this function's key set so
+    # queries() can order the registry without triggering the binlog
+    # generation above; if someone adds an oracle here without updating
+    # the mirror (or vice versa) the snapshot ordering would silently
+    # misclassify it — fail loudly instead
+    if set(out) != _oracle_keys():
+        raise RuntimeError(
+            "oracle_sql() and _oracle_keys() disagree: "
+            f"only-in-sql={sorted(set(out) - _oracle_keys())} "
+            f"only-in-keys={sorted(_oracle_keys() - set(out))}"
+        )
     return out

@@ -76,6 +76,26 @@ def cmd_apply(args) -> int:
             repl["snapshot_cache_mb"] = args.cache_mb
         cfg = dataclasses.replace(cfg, **repl)
 
+    def publish_sinks(quiet_noop: bool = False):
+        if not getattr(args, "publish_sink", None):
+            return
+        from .pipelines.publish import publish_changelog
+
+        # like the view: a dead sink must not kill the tail loop or mask a
+        # committed apply; unpublished segments are retried next pass via
+        # the per-sink watermark (this runs on EVERY follow pass — idle
+        # ones included — so a backlog left by a briefly-dead sink drains
+        # as soon as the sink comes back, not only when new segments land)
+        try:
+            out = publish_changelog(args.lake, args.binlog, args.publish_sink)
+            any_new = any(s.get("published", 0) > 0 or not s["ok"]
+                          for s in out["sinks"].values())
+            if any_new or not quiet_noop:
+                print(json.dumps({"publish": out}), flush=True)
+        except Exception as e:  # noqa: BLE001 — reported, not fatal
+            print(json.dumps({"publish_error": str(e)}), file=sys.stderr,
+                  flush=True)
+
     def refresh_view():
         if not args.view:
             return
@@ -114,11 +134,15 @@ def cmd_apply(args) -> int:
             idle_timeout=args.idle_timeout,
             stop=lambda: stopping["flag"],
             on_epoch=on_epoch,
+            # relay chain: runs on every pass so an unpublished backlog
+            # drains on idle passes too (sink outages retry; no-ops quiet)
+            on_pass=lambda _r: publish_sinks(quiet_noop=True),
             compact_after=args.compact_after,
         )
     else:
         out = apply_changelog(args.lake, args.binlog, cfg)
         refresh_view()
+        publish_sinks()
     print(json.dumps(out))
     return 0
 
@@ -403,6 +427,11 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--view", default=None, metavar="DIR",
                    help="maintain the incremental turn-count view here "
                         "(refreshed after each apply / follow pass)")
+    a.add_argument("--publish-sink", action="append", default=None,
+                   metavar="DIR",
+                   help="republish applied segments to this sink dir after "
+                        "each apply / follow pass (repeatable; exactly-once "
+                        "per sink — the relay-chain deployment)")
     a.set_defaults(fn=cmd_apply)
 
     s = sub.add_parser("synth", help="generate a deterministic changelog")

@@ -903,6 +903,7 @@ def follow_changelog(
     idle_timeout: float | None = 30.0,
     stop=None,
     on_epoch=None,
+    on_pass=None,
     compact_after: int | None = None,
 ) -> dict[str, Any]:
     """Continuous tail mode — the always-on daily driver (reference analog:
@@ -914,7 +915,10 @@ def follow_changelog(
     point resumes cleanly on restart. Exits when ``stop()`` returns True
     (the CLI wires SIGTERM/SIGINT to this) or after ``idle_timeout`` seconds
     with no new segments (None = run forever). ``on_epoch`` is an optional
-    callback fed each non-empty apply result (metrics hook).
+    callback fed each non-empty apply result (metrics hook); ``on_pass``
+    fires on EVERY pass, empty or not — the hook for work that must retry
+    on idle passes too (e.g. draining a publish backlog after a sink came
+    back).
 
     ``compact_after`` (delta policy): when any partition accumulates that
     many pending delta parts, fold them into bases between polls — the LSM
@@ -934,7 +938,7 @@ def follow_changelog(
     try:
         return _follow_loop(
             lake_root, binlog_dir, config, pool, stop, idle_timeout,
-            poll_interval, compact_after, on_epoch, t0,
+            poll_interval, compact_after, on_epoch, on_pass, t0,
         )
     finally:
         if pool is not None:
@@ -943,7 +947,7 @@ def follow_changelog(
 
 def _follow_loop(
     lake_root, binlog_dir, config, pool, stop, idle_timeout,
-    poll_interval, compact_after, on_epoch, t0,
+    poll_interval, compact_after, on_epoch, on_pass, t0,
 ):
     last_new = time.time()
     passes, results = 0, []
@@ -956,6 +960,8 @@ def _follow_loop(
             last_new = time.time()
             if on_epoch is not None:
                 on_epoch(out)
+        if on_pass is not None:
+            on_pass(out)
         if compact_after:
             # size-tiered minor compaction: deep chains fold at the depth
             # cap, small-bytes chains fold eagerly (see select_compaction)

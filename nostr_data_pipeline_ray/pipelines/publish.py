@@ -10,13 +10,17 @@ changelog segments it has APPLIED into sink directories that are
 themselves valid binlog dirs, so a downstream replica running
 ``apply_changelog`` over a sink reaches the identical final table —
 deletes included, because events (not state diffs) are forwarded.
-JSONL segments are normalized to canonical Parquet on the way out
-(basename preserved, extension swapped); Parquet segments are forwarded
-byte-for-byte.
+JSONL segments are normalized to canonical Parquet on the way out under
+the SAME typing contract the apply path uses (``cdc._segment_schema``:
+known keys get changelog types, evolved extras become additive string
+columns), so the replica's types and values match the publisher's
+bit-for-bit; Parquet segments are forwarded byte-for-byte. Each segment
+is read/parsed ONCE and fanned to every sink needing it (the reference
+publishes each event once to all relays, not once per relay).
 
 Exactly-once per sink: each segment lands under its content-stable
-source basename via stage+rename (a retried publish rewrites identical
-bytes), and ``_published.json`` records the names already forwarded so a
+SOURCE basename (extension swapped for JSONL) via stage+rename, and
+``_published.json`` records the source names already forwarded so a
 re-publish is a metadata-only no-op. A crash between the segment rename
 and the marker update is safe: the rewrite is idempotent and the
 downstream apply dedups by segment name anyway. Only segments the lake
@@ -26,6 +30,7 @@ publisher's own committed state.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from typing import Any
@@ -55,39 +60,74 @@ def _write_published(sink: str, names: set[str]) -> None:
 
 
 def _forward_batch(batch: pa.Table) -> pa.Table:
-    """Forward one source segment (batch_size=1) into its sink: Parquet is
-    copied byte-for-byte, JSONL is parsed once (the same newline-delimited
-    read the apply path uses via ray.data.read_json → pyarrow.json) and
-    written as canonical Parquet. Stage + atomic rename keeps a concurrent
-    or retried publish from ever exposing a torn segment."""
-    import shutil
+    """Forward one source segment (batch_size=1) into every sink that
+    still needs it: the source is read/parsed ONCE into task memory
+    (bounded by segment size — binlogs are size-rotated) and the identical
+    bytes are staged+renamed into each sink. Parquet is forwarded
+    byte-for-byte; JSONL is parsed and cast to the apply path's
+    ``_segment_schema`` contract so downstream types match the
+    publisher's. Per-sink try/except: one dead sink fails its own row,
+    the other sinks still receive the segment."""
+    from .cdc import _segment_schema
 
-    from pyarrow import json as pajson
-
-    out = {"segment": [], "rows": [], "bytes": []}
-    for src, sink in zip(
-        batch["path"].to_pylist(), batch["sink"].to_pylist()
+    out: dict[str, list] = {
+        "segment": [], "sink": [], "ok": [], "error": [],
+        "rows": [], "bytes": [],
+    }
+    for src, sinks in zip(
+        batch["path"].to_pylist(), batch["sinks"].to_pylist()
     ):
         base = os.path.basename(src)
-        if base.endswith(".jsonl"):
-            base = base[: -len(".jsonl")] + ".parquet"
-        dst = os.path.join(sink, base)
-        tmp = f"{dst}.staged-{os.getpid()}"
-        if src.endswith(".parquet"):
-            shutil.copyfile(src, tmp)
-            rows = pq.read_metadata(tmp).num_rows
-        else:
-            table = pajson.read_json(src)
-            pq.write_table(table, tmp)
-            rows = table.num_rows
-        size = os.path.getsize(tmp)
-        os.replace(tmp, dst)
-        out["segment"].append(base)
-        out["rows"].append(rows)
-        out["bytes"].append(size)
+        try:
+            if src.endswith(".parquet"):
+                with open(src, "rb") as f:
+                    data = f.read()
+                rows = pq.ParquetFile(pa.BufferReader(data)).metadata.num_rows
+                dst_base = base
+            else:
+                from pyarrow import json as pajson
+
+                table = pajson.read_json(src)
+                want = _segment_schema(src)
+                table = table.select(want.names).cast(want)
+                buf = pa.BufferOutputStream()
+                pq.write_table(table, buf)
+                data = buf.getvalue().to_pybytes()
+                rows = table.num_rows
+                dst_base = base[: -len(".jsonl")] + ".parquet"
+        except Exception as ex:  # source unreadable: every sink's row fails
+            for sink in sinks:
+                out["segment"].append(base)
+                out["sink"].append(sink)
+                out["ok"].append(False)
+                out["error"].append(f"{type(ex).__name__}: {ex}")
+                out["rows"].append(0)
+                out["bytes"].append(0)
+            continue
+        for sink in sinks:
+            try:
+                dst = os.path.join(sink, dst_base)
+                tmp = f"{dst}.staged-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, dst)
+                out["ok"].append(True)
+                out["error"].append("")
+                out["rows"].append(rows)
+                out["bytes"].append(len(data))
+            except Exception as ex:
+                out["ok"].append(False)
+                out["error"].append(f"{type(ex).__name__}: {ex}")
+                out["rows"].append(0)
+                out["bytes"].append(0)
+            out["segment"].append(base)
+            out["sink"].append(sink)
     return pa.table(
         {
             "segment": pa.array(out["segment"], pa.string()),
+            "sink": pa.array(out["sink"], pa.string()),
+            "ok": pa.array(out["ok"], pa.bool_()),
+            "error": pa.array(out["error"], pa.string()),
             "rows": pa.array(out["rows"], pa.int64()),
             "bytes": pa.array(out["bytes"], pa.int64()),
         }
@@ -105,9 +145,14 @@ def publish_changelog(
     "pending_upstream": n}`` — per-sink success isolation exactly like the
     reference's per-relay result map (relay_client.py:310-314): one
     unwritable sink is reported ``ok=False`` with its error while the
-    others still publish. ``pending_upstream`` counts binlog segments the
-    lake has NOT applied yet (never forwarded — the replica cannot get
-    ahead of the publisher)."""
+    others still publish; a partially-failed sink keeps the segments that
+    DID land in its watermark so the retry forwards only the remainder.
+    ``pending_upstream`` counts binlog segments the lake has NOT applied
+    yet (never forwarded — the replica cannot get ahead of the
+    publisher). Raises if ``lake_root`` holds no committed lake (a typo'd
+    path must not silently read as an empty lake)."""
+    import contextlib
+
     import ray.data as rd
 
     from .cdc import list_segments
@@ -116,47 +161,95 @@ def publish_changelog(
         sinks = [sinks]
     if isinstance(binlog_dir, str):
         binlog_dir = [binlog_dir]
+    if not os.path.exists(os.path.join(lake_root, "_manifest.json")):
+        raise FileNotFoundError(
+            f"no committed lake at {lake_root!r} (missing _manifest.json) — "
+            "nothing to publish; check the path"
+        )
     applied = Lake(lake_root).applied_segments()
     # fan-in parity with the apply path (S4): the lake may have consumed
-    # several source dirs; publish forwards from all of them, name-ordered
-    all_segs = sorted(
+    # several source dirs; forward from all of them, name-ordered. The
+    # lake keys applied-ness by basename, so a basename seen in two dirs
+    # is the same logical segment — forward the first occurrence only.
+    seen: set[str] = set()
+    all_segs, eligible = [], []
+    for p in sorted(
         (p for d in binlog_dir for p in list_segments(d)),
         key=os.path.basename,
-    )
-    eligible = [p for p in all_segs if os.path.basename(p) in applied]
+    ):
+        base = os.path.basename(p)
+        if base in seen:
+            continue
+        seen.add(base)
+        all_segs.append(p)
+        if base in applied:
+            eligible.append(p)
+
     results: dict[str, Any] = {}
-    for sink in sinks:
-        try:
-            os.makedirs(sink, exist_ok=True)
-            with dir_writer_lock(sink, "publish sink"):
-                done = _published_set(sink)
-                todo = [
-                    p for p in eligible if os.path.basename(p) not in done
-                ]
-                stats: dict[str, Any] = {
-                    "ok": True,
-                    "published": len(todo),
-                    "total": len(done) + len(todo),
-                    "rows": 0,
-                    "bytes": 0,
+    live: list[str] = []  # sinks whose lock+marker setup succeeded
+    need: dict[str, set[str]] = {}  # sink -> source basenames still to send
+    done: dict[str, set[str]] = {}
+    with contextlib.ExitStack() as stack:
+        for sink in sinks:
+            try:
+                os.makedirs(sink, exist_ok=True)
+                stack.enter_context(dir_writer_lock(sink, "publish sink"))
+                # sweep staged orphans a crashed prior publish left behind
+                for orphan in glob.glob(os.path.join(sink, "*.staged-*")):
+                    os.remove(orphan)
+                done[sink] = _published_set(sink)
+                need[sink] = {
+                    os.path.basename(p)
+                    for p in eligible
+                    if os.path.basename(p) not in done[sink]
                 }
-                if todo:
-                    # one forward task per segment; the stats collect is
-                    # O(#segments) rows — bounded bookkeeping, not data
-                    items = rd.from_items(
-                        [{"path": p, "sink": sink} for p in todo]
-                    )
-                    summary = items.map_batches(
-                        _forward_batch, batch_size=1, batch_format="pyarrow"
-                    ).take_all()
-                    stats["rows"] = int(sum(r["rows"] for r in summary))
-                    stats["bytes"] = int(sum(r["bytes"] for r in summary))
-                    _write_published(
-                        sink, done | {r["segment"] for r in summary}
-                    )
-                results[sink] = stats
-        except Exception as ex:  # per-sink isolation (reference parity)
-            results[sink] = {"ok": False, "error": f"{type(ex).__name__}: {ex}"}
+                live.append(sink)
+            except Exception as ex:  # per-sink isolation (reference parity)
+                results[sink] = {
+                    "ok": False, "error": f"{type(ex).__name__}: {ex}"
+                }
+
+        # one forward task per segment, fanned to every sink needing it;
+        # the stats collect is O(#segments × #sinks) rows — bounded
+        # bookkeeping, not data
+        items = [
+            {"path": p, "sinks": [s for s in live
+                                  if os.path.basename(p) in need[s]]}
+            for p in eligible
+            if any(os.path.basename(p) in need[s] for s in live)
+        ]
+        rows_by_sink: dict[str, list[dict]] = {s: [] for s in live}
+        run_error = None
+        if items:
+            try:
+                summary = rd.from_items(items).map_batches(
+                    _forward_batch, batch_size=1, batch_format="pyarrow"
+                ).take_all()
+                for r in summary:
+                    rows_by_sink[r["sink"]].append(r)
+            except Exception as ex:  # catastrophic run failure: no marker
+                run_error = f"{type(ex).__name__}: {ex}"  # updates — retry
+        for sink in live:
+            if run_error is not None:
+                results[sink] = {"ok": False, "error": run_error}
+                continue
+            rows = rows_by_sink[sink]
+            good = [r for r in rows if r["ok"]]
+            bad = [r for r in rows if not r["ok"]]
+            if good:  # partial progress survives: retry sends the rest
+                _write_published(
+                    sink, done[sink] | {r["segment"] for r in good}
+                )
+            results[sink] = {
+                "ok": not bad,
+                "published": len(good),
+                "total": len(done[sink]) + len(good),
+                "rows": int(sum(r["rows"] for r in good)),
+                "bytes": int(sum(r["bytes"] for r in good)),
+            }
+            if bad:
+                results[sink]["failed"] = len(bad)
+                results[sink]["error"] = bad[0]["error"]
     return {
         "sinks": results,
         "applied": len(eligible),

@@ -52,13 +52,15 @@ def test_publish_roundtrip_two_sinks(tmp_path, ray_session, binlog):
     for s in sinks:
         assert out["sinks"][s]["ok"] and out["sinks"][s]["published"] == 6
 
-    # each sink is itself a valid binlog: replicas reach identical state
+    # each sink is itself a valid binlog: replicas reach identical state —
+    # schema INCLUDED (no cast: type divergence must fail, not be masked)
     want = _final_sorted(lake)
     for s in sinks:
         replica = s + "-replica"
         apply_changelog(replica, s, CFG)
-        got = _final_sorted(replica)
-        assert got.select(want.column_names).cast(want.schema).equals(want)
+        got = _final_sorted(replica).select(want.column_names)
+        assert got.schema.equals(want.schema)
+        assert got.equals(want)
 
     # ... which is also the oracle state (deletes really applied downstream)
     oracle = expected_final_state(binlog)
@@ -95,8 +97,8 @@ def test_publish_is_exactly_once_and_incremental(tmp_path, ray_session, binlog):
         replica = str(tmp_path / "replica")
         apply_changelog(replica, sink, CFG)
         want = _final_sorted(lake)
-        got = _final_sorted(replica)
-        assert got.select(want.column_names).cast(want.schema).equals(want)
+        got = _final_sorted(replica).select(want.column_names)
+        assert got.schema.equals(want.schema) and got.equals(want)
     finally:
         os.remove(os.path.join(binlog, "seg-99999.parquet"))
 
@@ -115,6 +117,10 @@ def test_publish_sink_failure_is_isolated(tmp_path, ray_session, binlog):
 
 
 def test_publish_normalizes_jsonl_to_parquet(tmp_path, ray_session):
+    """JSONL forwarding must carry the APPLY path's typing contract
+    (cdc._segment_schema: known keys get changelog types, evolved extras
+    are additive STRING columns) and be exactly-once despite the
+    .jsonl→.parquet basename swap — both were real bugs."""
     binlog = str(tmp_path / "binlog")
     os.makedirs(binlog)
     rows = [
@@ -122,8 +128,10 @@ def test_publish_normalizes_jsonl_to_parquet(tmp_path, ray_session):
          "tool": "", "ts": 1000, "lsn": 1, "op": "insert"},
         {"conv_id": "c-1", "turn_idx": 1, "role": "assistant", "text": "hi",
          "tool": "", "ts": 1001, "lsn": 2, "op": "insert"},
+        # evolved NUMERIC extra: publisher stores it as string "5" —
+        # the published parquet must carry the same type, not int64
         {"conv_id": "c-1", "turn_idx": 1, "role": "assistant", "text": "hi!",
-         "tool": "", "ts": 1002, "lsn": 3, "op": "update"},
+         "tool": "", "ts": 1002, "lsn": 3, "op": "update", "score": 5},
     ]
     with open(os.path.join(binlog, "seg-00000.jsonl"), "w") as f:
         for r in rows:
@@ -137,12 +145,116 @@ def test_publish_normalizes_jsonl_to_parquet(tmp_path, ray_session):
     published = [f for f in os.listdir(sink) if not f.startswith("_")]
     assert published == ["seg-00000.parquet"]  # normalized, basename kept
 
+    # exactly-once across the extension swap: republish is a no-op twice
+    for _ in range(2):
+        again = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+        assert again["published"] == 0 and again["total"] == 1
+
     replica = str(tmp_path / "replica")
     apply_changelog(replica, sink, CFG)
     want = _final_sorted(lake)
-    got = _final_sorted(replica)
-    assert got.select(want.column_names).cast(want.schema).equals(want)
+    got = _final_sorted(replica).select(want.column_names)
+    assert got.schema.equals(want.schema)  # no cast: types must MATCH
+    assert got.equals(want)
     assert want.num_rows == 2  # the update won via LWW on both sides
+    srow = want.to_pylist()[-1]
+    assert srow["score"] == "5"  # evolved extras are strings on BOTH sides
+
+
+def test_publish_partial_sink_failure_keeps_progress(
+    tmp_path, ray_session, binlog
+):
+    """One segment failing inside a sink marks the sink ok=False but the
+    segments that DID land stay in the watermark — the retry forwards
+    only the remainder."""
+    lake = str(tmp_path / "lake")
+    apply_changelog(lake, binlog, CFG)
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    seg0 = sorted(f for f in os.listdir(binlog) if f.endswith(".parquet"))[0]
+    os.makedirs(os.path.join(sink, seg0))  # a DIR where the dst file goes
+
+    out = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+    assert out["ok"] is False and out["failed"] == 1
+    assert out["published"] == 5 and out["total"] == 5
+
+    os.rmdir(os.path.join(sink, seg0))  # the sink recovers
+    out = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+    assert out["ok"] and out["published"] == 1 and out["total"] == 6
+
+
+def test_publish_orphan_staged_files_are_swept(tmp_path, ray_session, binlog):
+    lake = str(tmp_path / "lake")
+    apply_changelog(lake, binlog, CFG)
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    orphan = os.path.join(sink, "seg-00000.parquet.staged-99999")
+    with open(orphan, "w") as f:  # a crashed prior publish's leftovers
+        f.write("torn bytes")
+
+    out = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+    assert out["ok"] and out["published"] == 6
+    assert not os.path.exists(orphan)
+    assert not [f for f in os.listdir(sink) if ".staged-" in f]
+
+
+def test_publish_duplicate_basenames_forward_once(tmp_path, ray_session):
+    """The lake keys applied-ness by basename; a basename present in two
+    source dirs is the same logical segment and must be forwarded once,
+    not clobbered twice with double-counted stats."""
+    import shutil
+
+    dir_a = str(tmp_path / "a")
+    spec = ChangelogSpec(n_events=2_000, n_convs=100, n_segments=2, seed=7)
+    binlog_a = generate_changelog(dir_a, spec)
+    dir_b = str(tmp_path / "b")
+    shutil.copytree(binlog_a, dir_b)
+    lake = str(tmp_path / "lake")
+    apply_changelog(lake, binlog_a, CFG)
+
+    sink = str(tmp_path / "sink")
+    out = publish_changelog(lake, [binlog_a, dir_b], [sink])
+    assert out["applied"] == 2 and out["pending_upstream"] == 0
+    assert out["sinks"][sink]["published"] == 2
+    segs = [f for f in os.listdir(sink) if f.endswith(".parquet")]
+    assert len(segs) == 2
+
+
+def test_publish_refuses_missing_lake(tmp_path, ray_session, binlog):
+    with pytest.raises(FileNotFoundError, match="no committed lake"):
+        publish_changelog(str(tmp_path / "lak3"), binlog,
+                          [str(tmp_path / "sink")])
+    assert not os.path.exists(str(tmp_path / "lak3"))  # nothing created
+
+
+def test_follow_publish_backlog_drains_on_idle_pass(
+    tmp_path, ray_session, binlog
+):
+    """A sink that is dead during the apply pass must be retried on later
+    IDLE passes (no new segments) — the on_pass hook, not on_epoch, owns
+    the publish so the backlog drains as soon as the sink recovers."""
+    from nostr_data_pipeline_ray.pipelines.cdc import follow_changelog
+
+    lake = str(tmp_path / "lake")
+    sink = str(tmp_path / "sink")
+    with open(sink, "w") as f:  # dead sink: a FILE blocks mkdir
+        f.write("x")
+
+    state = {"passes": 0, "results": []}
+
+    def on_pass(_r):
+        state["passes"] += 1
+        if state["passes"] == 2:  # the sink recovers between passes
+            os.remove(sink)
+        out = publish_changelog(lake, binlog, [sink])
+        state["results"].append(out["sinks"][sink])
+
+    follow_changelog(lake, binlog, CFG, poll_interval=0.05,
+                     idle_timeout=1.0, on_pass=on_pass)
+    assert state["results"][0]["ok"] is False  # pass 1: sink dead
+    drained = [r for r in state["results"][1:] if r.get("published")]
+    assert drained and drained[0]["published"] == 6  # idle pass drained it
+    assert state["results"][-1]["published"] == 0  # then steady no-op
 
 
 def test_table_fingerprint_detects_divergence(tmp_path, ray_session):

@@ -155,6 +155,23 @@ def test_cli_smoke(tmp_path):
     follow = json.loads(out.stdout.strip().splitlines()[-1])
     assert follow["reason"] == "idle" and follow["segments_applied"] == 0
 
+    # publish via the apply flag (relay chain) AND the standalone command;
+    # the second call must be an exactly-once no-op
+    sink = str(tmp_path / "cli_sink")
+    out = run("apply", "--lake", lake, "--binlog", binlog,
+              "--publish-sink", sink)
+    assert out.returncode == 0, out.stderr[-2000:]
+    pub = next(json.loads(ln)["publish"]
+               for ln in out.stdout.strip().splitlines()
+               if "\"publish\"" in ln)
+    assert pub["sinks"][sink]["ok"] and pub["sinks"][sink]["published"] == 4
+    assert len([f for f in os.listdir(sink) if f.endswith(".parquet")]) == 4
+    out = run("publish", "--lake", lake, "--binlog", binlog, "--sink", sink)
+    assert out.returncode == 0, out.stderr[-2000:]
+    again = json.loads(out.stdout.strip().splitlines()[-1])
+    assert again["sinks"][sink]["published"] == 0
+    assert again["sinks"][sink]["total"] == 4
+
     exp = str(tmp_path / "cli_export")
     out = run("export", "--lake", lake, "--out", exp)
     assert out.returncode == 0, out.stderr[-2000:]
