@@ -239,3 +239,106 @@ def test_repetition_kernel_matches_python_reference(word_lists, seed):
         grams = Counter(zip(ws, ws[1:]))
         want_bg = r6(max(grams.values()) / (n - 1)) if grams else 0.0
         assert out.loc[i, "top_bigram_frac"] == want_bg
+
+
+# ---- FWW loser resolution: both paths vs a union-find reference ------------
+#
+# The incremental curators resolve first-writer-wins dedup losers through a
+# gated dual path (curate_index._losers_driver under the pushdown gate,
+# _losers_distributed at bootstrap scale). The planted-case A/B test
+# (test_curate_index.test_distributed_losers_match_driver_path) pins one
+# instance of every loser class; these properties pin the SEMANTICS on
+# random mixed graphs against an independent union-find reference:
+#   - an edge with exactly one new endpoint loses that new endpoint;
+#   - new×new components fold whole into an existing cluster if ANY member
+#     also lost through a mixed edge, else keep only the min id;
+#   - old×old edges (outside the mining contract) are ignored identically.
+
+def _reference_losers(new_ids, edges):
+    new = set(new_ids)
+    lost: set[int] = set()
+    nn: list[tuple[int, int]] = []
+    for a, b in edges:
+        a_new, b_new = a in new, b in new
+        if a_new and not b_new:
+            lost.add(a)
+        elif b_new and not a_new:
+            lost.add(b)
+        elif a_new and b_new:
+            nn.append((a, b))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in nn:
+        parent[find(a)] = find(b)
+    comps: dict[int, set[int]] = {}
+    for x in parent:
+        comps.setdefault(find(x), set()).add(x)
+    for members in comps.values():
+        if members & lost:
+            lost |= members
+        else:
+            lost |= members - {min(members)}
+    return lost
+
+
+@st.composite
+def loser_cases(draw):
+    n_pool = draw(st.integers(4, 18))
+    pool = list(range(n_pool))
+    new_ids = sorted(draw(
+        st.sets(st.sampled_from(pool), min_size=1, max_size=n_pool)
+    ))
+    raw = draw(st.lists(
+        st.tuples(st.sampled_from(pool), st.sampled_from(pool)),
+        max_size=14,
+    ))
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    return new_ids, edges
+
+
+def _run_loser_path(fn, new_ids, edges):
+    import ray.data as rd
+
+    new_docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(new_ids, dtype="int64")})
+    )
+    pairs = (
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype("int64")
+        if edges else None
+    )
+    lost_ds, n_lost = fn(new_docs, pairs)
+    got = (set(lost_ds.to_pandas()["loser_id"].astype("int64").tolist())
+           if n_lost else set())
+    assert len(got) == n_lost  # the count the gate dispatches on is exact
+    return got
+
+
+@given(loser_cases())
+@settings(max_examples=25, deadline=None)
+def test_driver_losers_match_union_find_reference(ray_session, case):
+    from nostr_data_pipeline_ray.pipelines.curate_index import _losers_driver
+
+    new_ids, edges = case
+    got = _run_loser_path(_losers_driver, new_ids, edges)
+    assert got == _reference_losers(new_ids, edges)
+
+
+@given(loser_cases())
+@settings(max_examples=5, deadline=None)
+def test_distributed_losers_match_union_find_reference(ray_session, case):
+    """The bootstrap-scale path (bucketed semi/anti joins + CC + per-label
+    argmin) agrees with the reference on random graphs — fewer examples,
+    each runs a real multi-exchange Ray job."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import (
+        _losers_distributed,
+    )
+
+    new_ids, edges = case
+    got = _run_loser_path(_losers_distributed, new_ids, edges)
+    assert got == _reference_losers(new_ids, edges)
