@@ -94,8 +94,10 @@ BENCH_QUERIES = [
     # number); incremental_curation above stays the bootstrap-inclusive demo
     "incremental_curation_epoch",
     # round-5: the IVF-backed embedding curator (per-epoch cosine dedup
-    # against the persisted vector index, mining only touched lists)
+    # against the persisted vector index, mining only touched lists), plus
+    # its steady-state per-epoch cost (fixture memoized, pure-ingest timing)
     "incremental_curation_embedding",
+    "incremental_curation_embedding_epoch",
 ]
 
 

@@ -966,8 +966,60 @@ def q_incremental_curation_embedding(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+# bootstrap fixture per (process, sf_dir) for the embedding curator's
+# steady-state query — same copy-per-call protocol as _EPOCH_FIXTURE
+_EMB_EPOCH_FIXTURE: dict[str, str] = {}
+
+
+def q_incremental_curation_embedding_epoch(sf_dir: str):
+    """STEADY-STATE cost of one embedding-curator ingest epoch — the
+    capacity-planning twin of `incremental_curation_epoch` for the vector
+    side: the epoch-1 fixture (curator bootstrapped on the first 80% of
+    vectors, quantizer trained, bootstrap near-dups resolved) is built once
+    per process and COPIED per call, so repeated timings measure only the
+    per-epoch work: probe each new vector's nearest lists, point-read
+    exactly the touched lists' stored vectors, exact cosine within lists,
+    FWW loser resolution, fold + commit. Returns the deterministic one-row
+    epoch summary (rows-only: FWW across epochs is order-dependent state)."""
+    import tempfile
+
+    from ..stages.shuffle import table_bytes, table_rows
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cut = int(table_rows(path) * 0.8)
+    blocks = min(64, max(2, table_bytes(path) >> 20))
+    vecs = rd.read_parquet(
+        path, columns=["vec_id", "embedding"], override_num_blocks=blocks
+    )
+    old = vecs.map_batches(lambda b: b[b["vec_id"] < cut], batch_format="pandas")
+    new = vecs.map_batches(lambda b: b[b["vec_id"] >= cut], batch_format="pandas")
+
+    fixture = _EMB_EPOCH_FIXTURE.get(sf_dir)
+    if fixture is None:
+        import atexit
+
+        fixture = tempfile.mkdtemp(prefix="embfix-", dir="/tmp")
+        atexit.register(shutil.rmtree, fixture, ignore_errors=True)
+        cur = EmbeddingCurator(fixture, threshold=0.42, n_lists=8)
+        cur.bootstrap(old, update_id="epoch-1")
+        _EMB_EPOCH_FIXTURE[sf_dir] = fixture
+
+    work = tempfile.mkdtemp(prefix="embepoch-", dir="/tmp")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(fixture, work)
+    try:
+        # reopen with no explicit params: the copied store's persisted
+        # threshold/mine_probes/n_lists are adopted (mismatch would raise)
+        cur = EmbeddingCurator(work)
+        summary = cur.ingest(new, update_id="epoch-2")
+        return pd.DataFrame([summary])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "incremental_curation": q_incremental_curation,
     "incremental_curation_epoch": q_incremental_curation_epoch,
     "incremental_curation_embedding": q_incremental_curation_embedding,
+    "incremental_curation_embedding_epoch": q_incremental_curation_embedding_epoch,
 }

@@ -582,3 +582,24 @@ def test_embedding_curator_retry_after_crash_between_add_and_commit(
     assert retried == clean
     assert clean[0]["dropped_dedup"] == 2
     assert clean[0]["curated"] == 2
+
+
+def test_embedding_epoch_query_steady_state_deterministic(ray_session):
+    """q_incremental_curation_embedding_epoch mirrors the text curator's
+    steady-state protocol: the bootstrap fixture is memoized per process and
+    copied per call, so repeated calls each APPLY a fresh epoch and return
+    identical summaries; the epoch counts must agree with the
+    bootstrap-inclusive demo's final curated vector set."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import (
+        q_incremental_curation_embedding,
+        q_incremental_curation_embedding_epoch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_incremental_curation_embedding_epoch(sf)
+    b = q_incremental_curation_embedding_epoch(sf)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert bool(a.loc[0, "applied"]) is True
+    assert int(a.loc[0, "new_vecs"]) > 0
+    demo_rows = q_incremental_curation_embedding(sf).count()
+    assert int(a.loc[0, "total_curated"]) == demo_rows
