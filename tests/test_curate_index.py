@@ -603,3 +603,59 @@ def test_embedding_epoch_query_steady_state_deterministic(ray_session):
     assert int(a.loc[0, "new_vecs"]) > 0
     demo_rows = q_incremental_curation_embedding(sf).count()
     assert int(a.loc[0, "total_curated"]) == demo_rows
+
+
+def test_embedding_curator_matches_bruteforce_fww_randomized(tmp_path, ray_session):
+    """Randomized end-to-end check of the embedding curator's MINING +
+    FWW semantics against a pure brute-force reference. With mine_probes ==
+    n_lists every new vector probes EVERY list, so the candidate space is
+    all pairs and exact float64 cosine + union-find FWW (the same reference
+    test_properties pins the loser paths with) predicts the curated set
+    exactly — list partitioning stops affecting recall and only the mining
+    arithmetic and loser semantics remain under test."""
+    import tempfile
+
+    from test_properties import _reference_losers
+
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    thr = 0.9
+    for seed in (3, 29, 171, 4096):
+        rng = np.random.default_rng(seed)
+        n, dim = int(rng.integers(10, 36)), 6
+        m = rng.standard_normal((n, dim))
+        for _ in range(int(rng.integers(0, 7))):  # plant some near-dups
+            i, j = rng.integers(0, n, size=2)
+            m[j] = m[i] + 0.03 * rng.standard_normal(dim)
+        cut = int(rng.integers(3, n - 3))
+
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        iu, ju = np.triu_indices(n, k=1)
+        assert not np.any(np.abs(sims[iu, ju] - thr) < 1e-9)  # no knife-edge
+        hit = sims[iu, ju] >= thr
+        all_pairs = list(zip(iu[hit].tolist(), ju[hit].tolist()))
+
+        e1_ids = list(range(cut))
+        e2_ids = list(range(cut, n))
+        edges1 = [(a, b) for a, b in all_pairs if a < cut and b < cut]
+        # epoch 2 mines new×new and new×old, never old×old
+        edges2 = [(a, b) for a, b in all_pairs if a >= cut or b >= cut]
+        want = (set(e1_ids) - _reference_losers(e1_ids, edges1)) | (
+            set(e2_ids) - _reference_losers(e2_ids, edges2)
+        )
+
+        work = tempfile.mkdtemp(prefix="embrand-", dir=str(tmp_path))
+        rows = {i: m[i] for i in e1_ids}
+        cur = EmbeddingCurator(work, threshold=thr, n_lists=2, mine_probes=2)
+        cur.bootstrap(
+            _vec_table(os.path.join(work, "e1.parquet"), rows), update_id="e1"
+        )
+        cur.ingest(
+            _vec_table(
+                os.path.join(work, "e2.parquet"), {i: m[i] for i in e2_ids}
+            ),
+            update_id="e2",
+        )
+        got = set(cur.curated().to_pandas()["vec_id"].tolist())
+        assert got == want, f"seed={seed}: got {sorted(got)} want {sorted(want)}"
