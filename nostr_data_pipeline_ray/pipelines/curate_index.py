@@ -413,7 +413,12 @@ def _pairs_handle(pairs):
 
 def _resolve_losers(new_ids, pairs, n_pairs, n_new, epoch_bytes):
     """Dispatch FWW loser resolution by the driver-epoch gate (shared by
-    both curators). ``pairs`` may be a DataFrame or a Dataset."""
+    both curators). ``pairs`` may be a DataFrame or a Dataset. Returns
+    ``(losers, n_lost)`` where ``losers`` is a sorted int64 ndarray on the
+    driver path (it stays driver-side — round-tripping it through a Ray
+    dataset just to re-collect it in _drop_losers paid object-store
+    serialization per steady-state epoch) or a Dataset[loser_id] on the
+    distributed path."""
     driver_path = (
         _DRIVER_EPOCH is True
         or (_DRIVER_EPOCH == "auto"
@@ -427,12 +432,14 @@ def _resolve_losers(new_ids, pairs, n_pairs, n_new, epoch_bytes):
 def _drop_losers(src, lost_ds, n_lost, id_col, epoch_bytes):
     """FWW drop of the loser set from ``src`` by ``id_col``: broadcast the
     ids under the gate (steady state), else a bucketed anti-join
-    (bootstrap scale). Shared by both curators."""
+    (bootstrap scale). Shared by both curators. ``lost_ds`` is an ndarray
+    (driver path) or a Dataset[loser_id] (distributed path)."""
     if n_lost == 0:
         return src
     if n_lost <= _DRIVER_EPOCH_MAX:
-        lost_arr = np.sort(
-            lost_ds.to_pandas()["loser_id"].to_numpy(np.int64)
+        lost_arr = (
+            lost_ds if isinstance(lost_ds, np.ndarray)
+            else np.sort(lost_ds.to_pandas()["loser_id"].to_numpy(np.int64))
         )  # bounded by the gate
         lost_ref = ray.put(lost_arr)
         return src.map_batches(
@@ -441,6 +448,10 @@ def _drop_losers(src, lost_ds, n_lost, id_col, epoch_bytes):
         )
     from ..stages.joins import bucketed_hash_join
 
+    if isinstance(lost_ds, np.ndarray):  # driver-resolved but above the
+        lost_ds = rd.from_pandas(         # broadcast gate: ship it once
+            pd.DataFrame({"loser_id": lost_ds})
+        )
     return bucketed_hash_join(
         src, lost_ds, left_on=[id_col], right_on=["loser_id"],
         how="left_anti", input_bytes=epoch_bytes,
@@ -452,8 +463,8 @@ def _losers_driver(new_docs, pairs_ds):
     curators — ``new_docs`` only needs a ``doc_id`` column, ``pairs_ds``
     needs ``doc_a``/``doc_b``): collect the epoch's ids and the mined pairs
     (both ≤ _DRIVER_EPOCH_MAX by the caller's gate), resolve mixed-edge and
-    new×new-component losses driver-side. Returns (Dataset[loser_id],
-    n_lost)."""
+    new×new-component losses driver-side. Returns (sorted int64 ndarray,
+    n_lost) — the array stays driver-side for _drop_losers' broadcast."""
     from ..stages.graph import connected_components
 
     if pairs_ds is None:
@@ -488,8 +499,7 @@ def _losers_driver(new_docs, pairs_ds):
             else:
                 lost.update(m for m in members if m != min(members))
     arr = np.sort(np.fromiter(lost, dtype=np.int64, count=len(lost)))
-    lost_ds = rd.from_pandas(pd.DataFrame({"loser_id": arr}))
-    return lost_ds, len(lost)
+    return arr, len(lost)
 
 def _losers_distributed(new_docs, pairs_ds, epoch_bytes=None):
     """Bootstrap-scale loser computation — the dedup_survivors pattern:
@@ -748,8 +758,17 @@ class EmbeddingCurator(_EpochStore):
 
     def bootstrap(self, vecs, update_id: str) -> dict:
         """Epoch 1: train the coarse quantizer, then ingest the corpus
-        (mining its internal near-dups new×new, min-id canonical)."""
-        self.idx.train(vecs)
+        (mining its internal near-dups new×new, min-id canonical).
+        Retryable after a crash: a prior attempt that persisted the
+        quantizer but died before the epoch committed skips straight to
+        the ingest (re-training would raise IvfIndex's own guard with a
+        message pointing at the wrong recovery API)."""
+        if self.meta["applied_ids"]:
+            raise ValueError(
+                "embedding curator already bootstrapped — use ingest()"
+            )
+        if self.idx._centroids is None:
+            self.idx.train(vecs)
         return self.ingest(vecs, update_id)
 
     def ingest(self, new_vecs, update_id: str) -> dict:
@@ -768,6 +787,18 @@ class EmbeddingCurator(_EpochStore):
         new_vecs = new_vecs.materialize()
         n_new = new_vecs.count()
         known = int(self.idx.meta["n_vecs"])
+        if n_new == 0:
+            # nothing to ingest — still commit the epoch so a retry of the
+            # same update_id stays exactly-once (the text curator's
+            # convention; a block-less dataset would otherwise reach
+            # to_pandas() with its columns dropped and fail mid-mine)
+            self._commit_epoch(None, 0, update_id)
+            return {
+                "applied": True, "update_id": update_id, "new_vecs": 0,
+                "known_before": known, "pairs": 0, "dropped_dedup": 0,
+                "curated": 0,
+                "total_curated": int(self.meta["n_curated"]),
+            }
         thr = self.meta["threshold"]
         dim = self.idx.meta["dim"]
         probes = min(self.meta["mine_probes"], len(self.idx._centroids))

@@ -19,7 +19,9 @@ is read/parsed ONCE and fanned to every sink needing it (the reference
 publishes each event once to all relays, not once per relay).
 
 Exactly-once per sink: each segment lands under its content-stable
-SOURCE basename (extension swapped for JSONL) via stage+rename, and
+SOURCE basename (``.parquet`` APPENDED for JSONL — ``x.jsonl`` →
+``x.jsonl.parquet`` — so a Parquet segment and a JSONL segment sharing a
+stem can never overwrite each other at the sink) via stage+rename, and
 ``_published.json`` records the source names already forwarded so a
 re-publish is a metadata-only no-op. A crash between the segment rename
 and the marker update is safe: the rewrite is idempotent and the
@@ -94,7 +96,7 @@ def _forward_batch(batch: pa.Table) -> pa.Table:
                 pq.write_table(table, buf)
                 data = buf.getvalue().to_pybytes()
                 rows = table.num_rows
-                dst_base = base[: -len(".jsonl")] + ".parquet"
+                dst_base = base + ".parquet"
         except Exception as ex:  # source unreadable: every sink's row fails
             for sink in sinks:
                 out["segment"].append(base)
@@ -209,6 +211,24 @@ def publish_changelog(
                     "ok": False, "error": f"{type(ex).__name__}: {ex}"
                 }
 
+        # destination-collision guard: distinct SOURCE basenames that map
+        # to the same sink name (only possible for pathological pairs like
+        # x.jsonl + x.jsonl.parquet now that JSONL appends rather than
+        # swaps its extension) would silently overwrite each other AND
+        # both enter the exactly-once marker — fail every member of such
+        # a group loudly instead of publishing any of them
+        def _dst(base: str) -> str:
+            return base if base.endswith(".parquet") else base + ".parquet"
+
+        by_dst: dict[str, list[str]] = {}
+        for p in eligible:
+            by_dst.setdefault(_dst(os.path.basename(p)), []).append(
+                os.path.basename(p)
+            )
+        collided = {
+            b for bases in by_dst.values() if len(bases) > 1 for b in bases
+        }
+
         # one forward task per segment, fanned to every sink needing it;
         # the stats collect is O(#segments × #sinks) rows — bounded
         # bookkeeping, not data
@@ -216,7 +236,8 @@ def publish_changelog(
             {"path": p, "sinks": [s for s in live
                                   if os.path.basename(p) in need[s]]}
             for p in eligible
-            if any(os.path.basename(p) in need[s] for s in live)
+            if os.path.basename(p) not in collided
+            and any(os.path.basename(p) in need[s] for s in live)
         ]
         rows_by_sink: dict[str, list[dict]] = {s: [] for s in live}
         run_error = None
@@ -229,6 +250,18 @@ def publish_changelog(
                     rows_by_sink[r["sink"]].append(r)
             except Exception as ex:  # catastrophic run failure: no marker
                 run_error = f"{type(ex).__name__}: {ex}"  # updates — retry
+        for sink in live:  # collided segments fail per-sink, never publish
+            for base in sorted(collided & need[sink]):
+                rows_by_sink[sink].append({
+                    "segment": base, "sink": sink, "ok": False,
+                    "error": (
+                        "destination collision: "
+                        + " + ".join(sorted(by_dst[_dst(base)]))
+                        + f" all publish to {_dst(base)!r} — rename the "
+                        "source segments"
+                    ),
+                    "rows": 0, "bytes": 0,
+                })
         for sink in live:
             if run_error is not None:
                 results[sink] = {"ok": False, "error": run_error}

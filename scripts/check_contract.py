@@ -44,6 +44,17 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Queries whose SECOND run is an intentional no-op or fixture-cached pass
+# (manifest-committed lake replays, the published-marker no-op, the
+# memoized steady-state epoch fixtures): their retry is structurally
+# cheap, so a real first-run cost regression would always be excused as
+# "host noise". For these the first (tax-scaled) measurement is final —
+# no retry escape.
+RETRY_BLIND = {
+    "cdc_apply", "cdc_apply_delta", "publish_changelog",
+    "incremental_curation_epoch", "incremental_curation_embedding_epoch",
+}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
@@ -102,6 +113,13 @@ def main():
         if (status in ("OK", "ROWS_ONLY") and engine_s is not None
                 and engine_s > budget
                 and SF_DIR.endswith("0.01")):
+            if name in RETRY_BLIND:  # a re-run proves nothing here
+                status = "SLOW"
+                detail += (f" (> {budget:.1f}s cost guard; retry-blind — "
+                           "second runs of this query are no-ops by design)")
+                failures.append(name)
+                print(f"{status:9s} {name:28s} {elapsed:6.1f}s  {detail}")
+                continue
             # one retry before flagging: this host's page-fault-tax windows
             # (documented in BASELINE.md) can hit a contiguous multi-minute
             # slice 2-6x; a query that re-runs fast is host noise, not a

@@ -309,3 +309,36 @@ def test_deep_fsck_catches_misassignment_and_dim(ray_session, tmp_path):
     pq.write_table(trunc, a)
     audit = idx.fsck(deep=True)
     assert not audit["ok"] and any("dim" in e for e in audit["errors"])
+
+
+def test_deep_fsck_tolerates_centroid_ties(ray_session, tmp_path):
+    """A vector (near-)equidistant between two centroids is a healthy
+    assignment in EITHER list — argmin tie-breaks (and the expanded-form
+    kernel's ~1e-9 cancellation error vs the kernel that wrote an older
+    index) must not read as corruption. Plant the exact midpoint of the
+    two centroids into each list in turn: deep fsck stays ok both ways."""
+    import numpy as np
+
+    root = str(tmp_path / "idx")
+    idx = IvfIndex(root, n_lists=2)
+    idx.bootstrap(_vecs(SF), update_id="e1")
+    assert idx.fsck(deep=True)["ok"]
+
+    mid = idx._centroids.mean(axis=0)  # equidistant from both centroids
+    sub = os.path.join(idx.rows_dir, idx.meta["committed"][0])
+    for f in sorted(os.listdir(sub)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(sub, f)
+        t = pq.read_table(p)
+        if not t.num_rows:
+            continue
+        emb = t["embedding"].to_pylist()
+        emb[0] = [float(x) for x in mid]  # replace in place: counts intact
+        pq.write_table(
+            pa.table({"vec_id": t["vec_id"],
+                      "embedding": pa.array(emb, pa.list_(pa.float64()))}),
+            p,
+        )
+    audit = idx.fsck(deep=True)
+    assert audit["ok"], audit["errors"]

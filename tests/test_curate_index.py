@@ -482,6 +482,71 @@ def test_embedding_curator_reopen_rejects_explicit_mismatch(tmp_path, ray_sessio
         EmbeddingCurator(root, mine_probes=8)
 
 
+def test_embedding_curator_empty_epoch_commits_exactly_once(
+    tmp_path, ray_session
+):
+    """A 0-row epoch (everything filtered upstream) must commit an empty
+    exactly-once epoch like the text curator — not run the mine pipeline
+    over a block-less dataset (whose to_pandas() drops columns and
+    crashed mid-mine with a KeyError before the short-circuit)."""
+    import ray.data as rd
+
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(21)
+    vecs = _vec_table(
+        tmp_path / "v.parquet", {i: rng.standard_normal(8) for i in range(6)}
+    )
+    cur = EmbeddingCurator(str(tmp_path / "cur"), threshold=0.9, n_lists=2)
+    cur.bootstrap(vecs, update_id="e1")
+
+    empty = rd.from_arrow(pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+    ).empty_table())
+    out = cur.ingest(empty, update_id="e2-empty")
+    assert out["applied"] and out["new_vecs"] == 0 and out["curated"] == 0
+    assert out["total_curated"] == 6
+    # exactly-once: the retry is a no-op, and the store stays healthy
+    again = cur.ingest(empty, update_id="e2-empty")
+    assert again == {"applied": False, "update_id": "e2-empty"}
+    assert cur.fsck(deep=True)["ok"]
+    # a real epoch still works after the empty one
+    more = _vec_table(
+        tmp_path / "v3.parquet",
+        {i: rng.standard_normal(8) for i in range(100, 103)},
+    )
+    out3 = cur.ingest(more, update_id="e3")
+    assert out3["curated"] == 3 and out3["total_curated"] == 9
+
+
+def test_embedding_curator_bootstrap_retry_after_train_crash(
+    tmp_path, ray_session
+):
+    """Crash window: a prior bootstrap persisted the quantizer (train)
+    but died before the epoch committed. Retrying bootstrap() must skip
+    the re-train (IvfIndex would raise 'use add()' — the wrong recovery
+    API for a curator) and complete the ingest; a COMPLETED bootstrap
+    still refuses a second bootstrap with the curator-level message."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(23)
+    rows = {i: rng.standard_normal(8) for i in range(8)}
+    vecs = _vec_table(tmp_path / "v.parquet", rows)
+    root = str(tmp_path / "cur")
+
+    crashed = EmbeddingCurator(root, threshold=0.9, n_lists=2)
+    crashed.idx.train(vecs)  # ... and the process dies here
+    del crashed
+
+    cur = EmbeddingCurator(root, threshold=0.9)
+    out = cur.bootstrap(vecs, update_id="e1")  # retry completes
+    assert out["applied"] and out["curated"] == 8
+    assert set(cur.curated().to_pandas()["vec_id"]) == set(rows)
+
+    with pytest.raises(ValueError, match="already bootstrapped — use ingest"):
+        cur.bootstrap(vecs, update_id="e2")
+
+
 def test_curator_ingest_retry_after_crash_between_fold_and_commit(
     tmp_path, ray_session, monkeypatch
 ):

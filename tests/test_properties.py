@@ -313,8 +313,12 @@ def _run_loser_path(fn, new_ids, edges):
         if edges else None
     )
     lost_ds, n_lost = fn(new_docs, pairs)
-    got = (set(lost_ds.to_pandas()["loser_id"].astype("int64").tolist())
-           if n_lost else set())
+    if not n_lost:
+        got = set()
+    elif hasattr(lost_ds, "to_pandas"):  # distributed path: Dataset
+        got = set(lost_ds.to_pandas()["loser_id"].astype("int64").tolist())
+    else:  # driver path returns the ndarray itself (no Ray round trip)
+        got = set(int(x) for x in lost_ds)
     assert len(got) == n_lost  # the count the gate dispatches on is exact
     return got
 

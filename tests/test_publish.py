@@ -143,7 +143,9 @@ def test_publish_normalizes_jsonl_to_parquet(tmp_path, ray_session):
     out = publish_changelog(lake, binlog, [sink])
     assert out["sinks"][sink]["published"] == 1
     published = [f for f in os.listdir(sink) if not f.startswith("_")]
-    assert published == ["seg-00000.parquet"]  # normalized, basename kept
+    # normalized; .parquet APPENDED (never swapped) so a parquet segment
+    # sharing the stem can never be overwritten at the sink
+    assert published == ["seg-00000.jsonl.parquet"]
 
     # exactly-once across the extension swap: republish is a no-op twice
     for _ in range(2):
@@ -218,6 +220,79 @@ def test_publish_duplicate_basenames_forward_once(tmp_path, ray_session):
     assert out["sinks"][sink]["published"] == 2
     segs = [f for f in os.listdir(sink) if f.endswith(".parquet")]
     assert len(segs) == 2
+
+
+def test_publish_same_stem_parquet_and_jsonl_both_survive(
+    tmp_path, ray_session
+):
+    """A Parquet segment and a JSONL segment sharing a stem are DISTINCT
+    logical segments (the lake keys applied-ness by full basename) — both
+    must land at the sink and the replica must converge to the
+    publisher's state. Before the .parquet-APPEND naming both mapped to
+    the same sink file: the last writer silently erased the other's
+    events while the exactly-once marker recorded both as published."""
+    dir_a = str(tmp_path / "binlog")
+    spec = ChangelogSpec(n_events=2_000, n_convs=100, n_segments=2, seed=11)
+    binlog = generate_changelog(dir_a, spec)
+    rows = [
+        {"conv_id": "zz-collide", "turn_idx": 0, "role": "user",
+         "text": "stem twin", "tool": "", "ts": 99_000, "lsn": 10_000_000,
+         "op": "insert"},
+    ]
+    # same stem as the generated seg-00000.parquet, different format
+    with open(os.path.join(binlog, "seg-00000.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    lake = str(tmp_path / "lake")
+    apply_changelog(lake, binlog, CFG)
+
+    sink = str(tmp_path / "sink")
+    out = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+    assert out["ok"] and out["published"] == 3
+    names = sorted(f for f in os.listdir(sink) if not f.startswith("_"))
+    assert "seg-00000.parquet" in names
+    assert "seg-00000.jsonl.parquet" in names
+
+    replica = str(tmp_path / "replica")
+    apply_changelog(replica, sink, CFG)
+    want = _final_sorted(lake)
+    got = _final_sorted(replica).select(want.column_names)
+    assert got.schema.equals(want.schema) and got.equals(want)
+    convs = set(want["conv_id"].to_pylist())
+    assert "zz-collide" in convs  # the JSONL twin's events made it through
+
+
+def test_publish_destination_collision_fails_loudly(tmp_path, ray_session):
+    """Pathological pair x.jsonl + x.jsonl.parquet maps to ONE sink name
+    even under append-naming: neither may publish (a silent overwrite
+    plus a satisfied marker is permanent divergence) and the error must
+    say why. Non-colliding segments still publish."""
+    dir_a = str(tmp_path / "binlog")
+    spec = ChangelogSpec(n_events=2_000, n_convs=100, n_segments=2, seed=13)
+    binlog = generate_changelog(dir_a, spec)
+    seg0 = sorted(f for f in os.listdir(binlog) if f.endswith(".parquet"))[0]
+    import shutil
+
+    # craft the collision: seg-00000.jsonl and seg-00000.jsonl.parquet
+    shutil.copy(os.path.join(binlog, seg0),
+                os.path.join(binlog, "seg-00000.jsonl.parquet"))
+    with open(os.path.join(binlog, "seg-00000.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"conv_id": "zz-1", "turn_idx": 0, "role": "user", "text": "x",
+             "tool": "", "ts": 99_000, "lsn": 10_000_001, "op": "insert"}
+        ) + "\n")
+    lake = str(tmp_path / "lake")
+    apply_changelog(lake, binlog, CFG)
+
+    sink = str(tmp_path / "sink")
+    out = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+    assert out["ok"] is False and out["failed"] == 2
+    assert "destination collision" in out["error"]
+    assert out["published"] == 2  # the two generated segments still landed
+    assert not os.path.exists(os.path.join(sink, "seg-00000.jsonl.parquet"))
+    # neither collider entered the marker: a retry still reports them
+    again = publish_changelog(lake, binlog, [sink])["sinks"][sink]
+    assert again["failed"] == 2 and again["published"] == 0
 
 
 def test_publish_refuses_missing_lake(tmp_path, ray_session, binlog):
