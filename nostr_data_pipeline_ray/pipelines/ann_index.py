@@ -122,37 +122,33 @@ class IvfIndex:
         """Omitted parameters adopt the persisted meta on reopen (the
         manifest is authoritative — an audit/reader must not need to
         re-state build params); EXPLICITLY passed values that differ from
-        the persisted ones still raise."""
+        the persisted ones still raise (state/meta.py owns the
+        protocol)."""
+        from ..state.meta import open_or_init_meta
+
         self.index_dir = index_dir
         self.rows_dir = os.path.join(index_dir, "rows")
-        meta_path = os.path.join(index_dir, self.META)
         explicit = {k: v for k, v in
                     {"n_lists": n_lists, "iters": iters, "seed": seed}.items()
                     if v is not None}
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                have = json.load(f)
-            if have.get("format") != self.FORMAT:
-                raise ValueError(
-                    f"index at {index_dir} uses on-disk format "
-                    f"{have.get('format')!r}, this code reads {self.FORMAT}"
-                )
-            mismatch = {k: (have.get(k), v) for k, v in explicit.items()
-                        if have.get(k) != v}
-            if mismatch:
-                raise ValueError(
-                    f"index at {index_dir} was built with different IVF "
-                    f"parameters: {mismatch}"
-                )
-            self.meta = have
-            self._centroids = np.load(os.path.join(index_dir, self.CENTROIDS))
-        else:
-            want = {"n_lists": 16, "iters": 5, "seed": 17, **explicit}
+        self.meta, created = open_or_init_meta(
+            os.path.join(index_dir, self.META), self.FORMAT,
+            f"index at {index_dir}",
+            {"n_lists": 16, "iters": 5, "seed": 17},
+            explicit, mismatch_kind="IVF ",
+        )
+        if created:
             os.makedirs(self.rows_dir, exist_ok=True)
-            self.meta = {**want, "format": self.FORMAT, "dim": None,
-                         "n_vecs": 0, "committed": [], "applied_ids": []}
+            self.meta.update(dim=None, n_vecs=0, committed=[],
+                             applied_ids=[])
             self._centroids = None
             self._write_meta()
+        else:
+            # a store can legitimately exist UNtrained (created, process
+            # died before train()) — reopen must come back trainable, not
+            # crash on the missing centroids file
+            cpath = os.path.join(index_dir, self.CENTROIDS)
+            self._centroids = np.load(cpath) if os.path.exists(cpath) else None
 
     def _write_meta(self) -> None:
         tmp = os.path.join(self.index_dir, f".{self.META}.tmp")

@@ -194,57 +194,68 @@ class IncrementalCurator(_EpochStore):
         self,
         root: str,
         benchmark: str | None = None,
-        benchmark_max_doc_id: int = 20,
-        threshold: float = 0.5,
-        quality_q: float = 0.75,
+        benchmark_max_doc_id: int | None = None,
+        threshold: float | None = None,
+        quality_q: float | None = None,
         **lsh_params,
     ):
+        """None = "use the store's persisted value" (the shared reopen
+        convention, state/meta.py: omitted params adopt the manifest, an
+        EXPLICITLY passed mismatch raises — previously this curator
+        silently IGNORED a mismatched threshold/quality_q on reopen while
+        its sibling stores raised). Defaults on create: threshold 0.5,
+        quality_q 0.75, benchmark_max_doc_id 20."""
+        from ..state.meta import open_or_init_meta
+
         self.root = root
         self.curated_dir = os.path.join(root, "curated")
         self.idx = MinHashIndex(os.path.join(root, "neardup_index"), **lsh_params)
-        meta_path = os.path.join(root, self.META)
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                self.meta = json.load(f)
-            if self.meta.get("format") != self.FORMAT:
-                raise ValueError(f"curator at {root} uses a different format")
-            if benchmark is not None:
-                t = pq.read_table(
-                    benchmark,
-                    columns=["doc_id", "text"],
-                    filters=[("doc_id", "<", self.meta["benchmark_max_doc_id"])],
-                )
-                grams = sorted(set(_explode_ngrams(t, 5)["word"].to_pylist()))
-                if grams != self.meta["benchmark_grams"]:
-                    raise ValueError(
-                        f"curator at {root} was built against a DIFFERENT "
-                        "held-out benchmark — decontamination would silently "
-                        "diverge; re-bootstrap a fresh curator instead"
-                    )
-        else:
+        explicit = {k: v for k, v in
+                    (("threshold", threshold), ("quality_q", quality_q),
+                     ("benchmark_max_doc_id", benchmark_max_doc_id))
+                    if v is not None}
+        self.meta, created = open_or_init_meta(
+            os.path.join(root, self.META), self.FORMAT,
+            f"curator at {root}",
+            {"threshold": 0.5, "quality_q": 0.75, "benchmark_max_doc_id": 20},
+            explicit,
+            mismatch_hint=(" (persisted, requested) — epochs would "
+                           "silently diverge"),
+        )
+        if created:
             os.makedirs(self.curated_dir, exist_ok=True)
             grams: list[str] = []
             if benchmark is not None:
                 t = pq.read_table(
                     benchmark,
                     columns=["doc_id", "text"],
-                    filters=[("doc_id", "<", benchmark_max_doc_id)],
+                    filters=[("doc_id", "<",
+                              self.meta["benchmark_max_doc_id"])],
                 )
                 grams = sorted(
                     set(_explode_ngrams(t, 5)["word"].to_pylist())
                 )
-            self.meta = {
-                "format": self.FORMAT,
-                "threshold": threshold,
-                "quality_q": quality_q,
-                "benchmark_max_doc_id": benchmark_max_doc_id,
-                "benchmark_grams": grams,
-                "quality_min": None,  # captured at bootstrap
-                "committed": [],
-                "applied_ids": [],
-                "n_curated": 0,
-            }
+            self.meta.update(
+                benchmark_grams=grams,
+                quality_min=None,  # captured at bootstrap
+                committed=[], applied_ids=[], n_curated=0,
+            )
             self._write_meta()
+        elif benchmark is not None:
+            # content check no scalar-param protocol can express: the
+            # SAME benchmark file must re-derive the persisted gram set
+            t = pq.read_table(
+                benchmark,
+                columns=["doc_id", "text"],
+                filters=[("doc_id", "<", self.meta["benchmark_max_doc_id"])],
+            )
+            grams = sorted(set(_explode_ngrams(t, 5)["word"].to_pylist()))
+            if grams != self.meta["benchmark_grams"]:
+                raise ValueError(
+                    f"curator at {root} was built against a DIFFERENT "
+                    "held-out benchmark — decontamination would silently "
+                    "diverge; re-bootstrap a fresh curator instead"
+                )
 
     # -- epochs -------------------------------------------------------------
 
@@ -719,39 +730,28 @@ class EmbeddingCurator(_EpochStore):
                  mine_probes: int | None = None, **ivf_params):
         from .ann_index import IvfIndex
 
+        from ..state.meta import open_or_init_meta
+
         self.root = root
         self.curated_dir = os.path.join(root, "curated")
         self.idx = IvfIndex(os.path.join(root, "ann_index"), **ivf_params)
-        meta_path = os.path.join(root, self.META)
-        # None = "use the store's persisted value" (IvfIndex's convention:
+        # None = "use the store's persisted value" (the shared convention:
         # reopen adopts persisted params; any EXPLICITLY passed mismatch
         # raises — no sentinel value is overloaded as 'unspecified')
         explicit = {k: v for k, v in
                     (("threshold", threshold), ("mine_probes", mine_probes))
                     if v is not None}
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                self.meta = json.load(f)
-            if self.meta.get("format") != self.FORMAT:
-                raise ValueError(f"embedding curator at {root} uses a different format")
-            mismatch = {k: (self.meta[k], v) for k, v in explicit.items()
-                        if self.meta[k] != v}
-            if mismatch:
-                raise ValueError(
-                    f"embedding curator at {root} was built with different "
-                    f"parameters: {mismatch} (persisted, requested) — "
-                    "epochs would silently diverge"
-                )
-        else:
+        self.meta, created = open_or_init_meta(
+            os.path.join(root, self.META), self.FORMAT,
+            f"embedding curator at {root}",
+            {"threshold": 0.42, "mine_probes": 4},
+            explicit,
+            mismatch_hint=(" (persisted, requested) — epochs would "
+                           "silently diverge"),
+        )
+        if created:
             os.makedirs(self.curated_dir, exist_ok=True)
-            self.meta = {
-                "format": self.FORMAT,
-                "threshold": explicit.get("threshold", 0.42),
-                "mine_probes": explicit.get("mine_probes", 4),
-                "committed": [],
-                "applied_ids": [],
-                "n_curated": 0,
-            }
+            self.meta.update(committed=[], applied_ids=[], n_curated=0)
             self._write_meta()
 
     # -- epochs -------------------------------------------------------------

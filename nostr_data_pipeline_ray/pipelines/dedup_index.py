@@ -120,44 +120,33 @@ class MinHashIndex:
     ):
         """Omitted parameters adopt the persisted meta on reopen (the
         manifest is authoritative — auditors/readers need no build
-        params); EXPLICITLY passed values that differ still raise."""
+        params); EXPLICITLY passed values that differ still raise
+        (state/meta.py owns the protocol)."""
+        from ..state.meta import open_or_init_meta
+
         self.index_dir = index_dir
         self.rows_dir = os.path.join(index_dir, "rows")
-        meta_path = os.path.join(index_dir, self.META)
         explicit = {
             k: v
             for k, v in {"num_perm": num_perm, "bands": bands,
                          "ngram": ngram, "seed": seed}.items()
             if v is not None
         }
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                have = json.load(f)
-            if have.get("format") != self.FORMAT:
-                raise ValueError(
-                    f"index at {index_dir} uses on-disk format "
-                    f"{have.get('format')!r}, this code reads format "
-                    f"{self.FORMAT} — rebuild the index (bootstrap) rather "
-                    "than silently missing its rows"
-                )
-            mismatch = {k: (have.get(k), v) for k, v in explicit.items() if have.get(k) != v}
-            if mismatch:
-                raise ValueError(
-                    f"index at {index_dir} was built with different LSH "
-                    f"parameters: {mismatch} — signatures are incompatible"
-                )
-            self.meta = have
-        else:
-            want = {"num_perm": 64, "bands": 16, "ngram": 3, "seed": 7, **explicit}
-            assert want["bands"] < 64, "packed bucket keys reserve 6 bits for the band"
+        self.meta, created = open_or_init_meta(
+            os.path.join(index_dir, self.META), self.FORMAT,
+            f"index at {index_dir}",
+            {"num_perm": 64, "bands": 16, "ngram": 3, "seed": 7},
+            explicit,
+            format_hint=(" — rebuild the index (bootstrap) rather than "
+                         "silently missing its rows"),
+            mismatch_kind="LSH ",
+            mismatch_hint=" — signatures are incompatible",
+        )
+        if created:
+            assert self.meta["bands"] < 64, \
+                "packed bucket keys reserve 6 bits for the band"
             os.makedirs(self.rows_dir, exist_ok=True)
-            self.meta = {
-                **want,
-                "format": self.FORMAT,
-                "n_docs": 0,
-                "committed": [],
-                "applied_ids": [],
-            }
+            self.meta.update(n_docs=0, committed=[], applied_ids=[])
             self._write_meta()
 
     def _write_meta(self) -> None:

@@ -482,6 +482,47 @@ def test_embedding_curator_reopen_rejects_explicit_mismatch(tmp_path, ray_sessio
         EmbeddingCurator(root, mine_probes=8)
 
 
+def test_text_curator_reopen_rejects_explicit_mismatch(curator):
+    """The text curator now rides the SAME shared reopen protocol as the
+    other stores (state/meta.py): a bare reopen adopts persisted params,
+    an EXPLICITLY passed mismatch raises — it used to silently ignore a
+    different threshold/quality_q, diverging from its siblings."""
+    re1 = IncrementalCurator(curator.root)
+    assert re1.meta["threshold"] == 0.5 and re1.meta["quality_q"] == 0.75
+    IncrementalCurator(curator.root, threshold=0.5, quality_q=0.75)  # match ok
+    with pytest.raises(ValueError, match="different"):
+        IncrementalCurator(curator.root, threshold=0.9)
+    with pytest.raises(ValueError, match="different"):
+        IncrementalCurator(curator.root, quality_q=0.5)
+    with pytest.raises(ValueError, match="different"):
+        IncrementalCurator(curator.root, benchmark_max_doc_id=99)
+
+
+def test_embedding_curator_reopen_before_train_is_trainable(
+    tmp_path, ray_session
+):
+    """Crash window one step earlier than the train-crash test: the
+    curator (and its inner IVF store) was CREATED but the process died
+    before train() wrote centroids. Reopen must come back trainable —
+    the old IvfIndex reopen unconditionally np.load'ed the missing
+    centroids file and crashed."""
+    from nostr_data_pipeline_ray.pipelines.curate_index import EmbeddingCurator
+
+    rng = np.random.default_rng(29)
+    vecs = _vec_table(
+        tmp_path / "v.parquet", {i: rng.standard_normal(8) for i in range(6)}
+    )
+    root = str(tmp_path / "cur")
+    created = EmbeddingCurator(root, threshold=0.9, n_lists=2)
+    assert created.idx._centroids is None
+    del created  # ... the process dies before train()
+
+    cur = EmbeddingCurator(root, threshold=0.9)
+    assert cur.idx._centroids is None  # reopened untrained, not a crash
+    out = cur.bootstrap(vecs, update_id="e1")
+    assert out["applied"] and out["curated"] == 6
+
+
 def test_embedding_curator_empty_epoch_commits_exactly_once(
     tmp_path, ray_session
 ):
