@@ -207,6 +207,13 @@ def _merge_schema(segment_paths: list[str], snapshot_paths: list[str]) -> pa.Sch
     unified = pa.unify_schemas(schemas, promote_options="permissive")
     if "pkey" in unified.names:
         unified = unified.remove(unified.get_field_index("pkey"))
+    if "op" not in unified.names:
+        # a first epoch fed ONLY op-less JSONL segments (a raw spooled
+        # stream where every event is an insert) must still merge: op=null
+        # means upsert throughout the read/merge path (materialize_partition
+        # appends the same column defensively; the write path must match or
+        # MergeTask KeyErrors on winners["op"])
+        unified = unified.append(pa.field("op", pa.string()))
     return unified
 
 
@@ -256,12 +263,12 @@ class SplitStage:
     def __init__(
         self,
         staged_root: str,
-        num_partitions: int,
         fmt: str = "parquet",
         dict_encode: bool = False,
     ):
+        # partitioning is fully decided upstream (the precomputed 'pkey'
+        # column) — this stage only groups rows by it and writes
         self.staged_root = staged_root
-        self.num_partitions = num_partitions
         self.fmt = fmt
         self.dict_encode = dict_encode
 
@@ -655,8 +662,18 @@ def apply_epoch(
     # same epoch number — the rmtree below would delete the other job's
     # staged delta mid-run and surviving files would cross-contaminate lakes
     lake_id = hashlib.sha1(os.path.realpath(lake.root).encode()).hexdigest()[:12]
-    staged_root = os.path.join(scratch, f"lake-{lake_id}", f"epoch-{epoch}-delta")
-    shutil.rmtree(staged_root, ignore_errors=True)  # crashed prior attempt
+    lake_ns = os.path.join(scratch, f"lake-{lake_id}")
+    staged_root = os.path.join(lake_ns, f"epoch-{epoch}-delta")
+    # sweep EVERY stale staged dir in this lake's namespace, not just this
+    # epoch's: a crash between the manifest commit and the post-commit
+    # rmtree orphans that epoch's whole exchange (RAM, on a tmpfs scratch),
+    # and the next run's epoch number has already moved on. The caller
+    # holds the single-writer lock, so anything here is dead weight from a
+    # crashed or unswept prior attempt.
+    if os.path.isdir(lake_ns):
+        for d in os.listdir(lake_ns):
+            if d.startswith("epoch-") and d.endswith("-delta"):
+                shutil.rmtree(os.path.join(lake_ns, d), ignore_errors=True)
 
     # --- phase A: delta map + map-side exchange ---------------------------
     # parquet segments grouped by identical file schema → one read_parquet
@@ -701,7 +718,6 @@ def apply_epoch(
 
     split = SplitStage(
         staged_root,
-        config.num_partitions,
         # "auto": ipc-lz4 on node-local scratch, parquet on shared storage
         resolve_staged_format(config.staged_format, scratch),
         config.staged_dict,
@@ -1163,8 +1179,12 @@ def select_compaction(
     m = lake.current_manifest()
     bases = (m or {}).get("files") or {}
     picks: list[int] = []
+    # the eager-bytes rule needs >=2 deltas to be worth a rewrite, but an
+    # explicit max_depth=1 ("fold every delta immediately") must still be
+    # honored — a blanket <2 skip silently raised the minimum cap to 2
+    min_chain = 1 if max_depth <= 1 else 2
     for pk, rels in ((m or {}).get("deltas") or {}).items():
-        if len(rels) < 2:
+        if len(rels) < min_chain:
             continue
         if len(rels) >= max_depth:
             picks.append(int(pk))

@@ -112,6 +112,17 @@ def connected_components(
     so a scratch left by a DIFFERENT graph is discarded, not resumed.
     """
     n_edges = edges.count()
+    if n_edges == 0:
+        # the empty graph has no labeled nodes — return the typed empty
+        # frame here instead of feeding _cc_local a schema-less batch
+        # (whose missing src/dst columns raised KeyError); callers no
+        # longer need their own count()==0 guards
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.schema([("node", pa.int64()), ("label", pa.int64())])
+            .empty_table()
+        )
     if n_edges <= _LOCAL_MAX_EDGES and scratch_dir is None:
         # small-graph fast path: the edge set fits one block — run the loop
         # in a single task (still off-driver) instead of paying the fixed

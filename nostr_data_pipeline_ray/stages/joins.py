@@ -31,6 +31,14 @@ def broadcast_join(
     """
     from .actors import cached_get
 
+    if how not in ("inner", "left"):
+        # per-batch merging is only sound when unmatched SMALL-side rows
+        # are dropped: 'right'/'outer' would re-emit each unmatched small
+        # row once per input batch (up to #blocks duplicates). Use
+        # bucketed_hash_join for those semantics.
+        raise ValueError(
+            f"broadcast_join supports how='inner'/'left', got {how!r}"
+        )
     small_ref = ray.put(small)
     right_on = right_on or left_on
 
@@ -85,8 +93,18 @@ def bucketed_hash_join(
     # an EMPTY Dataset (e.g. a flag set with no hits) has no inferable
     # schema; existence probes have trivial answers there, so short-circuit
     # instead of dereferencing None
-    if rschema is None and how in ("left_semi", "left_anti"):
-        return left if how == "left_anti" else left.limit(0)
+    if rschema is None:
+        if how in ("left_semi", "left_anti"):
+            return left if how == "left_anti" else left.limit(0)
+        # an inner/left join can't synthesize the right side's columns
+        # from nothing — fail with the contract instead of an
+        # AttributeError three lines down
+        raise ValueError(
+            f"bucketed_hash_join: right side is empty with no inferable "
+            f"schema — a {how!r} join can't synthesize the right columns; "
+            "guard the call (count()==0) or pass a schema-bearing empty "
+            "Dataset (e.g. ray.data.from_arrow(schema.empty_table()))"
+        )
     if lschema is None and how in ("left_semi", "left_anti", "left", "inner"):
         return left  # empty left: nothing to join, result is empty
     lcols, rcols = list(lschema.names), list(rschema.names)
@@ -160,13 +178,17 @@ def bucketed_hash_join(
         else:
             out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         # the all-NA padding upcast int columns to nullable/float across the
-        # union; restore exact integer dtypes (inner joins leave no NA)
+        # union; restore each column's ORIGINAL integer dtype (not a blanket
+        # int64 — an int32 left column must come out int32, or downstream
+        # schema unions against its producer see a join-introduced mismatch)
         for c, t in {**ltypes, **rtypes}.items():
-            if pa.types.is_integer(t) and c in out and out[c].dtype != "int64":
-                try:
-                    out[c] = out[c].astype("int64")
-                except (TypeError, ValueError):
-                    pass  # outer join NAs stay nullable
+            if pa.types.is_integer(t) and c in out:
+                want = np.dtype(t.to_pandas_dtype())
+                if out[c].dtype != want:
+                    try:
+                        out[c] = out[c].astype(want)
+                    except (TypeError, ValueError):
+                        pass  # outer join NAs stay nullable
         return out
 
     if local:

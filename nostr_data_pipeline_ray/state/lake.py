@@ -79,17 +79,37 @@ class Lake:
         self.root = root
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "parts"), exist_ok=True)
+        self._manifest_cache: tuple[tuple, dict[str, Any]] | None = None
 
     # ---- read side -------------------------------------------------------
 
     def current_manifest(self) -> dict[str, Any] | None:
+        """The committed manifest, parse-cached per Lake instance.
+
+        At the design point (~400k part entries plus the applied-segments
+        list) one json.load is a multi-second full-file parse, and an
+        apply epoch consults the manifest half a dozen times (epoch
+        number, partitioning, watermarks, partition files, commit parent)
+        — all under the writer lock, so the pointer cannot move between
+        them. The cache keys on the POINTER file's (inode, mtime_ns,
+        size): commit_epoch's os.replace mints a new inode, so any
+        committed change invalidates it, including commits by another
+        process. Callers treat the returned dict as IMMUTABLE (commit_
+        epoch copies every map it extends)."""
         ptr = os.path.join(self.root, "_manifest.json")
-        if not os.path.exists(ptr):
+        try:
+            st = os.stat(ptr)
+        except FileNotFoundError:
             return None
+        key = (st.st_ino, st.st_mtime_ns, st.st_size)
+        if self._manifest_cache is not None and self._manifest_cache[0] == key:
+            return self._manifest_cache[1]
         with open(ptr) as f:
             pointer = json.load(f)
         with open(os.path.join(self.root, pointer["path"])) as f:
-            return json.load(f)
+            m = json.load(f)
+        self._manifest_cache = (key, m)
+        return m
 
     def current_epoch(self) -> int:
         m = self.current_manifest()
@@ -160,26 +180,14 @@ class Lake:
 
     # ---- commit side -----------------------------------------------------
 
-    @contextmanager
     def writer_lock(self):
         """Exclusive single-writer lock (non-blocking flock). Held across a
         whole apply/follow/delete call; raises ConcurrentWriterError if any
-        other process (or another handle in this one) already writes here."""
-        import fcntl
-
-        path = os.path.join(self.root, "_writer.lock")
-        fd = os.open(path, os.O_CREAT | os.O_RDWR)
-        try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError as ex:
-                raise ConcurrentWriterError(
-                    f"another writer holds {path}; a lake has exactly one "
-                    "apply/follow/delete job at a time"
-                ) from ex
-            yield
-        finally:
-            os.close(fd)  # releases the flock
+        other process (or another handle in this one) already writes here.
+        Delegates to ``dir_writer_lock`` — one flock implementation for
+        every directory-rooted store, so a locking fix can't silently miss
+        this copy."""
+        return dir_writer_lock(self.root, "lake")
 
     def commit_epoch(
         self,

@@ -409,7 +409,7 @@ def test_staged_files_never_collide_across_blocks(tmp_path):
         )
 
     staged = str(tmp_path / "staged")
-    split = SplitStage(staged, num_partitions=8)
+    split = SplitStage(staged)
     split(block(["c-a", "c-b"]))  # block 1
     split(block(["c-c", "c-d"]))  # block 2: same (min, max, count), new rows
     split(block(["c-a", "c-b"]))  # retry of block 1: must overwrite itself
