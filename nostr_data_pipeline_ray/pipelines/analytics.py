@@ -56,10 +56,7 @@ def _tbytes(sf_dir: str, table: str) -> int:
     return table_bytes(_t(sf_dir, table))
 
 
-def _round_away(x, decimals: int = 2) -> np.ndarray:
-    """Half-away-from-zero rounding, matching DuckDB ROUND (positive inputs)."""
-    scale = 10.0**decimals
-    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+from ..functions.rounding import round_away as _round_away  # shared contract
 
 
 def _round_col(batch: pa.Table, col: str, decimals: int = 2) -> pa.Table:
@@ -324,6 +321,16 @@ def q_price_stats(sf_dir: str):
         Min("l_extendedprice", alias_name="min_price"),
         Max("l_extendedprice", alias_name="max_price"),
     )
+    # empty-table contract (Dataset.aggregate returns None on 0 rows, and
+    # the clamped quantile indexes would go negative): one row of NULLs
+    # with n=0, matching the SQL aggregate's shape
+    if summary is None or not int(summary["n"]):
+        null = pa.array([None], pa.float64())
+        return pa.table({
+            "n": pa.array([0], pa.int64()), "total": null,
+            "mean_price": null, "min_price": null, "max_price": null,
+            "median": null, "p25": null, "p75": null, "p95": null,
+        })
     n = int(summary["n"])
     # mean derives from the ROUNDED total so oracle and engine divide
     # bit-identical doubles (the raw distributed sum differs by ulps)
@@ -1376,25 +1383,23 @@ def q_domain_mix_sample(sf_dir: str, weights: dict[str, float] | None = None):
         batch["_h"] = id_hash(batch["doc_id"].to_numpy()).astype(np.int64)
         return batch
 
-    def head_quota(g: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            g.sort_values(["_h", "doc_id"])
-            .groupby("source", sort=False, observed=True)
-            .head(kmax)
-        )
-        # exact per-source quotas (head(kmax) above is the map-side prune;
-        # here every row of a source is present)
-        keep = g.groupby("source", sort=False, observed=True).cumcount() < g[
-            "source"
-        ].map(quota).to_numpy()
-        return g[keep]
-
     def prune(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE definition of the candidate order + per-source cap: the
+        # map-side prune and the final selection must agree on it exactly
+        # or the prune's superset invariant breaks (a tiebreaker change
+        # applied to one copy and not the other would silently drop rows)
         return (
             g.sort_values(["_h", "doc_id"])
             .groupby("source", sort=False, observed=True)
             .head(kmax)
         )
+
+    def head_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = prune(g)  # same order/cap; here every row of a source is present
+        keep = g.groupby("source", sort=False, observed=True).cumcount() < g[
+            "source"
+        ].map(quota).to_numpy()
+        return g[keep]
 
     return bucketed_map_groups(
         docs.map_batches(add_h, batch_format="pandas"),

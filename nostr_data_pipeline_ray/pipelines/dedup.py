@@ -58,8 +58,7 @@ def _read(
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
-def _round6(x) -> np.ndarray:
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+from ..functions.rounding import round6 as _round6  # the shared 6dp contract
 
 
 def _point_read_vec(path: str, vec_id: int) -> np.ndarray:
@@ -83,6 +82,11 @@ def _embedding_sample(path: str, max_rows: int) -> np.ndarray:
         if have >= max_rows:
             break
     pf.close()
+    if not chunks:  # fail with the contract, not deep inside from_batches
+        raise ValueError(
+            f"empty embeddings table at {path} — nothing to sample; the "
+            "IVF/LSH paths need at least one vector to probe dimensions"
+        )
     t = pa.Table.from_batches(chunks)
     col = t["embedding"].combine_chunks()
     dim = len(col[0])
@@ -683,6 +687,13 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
             pairs_from_group(g)
             for _, g in hits.groupby(["band", "band_hash"], sort=False)
         ]
+        n_hot = sum(bool(o["truncated"].any()) for o in outs)
+        if n_hot:  # honor pairs_from_group's not-silent contract
+            print(
+                f"[minhash_near_dup] WARNING: {n_hot} hot LSH bucket(s) "
+                "exceeded the pair cap in this batch — near-dup recall is "
+                "reduced (degenerate band; re-salt or raise max_group)"
+            )
         out = (
             pd.concat(outs, ignore_index=True)
             if outs
@@ -739,6 +750,10 @@ def make_jaccard_verify(threshold: float):
             B = set(sb.split(_SEP)) if isinstance(sb, str) and sb else set()
             union = len(A | B)
             j = len(A & B) / union if union else 0.0
+            # threshold the ROUNDED value — the exact twin paths and the
+            # oracle both round before comparing, so a boundary pair
+            # (raw 0.4999996 → 0.500000) must not split the two paths
+            j = float(_round6(j)[()])
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b_)
@@ -747,7 +762,7 @@ def make_jaccard_verify(threshold: float):
             {
                 "doc_a": np.array(out_a, dtype=np.int64),
                 "doc_b": np.array(out_b, dtype=np.int64),
-                "jaccard": _round6(np.array(out_j, dtype=np.float64)),
+                "jaccard": np.array(out_j, dtype=np.float64),
             }
         )
 
@@ -945,6 +960,13 @@ def q_embedding_near_dup_lsh(
             pairs_from_group(grp, max_group=max_bucket)
             for _, grp in g.groupby(["t", "sig"], sort=False)
         ]
+        n_hot = sum(bool(o["truncated"].any()) for o in outs)
+        if n_hot:  # honor pairs_from_group's not-silent contract
+            print(
+                f"[embedding_near_dup_lsh] WARNING: {n_hot} hot LSH "
+                "bucket(s) exceeded the pair cap in this batch — recall is "
+                "reduced (raise max_bucket or the table count)"
+            )
         out = (
             pd.concat(outs, ignore_index=True)
             if outs
@@ -993,15 +1015,18 @@ def q_embedding_near_dup_lsh(
         vb = np.frombuffer(b"".join(m["feat_b"]), dtype=np.float64).reshape(
             len(m), -1
         )
-        cos = (va * vb).sum(axis=1) / (
-            np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        cos = _round6(
+            (va * vb).sum(axis=1)
+            / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1))
         )
+        # rounded-then-thresholded, matching the exact path's convention
+        # (_embedding_all_pairs thresholds the rounded score)
         keep = cos >= threshold
         return pd.DataFrame(
             {
                 "vec_a": m["vec_a"].to_numpy(dtype=np.int64)[keep],
                 "vec_b": m["vec_b"].to_numpy(dtype=np.int64)[keep],
-                "score": _round6(cos[keep]),
+                "score": cos[keep],
             }
         )
 

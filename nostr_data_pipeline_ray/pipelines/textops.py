@@ -61,9 +61,7 @@ def _read_docs(sf_dir: str, columns: list[str]):
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
-def _round6(x) -> np.ndarray:
-    """Half-away-from-zero 6dp rounding, matching DuckDB ROUND."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+from ..functions.rounding import round6 as _round6  # the shared 6dp contract
 
 
 def _group_counts(a: np.ndarray, b: np.ndarray):
@@ -193,6 +191,9 @@ def q_corpus_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET):
     offset already exceeds the budget emit nothing (their rows are all past
     the cut), so the tail of a huge corpus costs a subtotal scan, not a
     materialization."""
+    import ray
+
+    from ..stages.actors import cached_get
     scored = (
         _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
         .map_batches(_score_tokens, batch_format="pyarrow")
@@ -239,6 +240,11 @@ def q_corpus_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET):
     for s in summaries:
         offsets[(s["q0"], s["id0"])] = running
         running += s["toks"]
+    # broadcast the O(blocks) offsets dict once (ray.put + per-worker
+    # cached_get, the engine's broadcast discipline) — capturing it in the
+    # closure would pickle it into EVERY select task's spec: at the 100 TB
+    # design point that's ~1.6M entries re-shipped ~1.6M times
+    offsets_ref = ray.put(offsets)
 
     # pass B: map-side cumsum + budget filter over the SAME sorted blocks
     def select(batch: pa.Table) -> pa.Table:
@@ -250,7 +256,9 @@ def q_corpus_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET):
         )
         if batch.num_rows == 0:
             return empty
-        off = offsets[(batch["quality_score"][0].as_py(), batch["doc_id"][0].as_py())]
+        off = cached_get(offsets_ref)[
+            (batch["quality_score"][0].as_py(), batch["doc_id"][0].as_py())
+        ]
         if off > budget:
             return empty
         cum = off + np.cumsum(batch["n_tokens"].to_numpy(zero_copy_only=False))
@@ -362,11 +370,13 @@ def q_doc_lm_score(sf_dir: str, broadcast_max: int = VOCAB_BROADCAST_MAX):
     )
 
     def to_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # no ones-column: bucketed_sum_count's partial computes the group
+        # size itself, so shipping constant 1s only inflated the doc-keyed
+        # exchange on exactly the too-big-to-broadcast path
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"],
                 "lp": np.log(b["c"].to_numpy(dtype=np.float64) / n_total),
-                "n": np.ones(len(b), dtype=np.int64),
             }
         )
 

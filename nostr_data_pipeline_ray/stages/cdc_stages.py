@@ -98,8 +98,18 @@ def _key_codes(batch: pa.Table) -> np.ndarray:
         batch["conv_id"], pa.ChunkedArray
     ) else batch["conv_id"]
     codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
-    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return codes.astype(np.int64) * np.int64(1 << 32) + turn
+    # pack turn_idx through a uint32 VIEW: bijective on the full int32
+    # range (negative turns map to the high half), so no two distinct
+    # (conv, turn) pairs share a code — raw `codes*2^32 + turn` collided
+    # (conv, -1) with (conv-1, 2^32-1) and precombine would silently drop
+    # a live row. turn_idx is int32 by the changelog schema; anything
+    # wider is a corrupt input worth failing loudly on.
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    turn32 = turn.astype(np.int32)
+    if not np.array_equal(turn32, turn):
+        raise ValueError("turn_idx outside int32 — corrupt changelog input")
+    turn_u = turn32.view(np.uint32).astype(np.int64)
+    return codes.astype(np.int64) * np.int64(1 << 32) + turn_u
 
 
 def precombine(batch: pa.Table) -> pa.Table:

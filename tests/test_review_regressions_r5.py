@@ -179,6 +179,88 @@ def test_broadcast_join_rejects_per_batch_unsound_modes(ray_session):
         broadcast_join(ds, small, left_on="k", right_on="k2", how="right")
 
 
+def test_round_away_matches_duckdb_for_negative_half_ties():
+    """The shared rounding contract (functions/rounding.py) is DuckDB
+    ROUND: half away from zero BOTH signs. The old floor(x*s+0.5) form
+    rounded a negative half-tie toward zero — lm_score is always
+    negative, so the sign mattered."""
+    import duckdb
+    import numpy as np
+
+    from nostr_data_pipeline_ray.functions.rounding import round6, round_away
+
+    assert round_away(np.array([-0.0000005]), 6)[0] == -0.000001
+    assert round_away(np.array([0.0000005]), 6)[0] == 0.000001
+    # grid parity with DuckDB ROUND, negatives and ties included
+    vals = [0.0, 1.2345675, -1.2345675, -0.0000005, 0.4999996, -0.4999996,
+            -3.7, 2.5e-7, -2.5e-7, 123.456789123, -123.456789123]
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
+        got = float(round6(np.array([v]))[0])
+        assert got == pytest.approx(want, abs=0), (v, got, want)
+    con.close()
+
+
+def test_price_stats_empty_table_returns_null_row(tmp_path, ray_session):
+    """An empty lineitem table must yield the SQL aggregate's shape (one
+    row, n=0, NULL stats) — Dataset.aggregate returns None on 0 rows and
+    the clamped quantile indexes went negative, so this used to crash."""
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.analytics import q_price_stats
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.schema([("l_extendedprice", pa.float64())]).empty_table(),
+        sf / "lineitem.parquet",
+    )
+    out = q_price_stats(str(sf))
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    assert row["n"] == 0 and row["median"] is None and row["total"] is None
+
+
+def test_precombine_key_codes_negative_turns_and_width_guard(ray_session):
+    """(conv, turn) codes must be injective over the full int32 turn range
+    (negative turns pack through a uint32 view), and a turn outside int32
+    — corrupt input the changelog schema forbids — fails loudly instead
+    of silently colliding keys and dropping a live row in precombine."""
+    from nostr_data_pipeline_ray.stages.cdc_stages import precombine
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a"]),
+        "turn_idx": pa.array([-1, 0, 2147483647], pa.int32()),
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = precombine(t)
+    assert out.num_rows == 3  # three distinct keys: nothing combined away
+
+    bad = pa.table({
+        "conv_id": pa.array(["a", "a"]),
+        "turn_idx": pa.array([0, 1 << 32], pa.int64()),
+        "lsn": pa.array([1, 2], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="outside int32"):
+        precombine(bad)
+
+
+def test_embedding_sample_empty_table_clear_error(tmp_path):
+    from nostr_data_pipeline_ray.pipelines.dedup import _embedding_sample
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float64()))]).empty_table(),
+        p,
+    )
+    with pytest.raises(ValueError, match="empty embeddings table"):
+        _embedding_sample(p, 100)
+
+
 def test_manifest_cache_invalidates_on_commit(tmp_path, ray_session):
     """current_manifest is parse-cached per Lake instance (an apply epoch
     consults it half a dozen times under the writer lock); the cache keys
