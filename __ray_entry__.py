@@ -137,6 +137,9 @@ _SNAPSHOT_HEAD = [
     "curated_corpus", "curated_corpus_plus", "curated_corpus_trimmed",
     "doc_repetition", "corpus_token_budget", "doc_lm_score",
     "doc_dup_spans", "dup_span_trim", "ann_topk_ivf_index",
+    # round-5 window-function family (W1-W4), oracle-bearing, new
+    "event_gaps", "rolling_daily_events", "cumulative_revenue",
+    "order_price_ranks",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

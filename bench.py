@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "corpus_token_budget",
     "doc_lm_score",
     "domain_mix_sample",
+    # round-5 window-function family (W1-W4): groupby-window over one
+    # bucketed exchange each (lag gaps / rolling frame / running total /
+    # rank variants)
+    "event_gaps",
+    "rolling_daily_events",
+    "cumulative_revenue",
+    "order_price_ranks",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

@@ -1410,6 +1410,183 @@ def q_domain_mix_sample(sf_dir: str, weights: dict[str, float] | None = None):
     )
 
 
+# ---------------------------------------------------------------------------
+# Window functions (beyond-reference operator family, W1-W4): LAG-based
+# inter-event gaps, frame-based rolling aggregates, per-group running
+# totals, and the ranking family (rank / dense_rank / percent_rank).
+#
+# Shape: every window is a groupby-window — bucketed by its PARTITION BY
+# key so all of a partition's rows are co-located by ONE hash exchange,
+# then the frame/lag/rank kernel runs vectorized (numpy / pandas) inside
+# the bucket. Each input row moves exactly once; nothing is collected on
+# the driver. Float contract: window arithmetic is carried in exact
+# integers (microseconds / cents / ranks) on BOTH sides of the oracle, and
+# any float column is derived from those integers by the same expression
+# in the same order — a distributed float prefix-sum would be
+# order-sensitive exactly at the rounding boundary.
+# ---------------------------------------------------------------------------
+
+
+def q_event_gaps(sf_dir: str):
+    """W1 — LAG: per-user inter-event gap stats over
+    ``lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+    Gaps are integer microseconds (the tables are us-precision), so sum and
+    max are exact and the derived 2dp seconds cannot drift across block
+    boundaries. Users with a single event have no gap and are excluded,
+    matching the oracle's ``WHERE gap_us IS NOT NULL``."""
+
+    def gaps(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        same = b["user_id"].eq(b["user_id"].shift(1)).to_numpy()
+        gap = us - np.roll(us, 1)  # row 0 is garbage; masked by `same`
+        g = (
+            pd.DataFrame({"user_id": b["user_id"].to_numpy()[same], "gap_us": gap[same]})
+            .groupby("user_id", sort=False)["gap_us"]
+        )
+        out = pd.DataFrame(
+            {
+                "n_gaps": g.size().astype("int64"),
+                "_sum_us": g.sum(),
+                "_max_us": g.max(),
+            }
+        ).reset_index()
+        out["avg_gap_sec"] = _round_away(
+            out["_sum_us"].to_numpy(dtype="float64")
+            / out["n_gaps"].to_numpy()
+            / 1_000_000.0,
+            2,
+        )
+        out["max_gap_sec"] = _round_away(
+            out["_max_us"].to_numpy(dtype="float64") / 1_000_000.0, 2
+        )
+        return out[["user_id", "n_gaps", "avg_gap_sec", "max_gap_sec"]]
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        keys=["user_id"],
+        fn=gaps,
+    )
+
+
+def q_rolling_daily_events(sf_dir: str):
+    """W2 — frame-based rolling aggregate:
+    ``sum/avg(n) OVER (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)`` on the per-day count
+    series. Two-phase: a distributed daily groupby-count (map-side partial
+    combine) collapses the raw events first, so the rolling exchange moves
+    one row per (event_type, day) — O(days × types) regardless of corpus
+    size — and the frame kernel is an exact integer cumsum delta."""
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["day"] = (
+            batch["ts"].to_numpy(dtype="datetime64[D]").astype("datetime64[us]")
+        )
+        return batch[["event_type", "day"]]
+
+    daily = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["event_type", "ts"]).map_batches(
+            add_day, batch_format="pandas"
+        ),
+        keys=["event_type", "day"],
+        sums={},
+        count_as="n",
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["event_type", "day"]).reset_index(drop=True)
+        outs = []
+        for _, g in b.groupby("event_type", sort=False):  # O(#types) groups
+            n = g["n"].to_numpy(dtype="int64")
+            c = np.cumsum(n)
+            n7 = c.copy()
+            n7[7:] -= c[:-7]  # ROWS 6 PRECEDING..CURRENT = cumsum delta
+            cnt7 = np.minimum(np.arange(len(n)) + 1, 7)
+            g = g.copy(deep=False)
+            g["n_7d"] = n7
+            g["avg_7d"] = _round_away(n7.astype("float64") / cnt7, 2)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(daily, keys=["event_type"], fn=roll)
+
+
+def q_cumulative_revenue(sf_dir: str):
+    """W3 — running total + row_number: ``sum(spend) OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)``.
+    Spend is fixed to integer cents per order (half-away 2dp, the shared
+    contract) BEFORE the prefix sum, so the running total is exact integer
+    arithmetic on both sides — the one window where a float accumulator
+    genuinely diverges between engines."""
+
+    def cum(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"]
+        ).reset_index(drop=True)
+        cents = _round_away(b["o_totalprice"].to_numpy() * 100.0, 0).astype("int64")
+        key = b["o_custkey"]
+        cum_cents = pd.Series(cents).groupby(key.to_numpy(), sort=False).cumsum()
+        seq = b.groupby(key, sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "order_seq": seq.astype("int64"),
+                "cum_spend": cum_cents.to_numpy() / 100.0,
+            }
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]),
+        keys=["o_custkey"],
+        fn=cum,
+    )
+
+
+def q_order_price_ranks(sf_dir: str):
+    """W4 — ranking family: ``rank() / dense_rank() / percent_rank() OVER
+    (PARTITION BY month ORDER BY o_totalprice DESC)``. All three are
+    order-insensitive given the partition (ties share a rank), and
+    percent_rank is derived from integer rank and partition size —
+    (rank−1)/(n−1), 0 for a single-row partition — so the 6dp rounding is
+    FP-safe."""
+
+    def add_month(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["month"] = (
+            batch["o_orderdate"].to_numpy(dtype="datetime64[M]").astype("datetime64[us]")
+        )
+        return batch[["month", "o_orderkey", "o_totalprice"]]
+
+    def ranks(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)["o_totalprice"]
+        r = g.rank(method="min", ascending=False).to_numpy()
+        dr = g.rank(method="dense", ascending=False).to_numpy()
+        n = g.transform("size").to_numpy()
+        pct = np.where(n > 1, (r - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "month": bucket["month"],
+                "o_orderkey": bucket["o_orderkey"],
+                "price_rank": r.astype("int64"),
+                "price_dense_rank": dr.astype("int64"),
+                "price_pct_rank": _round_away(pct, 6),
+            }
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]).map_batches(
+            add_month, batch_format="pandas"
+        ),
+        keys=["month"],
+        fn=ranks,
+        input_bytes=_tbytes(sf_dir, "orders"),
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -1435,6 +1612,61 @@ QUALITY_SQL_THRESHOLD = """(
 )"""
 
 ORACLE: dict[str, str] = {
+    "event_gaps": """
+        WITH g AS (
+            SELECT user_id,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_gaps,
+               round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2)
+                   AS avg_gap_sec,
+               round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 2) AS max_gap_sec
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    "rolling_daily_events": """
+        WITH d AS (
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+               round(CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w, 2) AS avg_7d
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "cumulative_revenue": """
+        WITH o AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(row_number() OVER w AS BIGINT) AS order_seq,
+               sum(cents) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_spend
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "order_price_ranks": """
+        WITH o AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   o_orderkey, o_totalprice
+            FROM orders
+        )
+        SELECT month, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS price_rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+               round(percent_rank() OVER w, 6) AS price_pct_rank
+        FROM o
+        WINDOW w AS (PARTITION BY month ORDER BY o_totalprice DESC)
+    """,
     "quality_filter": f"""
         WITH {QUALITY_SQL_CTES}
         SELECT doc_id, quality_score FROM q

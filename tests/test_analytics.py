@@ -328,3 +328,64 @@ def test_domain_mix_matches_pandas_reference_randomized():
             pd.concat(keep).sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want), seed
+
+
+# ---------------------------------------------------------------------------
+# window-function family (W1-W4) — the per-bucket kernels sort/lag/cumsum
+# INSIDE each bucket, so correctness rides on the partition key co-locating
+# whole groups; the sf0.001 fixtures take the single-task local path, which
+# the parametrized oracle test above already covers. Force the multi-bucket
+# exchange here and re-check the same oracles.
+# ---------------------------------------------------------------------------
+
+_WINDOW_QUERIES = (
+    "event_gaps", "rolling_daily_events", "cumulative_revenue",
+    "order_price_ranks",
+)
+
+
+@pytest.mark.parametrize("name", _WINDOW_QUERIES)
+def test_window_distributed_path_matches_oracle(name, monkeypatch):
+    from nostr_data_pipeline_ray.stages import shuffle as sh
+
+    monkeypatch.setattr(sh, "LOCAL_MAX_INPUT_BYTES", 0)
+    got = _normalize(_ray_result(name))
+    want = _normalize(_oracle(an.ORACLE[name]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_event_gaps_planted_edges(tmp_path):
+    """LAG edges the sf fixtures can't isolate: a single-event user emits no
+    gap row at all; equal timestamps tie-break by event_id into a 0 gap; and
+    the stats are exact integer microseconds underneath."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00", "2024-01-01 00:00:10",  # u1: 10s gap
+            "2024-01-01 00:00:10",                          # u1: tie → 0 gap
+            "2024-01-02 00:00:00",                          # u2: single event
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_event_gaps(str(tmp_path)).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "user_id": np.array([1], dtype="int64"),
+            "n_gaps": np.array([2], dtype="int64"),
+            "avg_gap_sec": [5.0],
+            "max_gap_sec": [10.0],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
