@@ -140,6 +140,8 @@ _SNAPSHOT_HEAD = [
     # round-5 window-function family (W1-W4), oracle-bearing, new
     "event_gaps", "rolling_daily_events", "cumulative_revenue",
     "order_price_ranks",
+    # round-5 grouping-sets / set-algebra / pivot family (G1-G3)
+    "activity_rollup", "user_type_set_ops", "daily_type_pivot",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

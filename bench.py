@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "rolling_daily_events",
     "cumulative_revenue",
     "order_price_ranks",
+    # round-5 grouping-sets family (G1-G3): ROLLUP via hierarchical
+    # partial-sum reuse, INTERSECT/EXCEPT as per-user flags, fixed-dispatch
+    # pivot — each one scan + one integer-sum exchange
+    "activity_rollup",
+    "user_type_set_ops",
+    "daily_type_pivot",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

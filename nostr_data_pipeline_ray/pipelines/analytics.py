@@ -1587,6 +1587,163 @@ def q_order_price_ranks(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Grouping sets / set algebra / pivot (beyond-reference family, G1-G3):
+# ROLLUP, INTERSECT/EXCEPT, and crosstab — the remaining classic SQL
+# aggregation shapes. Same design rules as the window family: integer
+# arithmetic rides the exchanges, floats round once at the edge.
+# ---------------------------------------------------------------------------
+
+
+def q_activity_rollup(sf_dir: str):
+    """G1 — grouping sets: ``GROUP BY ROLLUP(event_type, day)``. The
+    (event_type, day) base aggregate is computed once over the raw events
+    (map-side partial combine); the coarser levels re-aggregate the BASE's
+    O(types × days) partial sums — the hierarchical-reuse plan, so the raw
+    table is scanned exactly once however many grouping sets are asked
+    for. Value sums stay raw through every level and round once at the
+    edge (the shared 2dp contract). The level-0 union runs in one task
+    over the bounded level rows, never over the raw table."""
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["day"] = (
+            batch["ts"].to_numpy(dtype="datetime64[D]").astype("datetime64[us]")
+        )
+        return batch[["event_type", "day", "value"]]
+
+    base = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
+            add_day, batch_format="pandas"
+        ),
+        keys=["event_type", "day"],
+        sums={"value": "_sv"},
+        count_as="n_events",
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+    def subtotals(bucket: pd.DataFrame) -> pd.DataFrame:
+        # pass the base rows through; append one (event_type, NaT) subtotal
+        # row per type in this bucket (explicit arrays: an all-NaT column
+        # through pd.concat trips the pandas all-NA dtype deprecation)
+        g = (
+            bucket.groupby("event_type", sort=False)
+            .agg(n_events=("n_events", "sum"), _sv=("_sv", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": np.concatenate(
+                    [bucket["event_type"].to_numpy(), g["event_type"].to_numpy()]
+                ),
+                "day": np.concatenate(
+                    [
+                        bucket["day"].to_numpy(dtype="datetime64[us]"),
+                        np.full(len(g), np.datetime64("NaT", "us")),
+                    ]
+                ),
+                "n_events": np.concatenate(
+                    [bucket["n_events"].to_numpy(), g["n_events"].to_numpy()]
+                ).astype("int64"),
+                "_sv": np.concatenate([bucket["_sv"].to_numpy(), g["_sv"].to_numpy()]),
+            }
+        )
+
+    lv = bucketed_map_groups(base, keys=["event_type"], fn=subtotals)
+
+    def grand(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df[df["day"].notna()]  # base rows only — no double count
+        out = pd.DataFrame(
+            {
+                "event_type": np.concatenate(
+                    [df["event_type"].to_numpy(), np.array([None], dtype=object)]
+                ),
+                "day": np.concatenate(
+                    [
+                        df["day"].to_numpy(dtype="datetime64[us]"),
+                        np.array(["NaT"], dtype="datetime64[us]"),
+                    ]
+                ),
+                "n_events": np.concatenate(
+                    [df["n_events"].to_numpy(), [fine["n_events"].sum()]]
+                ).astype("int64"),
+                "_sv": np.concatenate([df["_sv"].to_numpy(), [fine["_sv"].sum()]]),
+            }
+        )
+        out["total_value"] = _round_away(out["_sv"].to_numpy(dtype="float64"), 2)
+        return out[["event_type", "day", "n_events", "total_value"]]
+
+    return lv.repartition(1).map_batches(
+        grand, batch_format="pandas", batch_size=None
+    )
+
+
+def q_user_type_set_ops(sf_dir: str):
+    """G2 — set algebra: INTERSECT / EXCEPT over the distinct-user sets of
+    two event types, labelled 'both' / 'purchase_only' / 'signup_only'
+    (users with neither are absent). One bucketed exchange on user_id with
+    a map-side distinct-flags partial; the set operations are two boolean
+    columns per user, never a second scan or an anti-join."""
+
+    def member(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(("purchase", "signup"))]
+        g = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "p": (b["event_type"] == "purchase").to_numpy(),
+                "s": (b["event_type"] == "signup").to_numpy(),
+            }
+        )
+        return g.groupby("user_id", sort=False).max().reset_index()
+
+    def classify(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)[["p", "s"]].max().reset_index()
+        lab = np.where(
+            g["p"] & g["s"], "both",
+            np.where(g["p"], "purchase_only", "signup_only"),
+        )
+        return pd.DataFrame({"user_id": g["user_id"], "membership": lab})
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        keys=["user_id"],
+        fn=classify,
+        pre=member,
+    )
+
+
+# the fixed event-kind dispatch (reference event kinds style): a pivot is
+# only well-defined over a declared column set — an unexpected kind should
+# surface in a count-by-type query, not silently widen this schema
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_daily_type_pivot(sf_dir: str):
+    """G3 — pivot / crosstab: one row per day, one count column per event
+    type (conditional aggregation over the fixed dispatch). Indicator
+    columns are built map-side, so the exchange is the same two-phase
+    integer sum as any grouped count — adding pivot columns costs bytes
+    per row, not extra scans."""
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "day": batch["ts"].to_numpy(dtype="datetime64[D]").astype("datetime64[us]")
+        }
+        et = batch["event_type"].to_numpy()
+        for t in _PIVOT_TYPES:
+            out[f"n_{t}"] = (et == t).astype("int64")
+        return pd.DataFrame(out)
+
+    return bucketed_sum_count(
+        _read(sf_dir, "events", columns=["event_type", "ts"]).map_batches(
+            add_cols, batch_format="pandas"
+        ),
+        keys=["day"],
+        sums={f"n_{t}": f"n_{t}" for t in _PIVOT_TYPES},
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -1612,6 +1769,42 @@ QUALITY_SQL_THRESHOLD = """(
 )"""
 
 ORACLE: dict[str, str] = {
+    "activity_rollup": """
+        WITH e AS (
+            SELECT event_type, date_trunc('day', ts) AS day, value FROM events
+        )
+        SELECT event_type, day, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM e GROUP BY ROLLUP(event_type, day)
+    """,
+    "user_type_set_ops": """
+        WITH p AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase'),
+             s AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'signup')
+        SELECT user_id, 'both' AS membership
+        FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM s)
+        UNION ALL
+        SELECT user_id, 'purchase_only'
+        FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM s)
+        UNION ALL
+        SELECT user_id, 'signup_only'
+        FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM p)
+    """,
+    "daily_type_pivot": """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view
+        FROM events GROUP BY 1
+    """,
     "event_gaps": """
         WITH g AS (
             SELECT user_id,

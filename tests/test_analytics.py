@@ -341,6 +341,8 @@ def test_domain_mix_matches_pandas_reference_randomized():
 _WINDOW_QUERIES = (
     "event_gaps", "rolling_daily_events", "cumulative_revenue",
     "order_price_ranks",
+    # grouping-sets family shares the same bucket-co-location contract
+    "activity_rollup", "user_type_set_ops", "daily_type_pivot",
 )
 
 
