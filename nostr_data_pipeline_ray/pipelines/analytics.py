@@ -1604,6 +1604,20 @@ def q_activity_rollup(sf_dir: str):
     for. Value sums stay raw through every level and round once at the
     edge (the shared 2dp contract). The level-0 union runs in one task
     over the bounded level rows, never over the raw table."""
+    from ..stages.shuffle import table_rows
+
+    # ROLLUP on an empty table still returns its grand-total row
+    # (count 0, sum NULL); the empty pipeline would yield zero blocks,
+    # so answer that one row from the parquet footer (zero-cost check)
+    if table_rows(_t(sf_dir, "events")) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": pd.array([None], dtype=object),
+                "day": np.array(["NaT"], dtype="datetime64[us]"),
+                "n_events": np.array([0], dtype="int64"),
+                "total_value": [np.nan],
+            }
+        )
 
     def add_day(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy(deep=False)
@@ -1653,6 +1667,9 @@ def q_activity_rollup(sf_dir: str):
 
     def grand(df: pd.DataFrame) -> pd.DataFrame:
         fine = df[df["day"].notna()]  # base rows only — no double count
+        # SQL sum() over zero rows is NULL, count(*) is 0 — ROLLUP on an
+        # empty table still returns its one grand-total row in that shape
+        gsum = float(fine["_sv"].sum()) if len(fine) else np.nan
         out = pd.DataFrame(
             {
                 "event_type": np.concatenate(
@@ -1667,7 +1684,7 @@ def q_activity_rollup(sf_dir: str):
                 "n_events": np.concatenate(
                     [df["n_events"].to_numpy(), [fine["n_events"].sum()]]
                 ).astype("int64"),
-                "_sv": np.concatenate([df["_sv"].to_numpy(), [fine["_sv"].sum()]]),
+                "_sv": np.concatenate([df["_sv"].to_numpy(), [gsum]]),
             }
         )
         out["total_value"] = _round_away(out["_sv"].to_numpy(dtype="float64"), 2)

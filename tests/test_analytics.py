@@ -391,3 +391,30 @@ def test_event_gaps_planted_edges(tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_activity_rollup_empty_table(tmp_path):
+    """SQL ROLLUP on an empty table still returns its grand-total row
+    (count 0, sum NULL); the zero-block pipeline can't produce it, so the
+    query answers it from the parquet footer — pin that shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_activity_rollup(str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["event_type"] is None and pd.isna(row["day"])
+    assert row["n_events"] == 0 and pd.isna(row["total_value"])
