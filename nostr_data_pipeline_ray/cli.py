@@ -66,7 +66,7 @@ def cmd_apply(args) -> int:
     from .pipelines.cdc import apply_changelog, follow_changelog
 
     cfg = EngineConfig.from_env()
-    if args.merge_policy or args.cache_mb is not None:
+    if args.merge_policy or args.cache_mb is not None or args.on_malformed:
         import dataclasses
 
         repl = {}
@@ -74,6 +74,8 @@ def cmd_apply(args) -> int:
             repl["merge_policy"] = args.merge_policy
         if args.cache_mb is not None:
             repl["snapshot_cache_mb"] = args.cache_mb
+        if args.on_malformed:
+            repl["on_malformed"] = args.on_malformed
         cfg = dataclasses.replace(cfg, **repl)
 
     def publish_sinks(quiet_noop: bool = False):
@@ -424,6 +426,9 @@ def main(argv: list[str] | None = None) -> int:
                         "in actor memory between epochs (0 = off)")
     a.add_argument("--merge-policy", choices=["rewrite", "delta"], default=None,
                    help="copy-on-write base rewrite (default) or merge-on-read deltas")
+    a.add_argument("--on-malformed", choices=["error", "quarantine"], default=None,
+                   help="JSONL bad-line policy: fail the apply (default) or "
+                        "divert to <lake>/_quarantine/ and keep going")
     a.add_argument("--view", default=None, metavar="DIR",
                    help="maintain the incremental turn-count view here "
                         "(refreshed after each apply / follow pass)")

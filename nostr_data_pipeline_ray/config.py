@@ -76,6 +76,18 @@ class EngineConfig:
     # actor owns a partition across epochs; entries are keyed by the base
     # part's manifest path, so an external compact/delete simply misses.
     snapshot_cache_mb: int = 0
+    # malformed-line policy for JSONL segments (a schema-less feed can carry
+    # truncated / corrupt lines):
+    #   "error" (default) — fail the apply loudly, naming the segment and
+    #       the first bad line (a clean feed should never pay for tolerance
+    #       it didn't ask for, and silent drops are data loss).
+    #   "quarantine" — divert bad lines to a dead-letter parquet under
+    #       <lake>/_quarantine/<segment>.parquet (segment, line_no, error,
+    #       raw) and apply the valid rows; idempotent per segment (retry
+    #       overwrites the same file). Clean segments stay on the zero-copy
+    #       read_json fast path either way — the tolerant metadata parse
+    #       already sees every line, so detection is free.
+    on_malformed: str = "error"
 
     @staticmethod
     def from_env() -> "EngineConfig":
@@ -89,6 +101,7 @@ class EngineConfig:
             staged_dict=bool(int(os.environ.get("NDP_STAGED_DICT", "0"))),
             merge_policy=os.environ.get("NDP_MERGE_POLICY", "rewrite"),
             snapshot_cache_mb=int(os.environ.get("NDP_SNAPSHOT_CACHE_MB", 0)),
+            on_malformed=os.environ.get("NDP_ON_MALFORMED", "error"),
         )
 
 

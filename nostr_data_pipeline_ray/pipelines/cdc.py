@@ -76,36 +76,49 @@ def list_segments(binlog_dir: str) -> list[str]:
 _JSONL_META: dict = {}
 
 
-def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int]:
+def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
     """Single-pass JSONL metadata parse: the KEY UNION over every line (a
     key may first appear mid-file — JSON omits absent fields, and taking
     only the first line's keys would silently drop an evolved column at
-    conform time) plus the true row count (no trailing-newline undercount).
-    Pure function — also shipped as a Ray task by ``prefetch_segment_meta``
-    so a follow-mode lake fed many JSONL segments parses them in parallel,
-    not serially on the driver."""
+    conform time) plus the true VALID row count (no trailing-newline
+    undercount). Malformed lines never raise here — they're counted and the
+    first error described, so the apply can choose its policy
+    (``EngineConfig.on_malformed``: fail loudly, or quarantine) with the
+    detection already paid for by this pass. Pure function — also shipped
+    as a Ray task by ``prefetch_segment_meta`` so a follow-mode lake fed
+    many JSONL segments parses them in parallel, not serially on the
+    driver. Returns (schema, valid_rows, bad_lines, first_error)."""
     keys: dict[str, None] = {}  # insertion-ordered union
     rows = 0
+    bad = 0
+    first_err: str | None = None
     with open(path) as f:
-        for line in f:
+        for line_no, line in enumerate(f, 1):
             line = line.strip()
             if not line:
                 continue
+            try:
+                parsed = json.loads(line)
+            except ValueError as ex:  # json.JSONDecodeError
+                bad += 1
+                if first_err is None:
+                    first_err = f"line {line_no}: {ex}"
+                continue
             rows += 1
-            for k in json.loads(line):
+            for k in parsed:
                 keys.setdefault(k)
     if not keys:
-        return LAKE_SCHEMA, rows
+        return LAKE_SCHEMA, rows, bad, first_err
     fields = []
     for k in keys:
         i = CHANGELOG_SCHEMA.get_field_index(k)
         fields.append(
             CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
         )
-    return pa.schema(fields), rows
+    return pa.schema(fields), rows, bad, first_err
 
 
-def _jsonl_meta(path: str) -> tuple[pa.Schema, int]:
+def _jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
     """Cached JSONL metadata (schema-less formats pay a parse where parquet
     pays a footer read); one parse per (path, mtime, size)."""
     stat = os.stat(path)
@@ -159,6 +172,69 @@ def _segment_rows(path: str) -> int:
     if path.endswith(".jsonl"):
         return _jsonl_meta(path)[1]
     return pq.read_metadata(path).num_rows
+
+
+def _segment_bad(path: str) -> tuple[int, str | None]:
+    """(malformed-line count, first error) — parquet segments carry their
+    own integrity (footer/checksums) and report 0 here."""
+    if path.endswith(".jsonl"):
+        meta = _jsonl_meta(path)
+        return meta[2], meta[3]
+    return 0, None
+
+
+def _quarantine_segment(path: str, qdir: str) -> pa.Table:
+    """Dead-letter split of a dirty JSONL segment (quarantine policy):
+    valid lines return as an Arrow table (same schema-on-read inference the
+    clean read_json path feeds into conform_schema); malformed lines land
+    in ``qdir/<segment>.parquet`` as (segment, line_no, error, raw) via
+    tmp+rename — the file is keyed by segment name, so an epoch retry
+    overwrites it idempotently. Shipped as a Ray task: one per dirty
+    segment, off the driver."""
+    good: list[dict] = []
+    seg = os.path.basename(path)
+    q_line, q_err, q_raw = [], [], []
+    with open(path) as f:
+        for line_no, line in enumerate(f, 1):
+            stripped = line.strip()
+            if not stripped:
+                continue
+            try:
+                good.append(json.loads(stripped))
+            except ValueError as ex:
+                q_line.append(line_no)
+                q_err.append(str(ex))
+                q_raw.append(stripped)
+    os.makedirs(qdir, exist_ok=True)
+    qt = pa.table(
+        {
+            "segment": pa.array([seg] * len(q_line), pa.string()),
+            "line_no": pa.array(q_line, pa.int64()),
+            "error": pa.array(q_err, pa.string()),
+            "raw": pa.array(q_raw, pa.string()),
+        }
+    )
+    tmp = os.path.join(qdir, f".{seg}.parquet.tmp-{os.getpid()}")
+    pq.write_table(qt, tmp)
+    os.replace(tmp, os.path.join(qdir, f"{seg}.parquet"))
+    return pa.Table.from_pylist(good)
+
+
+def read_quarantine(lake_root: str) -> pa.Table:
+    """All dead-letter rows of a lake (empty-shaped when none exist)."""
+    qdir = os.path.join(lake_root, "_quarantine")
+    shape = pa.schema(
+        [("segment", pa.string()), ("line_no", pa.int64()),
+         ("error", pa.string()), ("raw", pa.string())]
+    )
+    if not os.path.isdir(qdir):
+        return shape.empty_table()
+    files = sorted(
+        os.path.join(qdir, f) for f in os.listdir(qdir) if f.endswith(".parquet")
+    )
+    if not files:
+        return shape.empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 
 def _read_segments(paths: list[str], columns: list[str] | None = None) -> "rd.Dataset":
@@ -691,6 +767,28 @@ def apply_epoch(
         else:
             groups.append((sch, [p]))
 
+    # malformed-line policy: the tolerant metadata parse (already cached by
+    # _merge_schema above) knows every segment's bad-line count for free.
+    # "error" fails the epoch before any work; "quarantine" routes dirty
+    # segments through the dead-letter split and keeps clean segments on
+    # the zero-copy read_json fast path.
+    dirty_paths = []
+    rows_quarantined = 0
+    for p in jsonl_paths:
+        n_bad, first_err = _segment_bad(p)
+        if not n_bad:
+            continue
+        if config.on_malformed != "quarantine":
+            raise ValueError(
+                f"malformed JSON in segment {p} ({n_bad} bad line(s); first: "
+                f"{first_err}); set EngineConfig.on_malformed='quarantine' "
+                "to divert bad lines to the dead-letter sink"
+            )
+        dirty_paths.append(p)
+        rows_quarantined += n_bad
+    if dirty_paths:
+        jsonl_paths = [p for p in jsonl_paths if p not in set(dirty_paths)]
+
     delta = None
     for sch, paths in groups:
         part = rd.read_parquet(paths)
@@ -709,6 +807,21 @@ def apply_epoch(
         # JSONL segments (schema-on-read): always conformed — the cast pulls
         # ISO timestamp strings / inferred widths onto the unified schema
         part = rd.read_json(jsonl_paths).map_batches(
+            partial(conform_schema, target=data_schema),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
+        delta = part if delta is None else delta.union(part)
+    if dirty_paths:
+        # dead-letter split: one Ray task per dirty segment returns its
+        # valid rows (table refs, never copied through the driver) and
+        # writes <lake>/_quarantine/<segment>.parquet idempotently
+        import ray as _ray
+
+        qdir = os.path.join(lake.root, "_quarantine")
+        qtask = _ray.remote(num_cpus=1)(_quarantine_segment)
+        refs = [qtask.remote(p, qdir) for p in dirty_paths]
+        part = rd.from_arrow_refs(refs).map_batches(
             partial(conform_schema, target=data_schema),
             batch_format="pyarrow",
             batch_size=config.batch_size,
@@ -748,10 +861,12 @@ def apply_epoch(
         # nothing new (pure replay) — commit only the segment bookkeeping
         shutil.rmtree(staged_root, ignore_errors=True)
         lake.commit_epoch(epoch, {}, {}, seg_names, {}, data_schema,
-                          stats={"rows_applied": 0, "seconds": time.time() - t0},
+                          stats={"rows_applied": 0, "seconds": time.time() - t0,
+                                 "rows_quarantined": rows_quarantined},
                           partitioning={"num_partitions": config.num_partitions,
                                         "turn_bucket": config.turn_bucket})
         return {"epoch": epoch, "rows_applied": 0, "partitions": 0,
+                "rows_quarantined": rows_quarantined,
                 "seconds": time.time() - t0, "phases": {}}
 
     # --- phase B: per-partition merge fan-out -----------------------------
@@ -803,7 +918,8 @@ def apply_epoch(
     lake.commit_epoch(
         epoch, new_files, new_wm, seg_names, lineage, data_schema,
         stats={"rows_applied": rows_applied, "seconds": seconds,
-               "events_per_sec": rows_applied / max(seconds, 1e-9)},
+               "events_per_sec": rows_applied / max(seconds, 1e-9),
+               "rows_quarantined": rows_quarantined},
         partitioning={"num_partitions": config.num_partitions,
                       "turn_bucket": config.turn_bucket},
         append_deltas=append_deltas,
@@ -814,6 +930,7 @@ def apply_epoch(
         "epoch": epoch,
         "rows_applied": rows_applied,
         "partitions": len(touched),
+        "rows_quarantined": rows_quarantined,
         "seconds": seconds,
         "phases": {
             "delta": round(t_delta, 3),

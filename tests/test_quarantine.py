@@ -1,0 +1,146 @@
+"""Malformed-line policy for JSONL segments: fail loudly by default,
+divert to the dead-letter sink under EngineConfig(on_malformed="quarantine")
+— valid rows still apply, bad lines land in <lake>/_quarantine/ with
+provenance, retries overwrite idempotently."""
+
+import json as _json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from nostr_data_pipeline_ray.config import EngineConfig
+from nostr_data_pipeline_ray.pipelines.cdc import (
+    apply_changelog,
+    final_table,
+    list_segments,
+    read_quarantine,
+)
+from nostr_data_pipeline_ray.synth import (
+    ChangelogSpec,
+    expected_final_state,
+    generate_changelog,
+)
+
+_BAD_LINES = [
+    '{"conv_id": "c1", "turn_idx": 3, "lsn":',   # truncated mid-object
+    "not json at all",                            # garbage
+    '{"conv_id": "c2" "turn_idx": 4}',            # missing comma
+]
+
+
+def _mixed_binlog(tmp_path, *, inject_bad: bool):
+    """Parquet head + JSONL tail binlog; optionally inject garbage lines
+    into the LAST JSONL segment (additive — every real event stays valid,
+    so the all-parquet oracle still describes the expected final state)."""
+    spec = ChangelogSpec(n_events=4_000, n_convs=120, n_segments=4, seed=31)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    for s in segs[:2]:
+        shutil.copy(s, mixed / os.path.basename(s))
+    for i, s in enumerate(segs[2:]):
+        rows = pq.read_table(s).to_pylist()
+        name = os.path.basename(s).replace(".parquet", ".jsonl")
+        with open(mixed / name, "w") as f:
+            for j, r in enumerate(rows):
+                r["ts"] = r["ts"].isoformat()
+                f.write(_json.dumps(r) + "\n")
+                if inject_bad and i == 1 and j < len(_BAD_LINES):
+                    f.write(_BAD_LINES[j] + "\n")
+    dirty_name = os.path.basename(segs[3]).replace(".parquet", ".jsonl")
+    return binlog, str(mixed), segs, dirty_name
+
+
+def test_malformed_line_fails_loudly_by_default(tmp_path):
+    _, mixed, _, dirty_name = _mixed_binlog(tmp_path, inject_bad=True)
+    with pytest.raises(ValueError, match=dirty_name):
+        apply_changelog(str(tmp_path / "lake"), mixed, EngineConfig(num_partitions=8))
+    # the error names the policy escape hatch
+    with pytest.raises(ValueError, match="quarantine"):
+        apply_changelog(str(tmp_path / "lake2"), mixed, EngineConfig(num_partitions=8))
+
+
+def test_quarantine_mode_applies_valid_and_diverts_bad(tmp_path):
+    binlog, mixed, segs, dirty_name = _mixed_binlog(tmp_path, inject_bad=True)
+    lake_root = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=8, on_malformed="quarantine")
+    out = apply_changelog(lake_root, mixed, cfg)
+
+    # all real events applied; bad lines not counted as events
+    assert out["segments_applied"] == 4
+    assert out["raw_events"] == sum(pq.read_metadata(s).num_rows for s in segs)
+    assert sum(e.get("rows_quarantined", 0) for e in out["epochs"]) == len(_BAD_LINES)
+
+    got = final_table(lake_root)
+    want = expected_final_state(binlog)
+    assert got.num_rows == want.num_rows
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+
+    q = read_quarantine(lake_root)
+    assert q.num_rows == len(_BAD_LINES)
+    assert set(q["segment"].to_pylist()) == {dirty_name}
+    assert sorted(q["raw"].to_pylist()) == sorted(_BAD_LINES)
+    assert all(e for e in q["error"].to_pylist())
+    assert all(n >= 1 for n in q["line_no"].to_pylist())
+    # one dead-letter parquet per dirty segment, keyed by segment name
+    assert os.path.exists(
+        os.path.join(lake_root, "_quarantine", f"{dirty_name}.parquet")
+    )
+
+    # replay on the committed lake is a no-op and never duplicates
+    # quarantine rows (the per-segment file is overwrite-idempotent)
+    out2 = apply_changelog(lake_root, mixed, cfg)
+    assert out2["rows_applied"] == 0
+    assert read_quarantine(lake_root).num_rows == len(_BAD_LINES)
+    got2 = final_table(lake_root)
+    assert got2.num_rows == want.num_rows
+
+
+def test_clean_feed_never_creates_quarantine_dir(tmp_path):
+    binlog, mixed, _, _ = _mixed_binlog(tmp_path, inject_bad=False)
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(
+        lake_root, mixed, EngineConfig(num_partitions=8, on_malformed="quarantine")
+    )
+    assert not os.path.isdir(os.path.join(lake_root, "_quarantine"))
+    assert read_quarantine(lake_root).num_rows == 0
+    got = final_table(lake_root)
+    want = expected_final_state(binlog)
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+def test_all_bad_segment_still_applies_the_rest(tmp_path):
+    """A segment that is 100% garbage contributes zero rows (its valid
+    table has no columns — conform must synthesize the full schema) while
+    the other segments apply normally."""
+    spec = ChangelogSpec(n_events=2_000, n_convs=60, n_segments=2, seed=33)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    shutil.copy(segs[0], mixed / os.path.basename(segs[0]))
+    rows = pq.read_table(segs[1]).to_pylist()
+    name = os.path.basename(segs[1]).replace(".parquet", ".jsonl")
+    with open(mixed / name, "w") as f:
+        for _ in rows:
+            f.write("garbage line\n")
+
+    lake_root = str(tmp_path / "lake")
+    out = apply_changelog(
+        lake_root, str(mixed), EngineConfig(num_partitions=8, on_malformed="quarantine")
+    )
+    assert out["raw_events"] == pq.read_metadata(segs[0]).num_rows
+    assert sum(e.get("rows_quarantined", 0) for e in out["epochs"]) == len(rows)
+    assert read_quarantine(lake_root).num_rows == len(rows)
+    # final state == oracle over segment 0 only
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    shutil.copy(segs[0], solo / os.path.basename(segs[0]))
+    want = expected_final_state(str(solo))
+    got = final_table(lake_root)
+    assert got.num_rows == want.num_rows
+    assert got.select(want.column_names).cast(want.schema).equals(want)
