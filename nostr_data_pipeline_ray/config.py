@@ -77,7 +77,8 @@ class EngineConfig:
     # part's manifest path, so an external compact/delete simply misses.
     snapshot_cache_mb: int = 0
     # malformed-line policy for JSONL segments (a schema-less feed can carry
-    # truncated / corrupt lines):
+    # truncated / corrupt / type-invalid lines — non-JSON, non-object, a
+    # string turn_idx, a bad ISO timestamp):
     #   "error" (default) — fail the apply loudly, naming the segment and
     #       the first bad line (a clean feed should never pay for tolerance
     #       it didn't ask for, and silent drops are data loss).

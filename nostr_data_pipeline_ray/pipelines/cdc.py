@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import time
+from datetime import datetime
 from functools import partial
 from typing import Any
 
@@ -76,6 +77,40 @@ def list_segments(binlog_dir: str) -> list[str]:
 _JSONL_META: dict = {}
 
 
+_INT_FIELDS = ("turn_idx", "lsn")
+_STR_FIELDS = ("conv_id", "role", "text", "tool", "op")
+
+
+def _line_error(obj) -> str | None:
+    """Why a decoded JSONL line cannot become a change event, or None.
+
+    Shared by the metadata parse and the quarantine split so the two passes
+    can never disagree about which lines are bad. Checks the typed
+    changelog fields only (extra keys are additive string columns by the
+    evolution contract — any JSON scalar casts to string downstream); a
+    line that passes here can still fail the Arrow cast in principle, and
+    that residual failure stays a loud epoch error."""
+    if not isinstance(obj, dict):
+        return f"not a JSON object ({type(obj).__name__})"
+    for k in _INT_FIELDS:
+        v = obj.get(k)
+        if v is not None and (isinstance(v, bool) or not isinstance(v, int)):
+            return f"field {k}: expected integer, got {type(v).__name__}"
+    for k in _STR_FIELDS:
+        v = obj.get(k)
+        if v is not None and not isinstance(v, str):
+            return f"field {k}: expected string, got {type(v).__name__}"
+    ts = obj.get("ts")
+    if ts is not None:
+        if not isinstance(ts, str):
+            return f"field ts: expected ISO-8601 string, got {type(ts).__name__}"
+        try:
+            datetime.fromisoformat(ts)
+        except ValueError:
+            return f"field ts: not ISO-8601: {ts!r}"
+    return None
+
+
 def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
     """Single-pass JSONL metadata parse: the KEY UNION over every line (a
     key may first appear mid-file — JSON omits absent fields, and taking
@@ -99,10 +134,13 @@ def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
                 continue
             try:
                 parsed = json.loads(line)
+                err = _line_error(parsed)
             except ValueError as ex:  # json.JSONDecodeError
+                parsed, err = None, str(ex)
+            if err is not None:
                 bad += 1
                 if first_err is None:
-                    first_err = f"line {line_no}: {ex}"
+                    first_err = f"line {line_no}: {err}"
                 continue
             rows += 1
             for k in parsed:
@@ -200,10 +238,15 @@ def _quarantine_segment(path: str, qdir: str) -> pa.Table:
             if not stripped:
                 continue
             try:
-                good.append(json.loads(stripped))
+                parsed = json.loads(stripped)
+                err = _line_error(parsed)
             except ValueError as ex:
+                parsed, err = None, str(ex)
+            if err is None:
+                good.append(parsed)
+            else:
                 q_line.append(line_no)
-                q_err.append(str(ex))
+                q_err.append(err)
                 q_raw.append(stripped)
     os.makedirs(qdir, exist_ok=True)
     qt = pa.table(

@@ -144,3 +144,55 @@ def test_all_bad_segment_still_applies_the_rest(tmp_path):
     got = final_table(lake_root)
     assert got.num_rows == want.num_rows
     assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+def test_type_invalid_lines_share_the_policy(tmp_path):
+    """Valid JSON with wrong field types (or a non-object line) used to die
+    as an opaque Arrow cast error mid-epoch; the shared _line_error check
+    makes them first-class dead-letter citizens with field-specific
+    provenance — and the loud default names the field, not the cast."""
+    spec = ChangelogSpec(n_events=1_000, n_convs=40, n_segments=2, seed=37)
+    binlog = generate_changelog(str(tmp_path / "synth"), spec)
+    segs = list_segments(binlog)
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    shutil.copy(segs[0], mixed / os.path.basename(segs[0]))
+    rows = pq.read_table(segs[1]).to_pylist()
+    name = os.path.basename(segs[1]).replace(".parquet", ".jsonl")
+    bad = [
+        '{"conv_id": "c1", "turn_idx": "three", "lsn": 1}',      # str int
+        '{"conv_id": "c1", "turn_idx": 0, "lsn": true}',          # bool int
+        '{"conv_id": 7, "turn_idx": 0, "lsn": 2}',                # int str
+        '{"conv_id": "c1", "turn_idx": 0, "lsn": 3, "ts": "not-a-date"}',
+        '[1, 2, 3]',                                              # non-object
+    ]
+    with open(mixed / name, "w") as f:
+        for j, r in enumerate(rows):
+            r["ts"] = r["ts"].isoformat()
+            f.write(_json.dumps(r) + "\n")
+            if j < len(bad):
+                f.write(bad[j] + "\n")
+
+    # loud default names the offending field
+    with pytest.raises(ValueError, match="turn_idx: expected integer"):
+        apply_changelog(
+            str(tmp_path / "lake_err"), str(mixed), EngineConfig(num_partitions=8)
+        )
+
+    lake_root = str(tmp_path / "lake")
+    out = apply_changelog(
+        lake_root, str(mixed), EngineConfig(num_partitions=8, on_malformed="quarantine")
+    )
+    assert sum(e.get("rows_quarantined", 0) for e in out["epochs"]) == len(bad)
+    q = read_quarantine(lake_root)
+    errs = "\n".join(q["error"].to_pylist())
+    assert "turn_idx: expected integer" in errs
+    assert "lsn: expected integer" in errs           # bool rejected
+    assert "conv_id: expected string" in errs
+    assert "ts: not ISO-8601" in errs
+    assert "not a JSON object" in errs
+
+    got = final_table(lake_root)
+    want = expected_final_state(binlog)
+    assert got.num_rows == want.num_rows
+    assert got.select(want.column_names).cast(want.schema).equals(want)
