@@ -266,4 +266,31 @@ print("re-publish is a no-op:",
       publish_changelog(lake, [binlog, stream2], [f"{BASE}/sink-a"])
       ["sinks"][f"{BASE}/sink-a"]["published"] == 0)
 
+# 17. dead-letter quarantine: a dirty JSONL feed (truncated JSON, a string
+#     turn_idx) fails the apply loudly by default; under
+#     on_malformed="quarantine" the bad lines land in <lake>/_quarantine/
+#     with provenance and every valid row still applies.
+from nostr_data_pipeline_ray.pipelines.cdc import read_quarantine
+
+dirty = f"{BASE}/dirty_feed"
+os.makedirs(dirty, exist_ok=True)
+with open(f"{dirty}/seg-00000.jsonl", "w") as f:
+    f.write('{"conv_id": "q-1", "turn_idx": 0, "role": "user", '
+            '"text": "hello", "tool": "", "ts": "2024-01-01T00:00:00", '
+            '"op": "insert", "lsn": 1}\n')
+    f.write('{"conv_id": "q-1", "turn_idx": 1, "lsn":\n')        # truncated
+    f.write('{"conv_id": "q-2", "turn_idx": "one", "lsn": 3}\n')  # bad type
+qlake = f"{BASE}/qlake"
+try:
+    apply_changelog(qlake, dirty, EngineConfig(num_partitions=4))
+except ValueError as ex:
+    print("\nloud default:", str(ex)[:88], "...")
+shutil.rmtree(qlake, ignore_errors=True)
+out = apply_changelog(
+    qlake, dirty, EngineConfig(num_partitions=4, on_malformed="quarantine")
+)
+q = read_quarantine(qlake)
+print("quarantined:", q.num_rows, "lines |", "applied:", out["rows_applied"],
+      "rows | errors:", [e[:40] for e in q["error"].to_pylist()])
+
 ray.shutdown()
