@@ -142,6 +142,8 @@ _SNAPSHOT_HEAD = [
     "order_price_ranks",
     # round-5 grouping-sets / set-algebra / pivot family (G1-G3)
     "activity_rollup", "user_type_set_ops", "daily_type_pivot",
+    # round-5 ordered string aggregation (W5, funnel paths)
+    "user_event_path",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "activity_rollup",
     "user_type_set_ops",
     "daily_type_pivot",
+    "user_event_path",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

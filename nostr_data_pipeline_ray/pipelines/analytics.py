@@ -1587,6 +1587,28 @@ def q_order_price_ranks(sf_dir: str):
     )
 
 
+def q_user_event_path(sf_dir: str):
+    """W5 — ordered string aggregation (the funnel-path operator):
+    ``string_agg(event_type, '>' ORDER BY ts, event_id)`` per user, plus
+    the path length. Order inside the aggregate is what makes this a
+    window-class op — the bucketed exchange co-locates each user, the sort
+    key (ts, event_id) is unique, so the concatenation is deterministic."""
+
+    def paths(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        g = b.groupby("user_id", sort=False)["event_type"]
+        out = pd.DataFrame(
+            {"event_path": g.agg(">".join), "path_len": g.size().astype("int64")}
+        ).reset_index()
+        return out
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]),
+        keys=["user_id"],
+        fn=paths,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / set algebra / pivot (beyond-reference family, G1-G3):
 # ROLLUP, INTERSECT/EXCEPT, and crosstab — the remaining classic SQL
@@ -1786,6 +1808,12 @@ QUALITY_SQL_THRESHOLD = """(
 )"""
 
 ORACLE: dict[str, str] = {
+    "user_event_path": """
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS event_path,
+               count(*) AS path_len
+        FROM events GROUP BY user_id
+    """,
     "activity_rollup": """
         WITH e AS (
             SELECT event_type, date_trunc('day', ts) AS day, value FROM events

@@ -343,6 +343,7 @@ _WINDOW_QUERIES = (
     "order_price_ranks",
     # grouping-sets family shares the same bucket-co-location contract
     "activity_rollup", "user_type_set_ops", "daily_type_pivot",
+    "user_event_path",
 )
 
 
