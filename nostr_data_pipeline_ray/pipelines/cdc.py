@@ -102,16 +102,24 @@ def _line_error(obj) -> str | None:
             return f"field {k}: expected string, got {type(v).__name__}"
     ts = obj.get("ts")
     if ts is not None:
-        if not isinstance(ts, str):
-            return f"field ts: expected ISO-8601 string, got {type(ts).__name__}"
-        try:
-            datetime.fromisoformat(ts)
-        except ValueError:
-            return f"field ts: not ISO-8601: {ts!r}"
+        # both encodings the conform cast accepts: ISO-8601 strings and
+        # integer epoch microseconds (int64 → timestamp[us] is a unit cast)
+        if isinstance(ts, bool) or not isinstance(ts, (str, int)):
+            return (
+                "field ts: expected ISO-8601 string or epoch-us integer, "
+                f"got {type(ts).__name__}"
+            )
+        if isinstance(ts, str):
+            try:
+                datetime.fromisoformat(ts)
+            except ValueError:
+                return f"field ts: not ISO-8601: {ts!r}"
     return None
 
 
-def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
+def _parse_jsonl_meta(
+    path: str,
+) -> tuple[pa.Schema, int, int, str | None, tuple]:
     """Single-pass JSONL metadata parse: the KEY UNION over every line (a
     key may first appear mid-file — JSON omits absent fields, and taking
     only the first line's keys would silently drop an evolved column at
@@ -122,8 +130,17 @@ def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
     detection already paid for by this pass. Pure function — also shipped
     as a Ray task by ``prefetch_segment_meta`` so a follow-mode lake fed
     many JSONL segments parses them in parallel, not serially on the
-    driver. Returns (schema, valid_rows, bad_lines, first_error)."""
+    driver. Returns (schema, valid_rows, bad_lines, first_error,
+    type_signature) — the signature is each key's observed JSON kind
+    (sorted (key, kind) pairs, nulls transparent): Arrow's JSON reader
+    infers one type per column per read, and Ray coalesces blocks across
+    files into batches, so the apply may only feed files of IDENTICAL
+    signature to one read_json call (the JSONL twin of the parquet path's
+    group-by-identical-schema). A key with two non-null kinds INSIDE one
+    file is unreadable by any inference path and is reported as
+    kind "mixed" for the apply to reject loudly."""
     keys: dict[str, None] = {}  # insertion-ordered union
+    kinds: dict[str, str] = {}  # key -> json kind ("mixed" on conflict)
     rows = 0
     bad = 0
     first_err: str | None = None
@@ -143,20 +160,29 @@ def _parse_jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
                     first_err = f"line {line_no}: {err}"
                 continue
             rows += 1
-            for k in parsed:
+            for k, v in parsed.items():
                 keys.setdefault(k)
+                if v is None:
+                    continue
+                kind = type(v).__name__
+                prev = kinds.get(k)
+                if prev is None:
+                    kinds[k] = kind
+                elif prev != kind:
+                    kinds[k] = "mixed"
+    sig = tuple(sorted(kinds.items()))
     if not keys:
-        return LAKE_SCHEMA, rows, bad, first_err
+        return LAKE_SCHEMA, rows, bad, first_err, sig
     fields = []
     for k in keys:
         i = CHANGELOG_SCHEMA.get_field_index(k)
         fields.append(
             CHANGELOG_SCHEMA.field(i) if i >= 0 else pa.field(k, pa.string())
         )
-    return pa.schema(fields), rows, bad, first_err
+    return pa.schema(fields), rows, bad, first_err, sig
 
 
-def _jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None]:
+def _jsonl_meta(path: str) -> tuple[pa.Schema, int, int, str | None, tuple]:
     """Cached JSONL metadata (schema-less formats pay a parse where parquet
     pays a footer read); one parse per (path, mtime, size)."""
     stat = os.stat(path)
@@ -818,6 +844,16 @@ def apply_epoch(
     dirty_paths = []
     rows_quarantined = 0
     for p in jsonl_paths:
+        # intra-file type conflict (one key, two non-null JSON kinds): no
+        # inference path can read the file and no single LINE is at fault,
+        # so dead-lettering would silently lose valid rows — always loud
+        mixed = [k for k, kind in _jsonl_meta(p)[4] if kind == "mixed"]
+        if mixed:
+            raise ValueError(
+                f"segment {p} mixes JSON value types within a file for "
+                f"key(s) {mixed} — one encoding per segment (e.g. ts as "
+                "ISO-8601 strings OR epoch integers, not both)"
+            )
         n_bad, first_err = _segment_bad(p)
         if not n_bad:
             continue
@@ -848,13 +884,22 @@ def apply_epoch(
         delta = part if delta is None else delta.union(part)
     if jsonl_paths:
         # JSONL segments (schema-on-read): always conformed — the cast pulls
-        # ISO timestamp strings / inferred widths onto the unified schema
-        part = rd.read_json(jsonl_paths).map_batches(
-            partial(conform_schema, target=data_schema),
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-        )
-        delta = part if delta is None else delta.union(part)
+        # ISO timestamp strings / inferred widths onto the unified schema.
+        # One read_json per TYPE-SIGNATURE group (the JSONL twin of the
+        # parquet group-by-identical-schema above): Ray coalesces blocks
+        # across a read's files into batches BEFORE conform runs, so files
+        # whose inferred column types differ (int-ts vs ISO-ts, an evolved
+        # key absent vs present) must not share a read
+        by_sig: dict[tuple, list[str]] = {}
+        for p in jsonl_paths:
+            by_sig.setdefault(_jsonl_meta(p)[4], []).append(p)
+        for paths in by_sig.values():
+            part = rd.read_json(paths).map_batches(
+                partial(conform_schema, target=data_schema),
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+            )
+            delta = part if delta is None else delta.union(part)
     if dirty_paths:
         # dead-letter split: one Ray task per dirty segment returns its
         # valid rows (table refs, never copied through the driver) and
@@ -863,13 +908,19 @@ def apply_epoch(
 
         qdir = os.path.join(lake.root, "_quarantine")
         qtask = _ray.remote(num_cpus=1)(_quarantine_segment)
-        refs = [qtask.remote(p, qdir) for p in dirty_paths]
-        part = rd.from_arrow_refs(refs).map_batches(
-            partial(conform_schema, target=data_schema),
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-        )
-        delta = part if delta is None else delta.union(part)
+        # same type-signature grouping as the clean reads: two dirty
+        # segments with different inferred types must not coalesce
+        dirty_by_sig: dict[tuple, list[str]] = {}
+        for p in dirty_paths:
+            dirty_by_sig.setdefault(_jsonl_meta(p)[4], []).append(p)
+        for paths in dirty_by_sig.values():
+            refs = [qtask.remote(p, qdir) for p in paths]
+            part = rd.from_arrow_refs(refs).map_batches(
+                partial(conform_schema, target=data_schema),
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+            )
+            delta = part if delta is None else delta.union(part)
     from ..config import resolve_staged_format
 
     split = SplitStage(

@@ -196,3 +196,48 @@ def test_type_invalid_lines_share_the_policy(tmp_path):
     want = expected_final_state(binlog)
     assert got.num_rows == want.num_rows
     assert got.select(want.column_names).cast(want.schema).equals(want)
+
+
+def test_int_epoch_ts_is_valid(tmp_path):
+    """Both ts encodings the conform cast accepts must pass validation:
+    integer epoch-us (the publish round-trip writes these) and ISO strings
+    — a regression here broke three publish tests. One encoding per
+    SEGMENT: Arrow's JSON reader infers one type per file, so mixing
+    encodings within a file is a reader limitation, not a line defect."""
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "seg-00000.jsonl"), "w") as f:
+        f.write(_json.dumps({"conv_id": "c-1", "turn_idx": 0, "role": "user",
+                             "text": "hi", "tool": "", "ts": 1000,
+                             "lsn": 1, "op": "insert"}) + "\n")
+    with open(os.path.join(binlog, "seg-00001.jsonl"), "w") as f:
+        f.write(_json.dumps({"conv_id": "c-1", "turn_idx": 1, "role": "user",
+                             "text": "yo", "tool": "",
+                             "ts": "2024-01-01T00:00:01",
+                             "lsn": 2, "op": "insert"}) + "\n")
+    lake = str(tmp_path / "lake")
+    out = apply_changelog(lake, binlog, EngineConfig(num_partitions=4))
+    assert out["rows_applied"] == 2
+    assert read_quarantine(lake).num_rows == 0
+
+
+def test_intra_file_mixed_types_always_loud(tmp_path):
+    """One key carrying two non-null JSON kinds INSIDE a file is unreadable
+    by any inference path and no single line is at fault — quarantining
+    would silently lose valid rows, so BOTH policies refuse loudly."""
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "seg-00000.jsonl"), "w") as f:
+        f.write(_json.dumps({"conv_id": "c-1", "turn_idx": 0, "role": "user",
+                             "text": "a", "tool": "", "ts": 1000,
+                             "lsn": 1, "op": "insert"}) + "\n")
+        f.write(_json.dumps({"conv_id": "c-1", "turn_idx": 1, "role": "user",
+                             "text": "b", "tool": "",
+                             "ts": "2024-01-01T00:00:01",
+                             "lsn": 2, "op": "insert"}) + "\n")
+    for policy in ("error", "quarantine"):
+        with pytest.raises(ValueError, match="mixes JSON value types"):
+            apply_changelog(
+                str(tmp_path / f"lake_{policy}"), binlog,
+                EngineConfig(num_partitions=4, on_malformed=policy),
+            )
