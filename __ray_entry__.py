@@ -144,6 +144,8 @@ _SNAPSHOT_HEAD = [
     "activity_rollup", "user_type_set_ops", "daily_type_pivot",
     # round-5 ordered string aggregation (W5, funnel paths)
     "user_event_path",
+    # round-5 interpolated quantiles (percentile_cont, ANSI convention)
+    "price_percentiles_cont",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "user_type_set_ops",
     "daily_type_pivot",
     "user_event_path",
+    "price_percentiles_cont",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

@@ -364,6 +364,42 @@ def q_price_stats(sf_dir: str):
     )
 
 
+_PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_price_percentiles_cont(sf_dir: str):
+    """A4 variant — percentile_cont (linearly INTERPOLATED quantiles, the
+    ANSI convention) over l_extendedprice, alongside q_price_stats'
+    truncating-index reference convention. Exact path: one distributed
+    sort, split_at_indices at the floor/ceil order statistics, then the
+    interpolation runs over 8 scalars on the driver. The oracle SQL spells
+    out the identical formula (lo + (hi−lo)·frac over DOUBLEs) instead of
+    trusting quantile_cont internals, so both sides compute bit-identical
+    doubles before the shared 6dp rounding."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    n = ds.count()
+    if n == 0:  # SQL shape: zero rows (the join legs are empty)
+        return pa.table({"p": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    idx = {p: p * (n - 1) for p in _PCTS}
+    lo = {p: int(np.floor(v)) for p, v in idx.items()}
+    hi = {p: int(np.ceil(v)) for p, v in idx.items()}
+    order = sorted(set(lo.values()) | set(hi.values()))
+    splits = ds.sort("l_extendedprice").split_at_indices(order)
+    at = {}
+    for start, part in zip(order, splits[1:]):
+        at[start] = float(part.take(1)[0]["l_extendedprice"])
+    vals = [
+        at[lo[p]] + (at[hi[p]] - at[lo[p]]) * (idx[p] - lo[p]) for p in _PCTS
+    ]
+    return pa.table(
+        {
+            "p": pa.array(list(_PCTS), pa.float64()),
+            "value": pa.array(_round_away(np.array(vals), 6), pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # A4 scale path — t-digest quantile sketch: one bounded digest per batch
 # map-side, one tiny associative merge, NO distributed sort. The exact
@@ -1808,6 +1844,24 @@ QUALITY_SQL_THRESHOLD = """(
 )"""
 
 ORACLE: dict[str, str] = {
+    "price_percentiles_cont": """
+        WITH s AS (
+            SELECT l_extendedprice AS v,
+                   row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn
+            FROM lineitem
+        ), c AS (SELECT count(*) AS n FROM lineitem),
+        q(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                        (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        ix AS (
+            SELECT p, p * (n - 1) AS idx,
+                   CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+                   CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+            FROM q, c
+        )
+        SELECT ix.p, round(slo.v + (shi.v - slo.v) * (ix.idx - ix.lo), 6)
+                   AS value
+        FROM ix JOIN s slo ON slo.rn = ix.lo JOIN s shi ON shi.rn = ix.hi
+    """,
     "user_event_path": """
         SELECT user_id,
                string_agg(event_type, '>' ORDER BY ts, event_id) AS event_path,
