@@ -144,6 +144,9 @@ _SNAPSHOT_HEAD = [
     "activity_rollup", "user_type_set_ops", "daily_type_pivot",
     # round-5 ordered string aggregation (W5, funnel paths)
     "user_event_path",
+    # sessionization (LAG boundary flag under a running SUM) — oracle-bearing
+    # since r3; promoted into the checked head with the window family
+    "user_sessions",
     # round-5 interpolated quantiles (percentile_cont, ANSI convention)
     "price_percentiles_cont",
 ]

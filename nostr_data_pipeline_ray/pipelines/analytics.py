@@ -1038,6 +1038,14 @@ def q_user_sessions(sf_dir: str):
             n_events=("event_id", "size"),
         ).reset_index()
         out["n_events"] = out["n_events"].astype("int64")
+        # duration in exact integer microseconds before the single rounding
+        # (a float subtraction of two timestamps cannot drift, but spell the
+        # integer path anyway — it is the contract everywhere else)
+        dur_us = (
+            out["session_end"].to_numpy(dtype="datetime64[us]").astype("int64")
+            - out["session_start"].to_numpy(dtype="datetime64[us]").astype("int64")
+        )
+        out["duration_sec"] = _round_away(dur_us.astype("float64") / 1_000_000.0, 2)
         return out
 
     return bucketed_map_groups(
@@ -2074,7 +2082,9 @@ ORACLE: dict[str, str] = {
         )
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events
+               count(*) AS n_events,
+               round(CAST(date_diff('microsecond', min(ts), max(ts)) AS DOUBLE)
+                     / 1000000.0, 2) AS duration_sec
         FROM s GROUP BY 1, 2
     """,
     "purchase_events": """

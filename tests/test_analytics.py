@@ -343,7 +343,7 @@ _WINDOW_QUERIES = (
     "order_price_ranks",
     # grouping-sets family shares the same bucket-co-location contract
     "activity_rollup", "user_type_set_ops", "daily_type_pivot",
-    "user_event_path",
+    "user_event_path", "user_sessions",
 )
 
 
@@ -389,6 +389,48 @@ def test_event_gaps_planted_edges(tmp_path):
             "n_gaps": np.array([2], dtype="int64"),
             "avg_gap_sec": [5.0],
             "max_gap_sec": [10.0],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_sessions_planted_edges(tmp_path):
+    """Sessionization edges the sf fixtures can't isolate: a gap of EXACTLY
+    30 minutes stays in-session (strict >), one microsecond over splits, a
+    single-event user is one session of duration 0, and session_id
+    restarts at 1 per user."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ts = pd.to_datetime(
+        [
+            base,                                           # u1 s1
+            base + pd.Timedelta(minutes=30),                # u1 s1: ==30min stays
+            base + pd.Timedelta(minutes=60, microseconds=1),  # u1 s2: 1us over
+            base + pd.Timedelta(days=1),                    # u2: single event
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_user_sessions(str(tmp_path)).to_pandas()
+    got = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype="int64"),
+            "session_id": np.array([1, 2, 1], dtype="int64"),
+            "session_start": ts[[0, 2, 3]],
+            "session_end": ts[[1, 2, 3]],
+            "n_events": np.array([2, 1, 1], dtype="int64"),
+            "duration_sec": [1800.0, 0.0, 0.0],
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
