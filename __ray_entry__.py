@@ -149,6 +149,10 @@ _SNAPSHOT_HEAD = [
     "user_sessions",
     # round-5 interpolated quantiles (percentile_cont, ANSI convention)
     "price_percentiles_cont",
+    # round-5 statistical aggregates (X1-X4): exact-integer moments,
+    # correlation/covariance, grouped mode, NTILE
+    "quantity_moments", "quantity_discount_corr", "quantity_mode",
+    "order_price_ntile",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "daily_type_pivot",
     "user_event_path",
     "price_percentiles_cont",
+    # round-5 statistical aggregates (X1-X4): integer-sum exchanges, one
+    # float division per output value
+    "quantity_moments",
+    "quantity_discount_corr",
+    "quantity_mode",
+    "order_price_ntile",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

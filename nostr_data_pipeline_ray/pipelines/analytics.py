@@ -1827,6 +1827,236 @@ def q_daily_type_pivot(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Statistical aggregates (beyond-reference family, X1-X4): sample
+# variance/stddev, Pearson correlation + sample covariance, grouped mode,
+# and NTILE. The float contract here is the strictest in the repo: every
+# sum rides the exchange as EXACT integers (quantity is integral 1-50,
+# discount is 2dp → cents), the closed-form moment formulas are evaluated
+# over arbitrary-precision Python ints on the O(#groups) grouped result,
+# and the oracle SQL spells the IDENTICAL formula over DuckDB's exact
+# HUGEINT sums — one float division (and one IEEE sqrt) per output value,
+# bit-identical on both sides before the shared 6dp rounding. A float
+# accumulator (the textbook sum-of-squares) would differ between engines
+# in the last ulps because distributed addition reorders; exact integers
+# make the question disappear.
+# ---------------------------------------------------------------------------
+
+
+def _obj_ints(s: pd.Series) -> pd.Series:
+    """int64 → arbitrary-precision Python ints: the moment formulas square
+    corpus-sized sums (n·Σx² at 10^12 rows overflows int64), and the
+    grouped result is O(#groups) rows, so exact object arithmetic is free."""
+    return s.astype(object)
+
+
+def q_quantity_moments(sf_dir: str):
+    """X1 — grouped sample variance / stddev: TPC-H-Q1-shaped moments of
+    l_quantity per (returnflag, linestatus). Σq and Σq² are int64 partials
+    through one bucketed exchange (quantity ≤ 50 ⇒ Σq² fits int64 past
+    10^14 rows); var_samp = (n·Σq² − (Σq)²) / (n·(n−1)) evaluated exactly,
+    divided once in DOUBLE. Single-row groups yield NULL (SQL var_samp),
+    guarded identically on both sides."""
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        q = batch["l_quantity"].to_numpy(dtype="int64")  # integral by schema
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "l_linestatus": batch["l_linestatus"].to_numpy(),
+                "q": q,
+                "q2": q * q,
+            }
+        )
+
+    grouped = bucketed_sum_count(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        ).map_batches(add_cols, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"q": "_sq", "q2": "_sq2"},
+        count_as="n_rows",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        n, sq, sq2 = _obj_ints(df["n_rows"]), _obj_ints(df["_sq"]), _obj_ints(df["_sq2"])
+        num, den = n * sq2 - sq * sq, n * (n - 1)
+        raw = np.where(
+            den.to_numpy() != 0,
+            num.astype("float64") / den.replace(0, 1).astype("float64"),
+            np.nan,
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "n_rows": df["n_rows"],
+                "mean_qty": _round_away(
+                    sq.astype("float64").to_numpy() / n.astype("float64").to_numpy(), 6
+                ),
+                "var_qty": _round_away(raw, 6),
+                "stddev_qty": _round_away(np.sqrt(raw), 6),
+            }
+        )
+
+    return grouped.map_batches(derive, batch_format="pandas")
+
+
+def q_quantity_discount_corr(sf_dir: str):
+    """X2 — Pearson correlation + sample covariance of quantity vs
+    discount-cents per returnflag. Five integer sums (Σx, Σy, Σxy, Σx²,
+    Σy²) ride one exchange; corr = (n·Σxy − ΣxΣy) /
+    (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) with exact integer inner terms,
+    each cast to DOUBLE once — sqrt is correctly-rounded IEEE, so both
+    engines produce the same doubles. Zero-variance groups yield NULL,
+    guarded identically in the oracle's CASE."""
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"].to_numpy(dtype="int64")
+        y = _round_away(batch["l_discount"].to_numpy() * 100.0, 0).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "x": x, "y": y, "xy": x * y, "x2": x * x, "y2": y * y,
+            }
+        )
+
+    grouped = bucketed_sum_count(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]).map_batches(
+            add_cols, batch_format="pandas"
+        ),
+        keys=["l_returnflag"],
+        sums={"x": "_sx", "y": "_sy", "xy": "_sxy", "x2": "_sx2", "y2": "_sy2"},
+        count_as="n_rows",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        n = _obj_ints(df["n_rows"])
+        sx, sy = _obj_ints(df["_sx"]), _obj_ints(df["_sy"])
+        sxy, sx2, sy2 = _obj_ints(df["_sxy"]), _obj_ints(df["_sx2"]), _obj_ints(df["_sy2"])
+        num = n * sxy - sx * sy
+        dena, denb = n * sx2 - sx * sx, n * sy2 - sy * sy
+        nn1 = n * (n - 1)
+        ok = ((dena > 0) & (denb > 0)).to_numpy(dtype=bool)
+        corr = np.where(
+            ok,
+            num.astype("float64")
+            / (
+                np.sqrt(dena.replace(0, 1).astype("float64"))
+                * np.sqrt(denb.replace(0, 1).astype("float64"))
+            ),
+            np.nan,
+        )
+        cov = np.where(
+            nn1.to_numpy() != 0,
+            num.astype("float64") / nn1.replace(0, 1).astype("float64"),
+            np.nan,
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n_rows": df["n_rows"],
+                "covar_qd": _round_away(cov, 6),
+                "corr_qd": _round_away(corr, 6),
+            }
+        )
+
+    return grouped.map_batches(derive, batch_format="pandas")
+
+
+def q_quantity_mode(sf_dir: str):
+    """X3 — grouped mode (most frequent l_quantity per returnflag, ties to
+    the smallest value). Two-phase count by (group, value) map-side — the
+    exchange moves O(groups × distinct-values) rows — then the argmax runs
+    inside the group's bucket with the (count DESC, value ASC) tie-break
+    the oracle's row_number spells out."""
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "mode_qty": batch["l_quantity"].to_numpy(dtype="int64"),
+            }
+        )
+        return b.groupby(["l_returnflag", "mode_qty"], sort=False).size().reset_index(
+            name="n"
+        )
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["l_returnflag", "mode_qty"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["l_returnflag", "n", "mode_qty"], ascending=[True, False, True]
+        )
+        top = g.drop_duplicates("l_returnflag", keep="first")
+        return pd.DataFrame(
+            {
+                "l_returnflag": top["l_returnflag"].to_numpy(),
+                "mode_qty": top["mode_qty"].to_numpy(dtype="int64"),
+                "mode_count": top["n"].to_numpy(dtype="int64"),
+            }
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"]),
+        keys=["l_returnflag"],
+        fn=argmax,
+        pre=counts,
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+
+def q_order_price_ntile(sf_dir: str):
+    """X4 — NTILE(4) per month over (o_totalprice DESC, o_orderkey): the
+    equal-height bucketing window. SQL NTILE semantics exactly — the first
+    (n mod k) tiles carry ceil(n/k) rows — computed vectorized from the
+    in-bucket row number and partition size; the secondary o_orderkey key
+    makes the order (hence the tile of every tied row) deterministic."""
+    K = 4
+
+    def add_month(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["month"] = (
+            batch["o_orderdate"].to_numpy(dtype="datetime64[M]").astype("datetime64[us]")
+        )
+        return batch[["month", "o_orderkey", "o_totalprice"]]
+
+    def tiles(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["month", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        g = b.groupby("month", sort=False)
+        rn = g.cumcount().to_numpy(dtype="int64")  # 0-based within partition
+        n = g["o_orderkey"].transform("size").to_numpy(dtype="int64")
+        big = -(-n // K)  # ceil(n/k): the first (n mod k) tiles' height
+        r = n % K
+        cut = r * big  # rows covered by the big tiles
+        small = np.maximum(n // K, 1)
+        tile = np.where(rn < cut, rn // big + 1, r + (rn - cut) // small + 1)
+        return pd.DataFrame(
+            {
+                "month": b["month"],
+                "o_orderkey": b["o_orderkey"],
+                "price_quartile": tile.astype("int64"),
+            }
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]).map_batches(
+            add_month, batch_format="pandas"
+        ),
+        keys=["month"],
+        fn=tiles,
+        input_bytes=_tbytes(sf_dir, "orders"),
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -1897,6 +2127,84 @@ ORACLE: dict[str, str] = {
         UNION ALL
         SELECT user_id, 'signup_only'
         FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM p)
+    """,
+    "quantity_moments": """
+        WITH b AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(CAST(l_quantity AS BIGINT)) AS sq,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS sq2
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus, n_rows,
+               round(CAST(sq AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean_qty,
+               CASE WHEN n_rows > 1 THEN
+                   round(CAST(n_rows * sq2 - sq * sq AS DOUBLE)
+                         / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6)
+               END AS var_qty,
+               CASE WHEN n_rows > 1 THEN
+                   round(sqrt(CAST(n_rows * sq2 - sq * sq AS DOUBLE)
+                              / CAST(n_rows * (n_rows - 1) AS DOUBLE)), 6)
+               END AS stddev_qty
+        FROM b
+    """,
+    "quantity_discount_corr": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(CAST(l_quantity AS BIGINT)) AS sx,
+                   sum(CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS sy,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS sxy,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS sx2,
+                   sum(CAST(round(l_discount * 100.0, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS sy2
+            FROM lineitem GROUP BY 1
+        ), d AS (
+            SELECT l_returnflag, n_rows,
+                   n_rows * sxy - sx * sy AS num,
+                   n_rows * sx2 - sx * sx AS dena,
+                   n_rows * sy2 - sy * sy AS denb,
+                   n_rows * (n_rows - 1) AS nn1
+            FROM b
+        )
+        SELECT l_returnflag, n_rows,
+               CASE WHEN nn1 > 0 THEN
+                   round(CAST(num AS DOUBLE) / CAST(nn1 AS DOUBLE), 6)
+               END AS covar_qd,
+               CASE WHEN dena > 0 AND denb > 0 THEN
+                   round(CAST(num AS DOUBLE)
+                         / (sqrt(CAST(dena AS DOUBLE))
+                            * sqrt(CAST(denb AS DOUBLE))), 6)
+               END AS corr_qd
+        FROM d
+    """,
+    "quantity_mode": """
+        WITH c AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY n DESC, mode_qty ASC) AS rn
+            FROM c
+        )
+        SELECT l_returnflag, mode_qty, CAST(n AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1
+    """,
+    "order_price_ntile": """
+        WITH o AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   o_orderkey, o_totalprice
+            FROM orders
+        )
+        SELECT month, o_orderkey,
+               CAST(ntile(4) OVER (PARTITION BY month
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                    AS BIGINT) AS price_quartile
+        FROM o
     """,
     "daily_type_pivot": """
         SELECT date_trunc('day', ts) AS day,

@@ -344,6 +344,9 @@ _WINDOW_QUERIES = (
     # grouping-sets family shares the same bucket-co-location contract
     "activity_rollup", "user_type_set_ops", "daily_type_pivot",
     "user_event_path", "user_sessions",
+    # statistical aggregates share the same bucket-co-location contract
+    "quantity_moments", "quantity_discount_corr", "quantity_mode",
+    "order_price_ntile",
 )
 
 
@@ -434,6 +437,67 @@ def test_user_sessions_planted_edges(tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ntile_planted_edges(tmp_path):
+    """SQL NTILE semantics the sf fixtures can't isolate: a partition
+    smaller than k numbers its rows 1..n; an uneven partition gives the
+    FIRST (n mod k) tiles the extra row; ties take the o_orderkey order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # month A: 6 rows → tiles 2,2,1,1 (first 6%4=2 tiles get ceil(6/4)=2)
+    # month B: 3 rows (< k) → tiles 1,2,3; two share a price → key order
+    dates = (["2024-01-15"] * 6) + (["2024-02-15"] * 3)
+    prices = [60.0, 50.0, 40.0, 30.0, 20.0, 10.0, 9.0, 5.0, 5.0]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(1, 10)), pa.int64()),
+            "o_custkey": pa.array([1] * 9, pa.int64()),
+            "o_orderdate": pa.array(
+                np.array(dates, dtype="datetime64[us]")
+            ),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    got = an.q_order_price_ntile(str(tmp_path)).to_pandas()
+    got = got.sort_values("o_orderkey").reset_index(drop=True)
+    assert got["price_quartile"].tolist() == [1, 1, 2, 2, 3, 4, 1, 2, 3]
+
+
+def test_quantity_moments_single_row_group(tmp_path):
+    """var_samp/stddev_samp of a single-row group is NULL (SQL), mean is
+    the value itself; a constant-valued group has zero variance and a
+    well-defined sqrt."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "B", "B"], pa.string()),
+            "l_linestatus": pa.array(["O", "O", "O"], pa.string()),
+            "l_quantity": pa.array([7.0, 3.0, 3.0], pa.float64()),
+            "l_discount": pa.array([0.05, 0.0, 0.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    got = an.q_quantity_moments(str(tmp_path)).to_pandas()
+    got = got.sort_values("l_returnflag").reset_index(drop=True)
+    a, b = got.iloc[0], got.iloc[1]
+    assert a["n_rows"] == 1 and a["mean_qty"] == 7.0
+    assert pd.isna(a["var_qty"]) and pd.isna(a["stddev_qty"])
+    assert b["n_rows"] == 2 and b["mean_qty"] == 3.0
+    assert b["var_qty"] == 0.0 and b["stddev_qty"] == 0.0
+
+    # zero-variance correlation is NULL on both sides of the contract
+    corr = an.q_quantity_discount_corr(str(tmp_path)).to_pandas()
+    corr = corr.sort_values("l_returnflag").reset_index(drop=True)
+    assert pd.isna(corr.iloc[0]["corr_qd"])  # single row
+    assert pd.isna(corr.iloc[1]["corr_qd"])  # constant x and y
 
 
 def test_activity_rollup_empty_table(tmp_path):
