@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["conv_turn_counts_ivm"] = _flag.q_conv_turn_counts_ivm
     qs["approx_distinct_users"] = _an.q_approx_distinct_users  # rows-only: HLL sketch
     qs["price_stats_tdigest"] = _an.q_price_stats_tdigest  # rows-only: t-digest
+    qs["top_words_sketch"] = _an.q_top_words_sketch  # rows-only: Misra-Gries
     qs["changelog_filter"] = _flag.q_changelog_filter
     qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
     qs["lake_health"] = _flag.q_lake_health  # rows-only: F4 over lineage
@@ -153,6 +154,8 @@ _SNAPSHOT_HEAD = [
     # correlation/covariance, grouped mode, NTILE
     "quantity_moments", "quantity_discount_corr", "quantity_mode",
     "order_price_ntile",
+    # round-5 UNPIVOT (G4): map-side melt, zero exchanges
+    "lineitem_unpivot",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "quantity_discount_corr",
     "quantity_mode",
     "order_price_ntile",
+    # round-5 reshape + sketch additions
+    "lineitem_unpivot",
+    "top_words_sketch",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

@@ -2057,6 +2057,93 @@ def q_order_price_ntile(sf_dir: str):
     )
 
 
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """G4 — UNPIVOT / melt (the inverse of the crosstab): four measure
+    columns become (measure, value) rows keyed by (l_orderkey,
+    l_linenumber). Pure map-side reshape — zero-copy Arrow concat of the
+    four column slices per batch, no exchange at all; output is 4× the
+    rows but each carries two small columns, so at 100 TB this is
+    bandwidth-shaped exactly like the read."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok, ln = batch["l_orderkey"], batch["l_linenumber"]
+        return pa.table(
+            {
+                "l_orderkey": pa.concat_arrays(
+                    [ok.combine_chunks()] * len(_UNPIVOT_MEASURES)
+                ),
+                "l_linenumber": pa.concat_arrays(
+                    [ln.combine_chunks()] * len(_UNPIVOT_MEASURES)
+                ),
+                "measure": pa.array(
+                    np.repeat(np.array(_UNPIVOT_MEASURES), n), pa.string()
+                ),
+                "value": pa.concat_arrays(
+                    [
+                        pc.cast(batch[m], pa.float64()).combine_chunks()
+                        for m in _UNPIVOT_MEASURES
+                    ]
+                ),
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES],
+    ).map_batches(melt, batch_format="pyarrow")
+
+
+def q_top_words_sketch(sf_dir: str, k: int = 4096, topn: int = 20):
+    """Heavy hitters — the Misra-Gries scale path for trending_words'
+    frequency leg (rows-only: approximate by construction; accuracy pinned
+    by test_sketches.py against the exact counts). Per batch the exact
+    word counts collapse to a ≤k-pair MG summary, the one exchange is a
+    plain grouped sum over those pairs (≤ k rows per batch, not one per
+    word occurrence), and the final decrement-truncate runs once over the
+    merged O(batches × k) pairs. Counts are lower bounds within n/(k+1) of
+    truth — at 100 TB the exchange is bounded by k per batch regardless of
+    vocabulary size, which is the whole point."""
+    from ..stages.sketches import MisraGries
+
+    mg = MisraGries(k)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        return pa.table({"word": pc.list_flatten(words)})
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        items, counts = np.unique(batch["word"].to_numpy(), return_counts=True)
+        items, counts = mg.summarize(items, counts)
+        return pd.DataFrame({"word": items, "cnt": counts})
+
+    merged = bucketed_sum_count(
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(summarize, batch_format="pandas"),
+        keys=["word"],
+        sums={"cnt": "cnt"},
+        input_bytes=_tbytes(sf_dir, "documents"),
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        items, counts = mg.truncate(df["word"].to_numpy(), df["cnt"].to_numpy())
+        return pd.DataFrame(
+            {
+                "word": items[:topn],
+                "est_count": counts[:topn].astype("int64"),
+                "rank": np.arange(1, min(topn, len(items)) + 1, dtype="int64"),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -2127,6 +2214,12 @@ ORACLE: dict[str, str] = {
         UNION ALL
         SELECT user_id, 'signup_only'
         FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM p)
+    """,
+    "lineitem_unpivot": """
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                        l_discount, l_tax FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE value
     """,
     "quantity_moments": """
         WITH b AS (

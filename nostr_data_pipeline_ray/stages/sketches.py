@@ -147,3 +147,45 @@ class TDigest:
             return float(means[-1])
         frac = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
         return float(means[i - 1] + frac * (means[i] - means[i - 1]))
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary of capacity k — the approximate
+    scale path for top-k-by-frequency (the third classic mergeable sketch
+    next to HLL and t-digest). A summary is at most k (item, count) pairs;
+    ``summarize`` turns a batch's EXACT counts into one, and ``truncate``
+    is also the merge step: add summaries' counts (a plain groupby-sum —
+    the one exchange), then subtract the (k+1)-th largest count from
+    everything and drop the non-positives. Mergeable-summaries guarantee
+    (Agarwal et al., PODS'12): counts are lower bounds undershooting the
+    truth by at most n/(k+1) TOTAL across any merge tree, so every item
+    with true frequency > n/(k+1) survives to the output."""
+
+    def __init__(self, k: int = 4096):
+        assert k >= 1
+        self.k = k
+
+    def truncate(
+        self, items: np.ndarray, counts: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """MG decrement step: keep at most k pairs, subtracting the
+        (k+1)-th largest count. Counts must be exact-or-lower-bound int64;
+        output order is (count desc, item asc) — deterministic."""
+        counts = np.asarray(counts, dtype=np.int64)
+        items = np.asarray(items)
+        if len(items) > self.k:
+            # the (k+1)-th largest via partition, then decrement everywhere
+            kth = np.partition(counts, len(counts) - self.k - 1)[
+                len(counts) - self.k - 1
+            ]
+            counts = counts - kth
+            keep = counts > 0
+            items, counts = items[keep], counts[keep]
+        order = np.lexsort((items, -counts))
+        return items[order], counts[order]
+
+    def summarize(
+        self, items: np.ndarray, counts: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """A batch's exact (item, count) pairs → one MG summary."""
+        return self.truncate(items, counts)

@@ -108,3 +108,58 @@ def test_delete_where_retention(tmp_path):
         lake_root, lambda t: pc.less(t["ts"], pa.scalar(cutoff, pa.timestamp("us"))), cfg
     )
     assert again["rows_deleted"] == 0
+
+
+def test_misra_gries_unit_bound_and_merge():
+    """MG guarantees: counts are lower bounds; undercount ≤ n/(k+1) across
+    any merge tree; every item with true freq > n/(k+1) survives. Planted
+    zipf-ish stream split into 4 'batches' merged the pipeline's way
+    (summarize per batch → add counts → one final truncate)."""
+    from nostr_data_pipeline_ray.stages.sketches import MisraGries
+
+    rng = np.random.default_rng(7)
+    # 40 heavy items (~1000 each) over a 5000-item light tail
+    heavy = np.repeat(np.arange(40), 1000)
+    tail = rng.integers(1000, 6000, 60_000)
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    n, k = len(stream), 256
+    mg = MisraGries(k)
+
+    merged: dict = {}
+    for part in np.array_split(stream, 4):
+        items, counts = np.unique(part, return_counts=True)
+        items, counts = mg.summarize(items, counts)
+        for i, c in zip(items.tolist(), counts.tolist()):
+            merged[i] = merged.get(i, 0) + c
+    items, counts = mg.truncate(
+        np.array(list(merged)), np.array(list(merged.values()))
+    )
+
+    true = {i: int(c) for i, c in zip(*np.unique(stream, return_counts=True))}
+    est = dict(zip(items.tolist(), counts.tolist()))
+    bound = n / (k + 1)
+    for i, c in est.items():
+        assert c <= true[i], "MG must never overcount"
+        assert true[i] - c <= bound, "undercount exceeded n/(k+1)"
+    for i in range(40):  # heavy items all survive (freq 1000 > bound)
+        assert true[i] > bound and i in est
+
+
+def test_top_words_sketch_exact_when_vocab_fits():
+    """With capacity ≥ vocabulary, no decrement ever fires and the sketch
+    top-k IS the exact top-k (counts included) — pin against a brute-force
+    count at sf0.001."""
+    import pandas as pd
+
+    from nostr_data_pipeline_ray.pipelines.analytics import q_top_words_sketch
+
+    sf = "/root/testdata/sf0.001"
+    got = q_top_words_sketch(sf, k=1_000_000, topn=10).to_pandas()
+
+    t = pa.parquet.read_table(f"{sf}/documents.parquet", columns=["text"])
+    words = pc.list_flatten(pc.split_pattern(t["text"], " ")).to_pandas()
+    exact = words.value_counts()
+    assert got["est_count"].tolist() == exact.head(10).tolist()
+    # ties inside the exact head can permute names; compare count-sets
+    assert set(got["word"]) <= set(exact[exact >= exact.iloc[9]].index)
