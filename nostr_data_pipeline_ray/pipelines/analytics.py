@@ -2028,22 +2028,19 @@ def q_order_price_ntile(sf_dir: str):
         return batch[["month", "o_orderkey", "o_totalprice"]]
 
     def tiles(bucket: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.windowfns import sql_ntile
+
         b = bucket.sort_values(
             ["month", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
         ).reset_index(drop=True)
         g = b.groupby("month", sort=False)
         rn = g.cumcount().to_numpy(dtype="int64")  # 0-based within partition
         n = g["o_orderkey"].transform("size").to_numpy(dtype="int64")
-        big = -(-n // K)  # ceil(n/k): the first (n mod k) tiles' height
-        r = n % K
-        cut = r * big  # rows covered by the big tiles
-        small = np.maximum(n // K, 1)
-        tile = np.where(rn < cut, rn // big + 1, r + (rn - cut) // small + 1)
         return pd.DataFrame(
             {
                 "month": b["month"],
                 "o_orderkey": b["o_orderkey"],
-                "price_quartile": tile.astype("int64"),
+                "price_quartile": sql_ntile(rn, n, K),
             }
         )
 

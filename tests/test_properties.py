@@ -346,3 +346,82 @@ def test_distributed_losers_match_union_find_reference(ray_session, case):
     new_ids, edges = case
     got = _run_loser_path(_losers_distributed, new_ids, edges)
     assert got == _reference_losers(new_ids, edges)
+
+
+# ---- SQL NTILE kernel vs DuckDB on randomized partitions -------------------
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+    k=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=60, deadline=None)
+def test_sql_ntile_matches_duckdb(sizes, k):
+    """The vectorized NTILE kernel must agree with DuckDB's ntile(k) for
+    every partition size / k combination — including partitions smaller
+    than k and every uneven-split remainder."""
+    import duckdb
+
+    from nostr_data_pipeline_ray.functions.windowfns import sql_ntile
+
+    part = np.repeat(np.arange(len(sizes)), sizes)
+    order = np.concatenate([np.arange(s) for s in sizes])
+    df = pd.DataFrame({"p": part, "o": order})
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT p, o, ntile({k}) OVER (PARTITION BY p ORDER BY o) AS t "
+            "FROM df ORDER BY p, o"
+        )
+        .fetch_df()["t"]
+        .to_numpy()
+    )
+    n = np.repeat(np.asarray(sizes, dtype=np.int64), sizes)
+    got = sql_ntile(order, n, k)
+    assert got.tolist() == want.tolist()
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(min_value=2, max_value=400),
+)
+@settings(max_examples=40, deadline=None)
+def test_exact_int_moment_formula_matches_duckdb_builtins(seed, n):
+    """The closed-form (n·Σx² − (Σx)²)/(n·(n−1)) over exact ints must agree
+    with DuckDB's native var_samp/stddev_samp/corr to fp precision — the
+    contract queries pin the mirrored-SQL path; this pins the FORMULA
+    against the reference implementations on random data."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 100, n)
+    y = x * 2 + rng.integers(0, 50, n)  # correlated, non-degenerate
+    df = pd.DataFrame({"x": x, "y": y})
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT var_samp(x), stddev_samp(x), corr(x, y), covar_samp(x, y) FROM df"
+        )
+        .fetchone()
+    )
+
+    N, sx, sy = int(n), int(x.sum()), int(y.sum())
+    sx2 = int((x.astype(object) * x.astype(object)).sum())
+    sy2 = int((y.astype(object) * y.astype(object)).sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    var = float(N * sx2 - sx * sx) / float(N * (N - 1))
+    std = float(np.sqrt(var))
+    dena, denb = N * sx2 - sx * sx, N * sy2 - sy * sy
+    corr = (
+        float(N * sxy - sx * sy) / (np.sqrt(float(dena)) * np.sqrt(float(denb)))
+        if dena > 0 and denb > 0
+        else None
+    )
+    cov = float(N * sxy - sx * sy) / float(N * (N - 1))
+
+    assert var == pytest.approx(want[0], rel=1e-9)
+    assert std == pytest.approx(want[1], rel=1e-9)
+    if corr is None:
+        assert want[2] is None or np.isnan(want[2])
+    else:
+        assert corr == pytest.approx(want[2], rel=1e-9)
+    assert cov == pytest.approx(want[3], rel=1e-9)
