@@ -293,4 +293,17 @@ q = read_quarantine(qlake)
 print("quarantined:", q.num_rows, "lines |", "applied:", out["rows_applied"],
       "rows | errors:", [e[:40] for e in q["error"].to_pylist()])
 
+# 18. the window-function + statistical-aggregate families: each is one
+#     bucketed exchange with the kernel vectorized inside the bucket, and
+#     every float is derived from exact integers (microseconds / cents /
+#     ranks) so distributed execution cannot drift at a rounding boundary.
+sf = "/root/testdata/sf0.001"
+gaps = an.q_event_gaps(sf).to_pandas()
+print("\ninter-event gaps (LAG):", len(gaps), "users | max gap",
+      gaps["max_gap_sec"].max(), "s")
+mom = an.q_quantity_moments(sf).to_pandas()
+print("quantity moments:\n", mom.head(4).to_string())
+hh = an.q_top_words_sketch(sf, k=4096, topn=5).to_pandas()
+print("Misra-Gries top words:", list(zip(hh["word"], hh["est_count"])))
+
 ray.shutdown()
