@@ -156,6 +156,8 @@ _SNAPSHOT_HEAD = [
     "order_price_ntile",
     # round-5 UNPIVOT (G4): map-side melt, zero exchanges
     "lineitem_unpivot",
+    # round-5 W7: lead / first_value / last_value / cume_dist in one pass
+    "user_event_context",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     # round-5 reshape + sketch additions
     "lineitem_unpivot",
     "top_words_sketch",
+    "user_event_context",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

@@ -1021,6 +1021,44 @@ def q_daily_signup_growth(sf_dir: str):
 # (sort → gap flags → cumulative session ids → grouped min/max/count).
 # ---------------------------------------------------------------------------
 
+def q_user_event_context(sf_dir: str):
+    """W7 — the remaining window primitives in one query: LEAD (gap to the
+    NEXT event), FIRST_VALUE / LAST_VALUE over the whole partition (the
+    frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — SQL's default
+    frame silently truncates last_value at CURRENT ROW), and CUME_DIST.
+    One bucketed exchange on user_id; the sort key (ts, event_id) is
+    unique, so cume_dist degenerates to position/n — both engines compute
+    the same two exact int64s and divide once in DOUBLE. The lead gap is
+    integer microseconds; the partition-final row's gap is NULL."""
+
+    def context(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        nxt_same = b["user_id"].eq(b["user_id"].shift(-1)).to_numpy()
+        gap = np.roll(us, -1) - us  # last row is garbage; masked below
+        g = b.groupby("user_id", sort=False)
+        rn = (g.cumcount() + 1).to_numpy(dtype="int64")
+        n = g["event_id"].transform("size").to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "next_gap_sec": np.where(
+                    nxt_same, _round_away(gap / 1_000_000.0, 2), np.nan
+                ),
+                "first_type": g["event_type"].transform("first").to_numpy(),
+                "last_type": g["event_type"].transform("last").to_numpy(),
+                "cume": _round_away(rn.astype("float64") / n.astype("float64"), 6),
+            }
+        )
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]),
+        keys=["user_id"],
+        fn=context,
+    )
+
+
 _SESSION_GAP = pd.Timedelta(minutes=30)
 
 
@@ -2463,6 +2501,24 @@ ORACLE: dict[str, str] = {
                           / lag(n) OVER (ORDER BY day)
                      ELSE 0.0 END, 2) AS dod_pct
         FROM d
+    """,
+    "user_event_context": """
+        WITH e AS (
+            SELECT user_id, event_id,
+                   date_diff('microsecond', ts, lead(ts) OVER w) AS gap_us,
+                   first_value(event_type) OVER w AS first_type,
+                   last_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_type,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id,
+               round(CAST(gap_us AS DOUBLE) / 1000000.0, 2) AS next_gap_sec,
+               first_type, last_type, cume
+        FROM e
     """,
     "user_sessions": """
         WITH e AS (
