@@ -59,6 +59,17 @@ def _tbytes(sf_dir: str, table: str) -> int:
 from ..functions.rounding import round_away as _round_away  # shared contract
 
 
+def _same_as_prev(arr: np.ndarray) -> np.ndarray:
+    """Exact neighbor equality (row i vs i−1; row 0 False). The pandas
+    idiom eq(shift(1)) upcasts int64 to float64 to hold the NaN hole, so
+    two DISTINCT ids above 2^53 (e.g. 64-bit key hashes) can compare
+    equal — this stays in the column's native dtype."""
+    out = np.zeros(len(arr), dtype=bool)
+    if len(arr) > 1:
+        out[1:] = arr[1:] == arr[:-1]
+    return out
+
+
 def _round_col(batch: pa.Table, col: str, decimals: int = 2) -> pa.Table:
     vals = _round_away(batch[col].to_numpy(zero_copy_only=False), decimals)
     return batch.set_column(
@@ -1033,12 +1044,25 @@ def q_user_event_context(sf_dir: str):
 
     def context(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        if not len(b):
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "next_gap_sec": [],
+                 "first_type": [], "last_type": [], "cume": []}
+            )
         us = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-        nxt_same = b["user_id"].eq(b["user_id"].shift(-1)).to_numpy()
+        # positional partition bookkeeping (first/last ROW per user — SQL
+        # first_value/last_value do NOT skip nulls, so transform('first')
+        # would diverge on a null-typed boundary row)
+        first_of_user = ~_same_as_prev(b["user_id"].to_numpy())
+        first_pos = np.flatnonzero(first_of_user)
+        counts = np.diff(np.append(first_pos, len(b)))
+        last_pos = np.append(first_pos[1:] - 1, len(b) - 1)
+        nxt_same = np.zeros(len(b), dtype=bool)
+        nxt_same[:-1] = ~first_of_user[1:]
         gap = np.roll(us, -1) - us  # last row is garbage; masked below
-        g = b.groupby("user_id", sort=False)
-        rn = (g.cumcount() + 1).to_numpy(dtype="int64")
-        n = g["event_id"].transform("size").to_numpy(dtype="int64")
+        et = b["event_type"].to_numpy()
+        rn = np.arange(len(b), dtype="int64") - np.repeat(first_pos, counts) + 1
+        n = np.repeat(counts, counts).astype("int64")
         return pd.DataFrame(
             {
                 "user_id": b["user_id"],
@@ -1046,8 +1070,8 @@ def q_user_event_context(sf_dir: str):
                 "next_gap_sec": np.where(
                     nxt_same, _round_away(gap / 1_000_000.0, 2), np.nan
                 ),
-                "first_type": g["event_type"].transform("first").to_numpy(),
-                "last_type": g["event_type"].transform("last").to_numpy(),
+                "first_type": np.repeat(et[first_pos], counts),
+                "last_type": np.repeat(et[last_pos], counts),
                 "cume": _round_away(rn.astype("float64") / n.astype("float64"), 6),
             }
         )
@@ -1065,9 +1089,9 @@ _SESSION_GAP = pd.Timedelta(minutes=30)
 def q_user_sessions(sf_dir: str):
     def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
-        same_user = b["user_id"].eq(b["user_id"].shift(1))
-        gap_ok = (b["ts"] - b["ts"].shift(1)) <= _SESSION_GAP
-        is_new = ~(same_user & gap_ok)
+        same_user = _same_as_prev(b["user_id"].to_numpy())
+        gap_ok = ((b["ts"] - b["ts"].shift(1)) <= _SESSION_GAP).to_numpy()
+        is_new = pd.Series(~(same_user & gap_ok), index=b.index)
         b["session_id"] = is_new.groupby(b["user_id"]).cumsum().astype("int64")
         g = b.groupby(["user_id", "session_id"], sort=False)
         out = g.agg(
@@ -1520,7 +1544,7 @@ def q_event_gaps(sf_dir: str):
     def gaps(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         us = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-        same = b["user_id"].eq(b["user_id"].shift(1)).to_numpy()
+        same = _same_as_prev(b["user_id"].to_numpy())
         gap = us - np.roll(us, 1)  # row 0 is garbage; masked by `same`
         g = (
             pd.DataFrame({"user_id": b["user_id"].to_numpy()[same], "gap_us": gap[same]})
@@ -1888,6 +1912,19 @@ def _obj_ints(s: pd.Series) -> pd.Series:
     return s.astype(object)
 
 
+def _int_exact(a: np.ndarray, name: str) -> np.ndarray:
+    """Checked float→int64: the family's exact-integer contract relies on
+    integral inputs (the oracle CASTs, this side truncates — they agree
+    only when nothing is lost), so a non-integral value fails loudly
+    instead of silently diverging from the oracle."""
+    out = a.astype("int64")
+    if not (out == a).all():
+        raise ValueError(
+            f"{name}: non-integral values break the exact-integer contract"
+        )
+    return out
+
+
 def q_quantity_moments(sf_dir: str):
     """X1 — grouped sample variance / stddev: TPC-H-Q1-shaped moments of
     l_quantity per (returnflag, linestatus). Σq and Σq² are int64 partials
@@ -1897,7 +1934,7 @@ def q_quantity_moments(sf_dir: str):
     guarded identically on both sides."""
 
     def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
-        q = batch["l_quantity"].to_numpy(dtype="int64")  # integral by schema
+        q = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
         return pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"].to_numpy(),
@@ -1952,7 +1989,9 @@ def q_quantity_discount_corr(sf_dir: str):
     guarded identically in the oracle's CASE."""
 
     def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
-        x = batch["l_quantity"].to_numpy(dtype="int64")
+        x = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
+        # cents are exact BY the rounding (the oracle rounds identically),
+        # so no integrality check is needed on the discount side
         y = _round_away(batch["l_discount"].to_numpy() * 100.0, 0).astype("int64")
         return pd.DataFrame(
             {
@@ -2016,7 +2055,7 @@ def q_quantity_mode(sf_dir: str):
         b = pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"].to_numpy(),
-                "mode_qty": batch["l_quantity"].to_numpy(dtype="int64"),
+                "mode_qty": _int_exact(batch["l_quantity"].to_numpy(), "l_quantity"),
             }
         )
         return b.groupby(["l_returnflag", "mode_qty"], sort=False).size().reset_index(
@@ -2101,12 +2140,13 @@ def q_lineitem_unpivot(sf_dir: str):
     l_linenumber). Pure map-side reshape — zero-copy Arrow concat of the
     four column slices per batch, no exchange at all; output is 4× the
     rows but each carries two small columns, so at 100 TB this is
-    bandwidth-shaped exactly like the read."""
+    bandwidth-shaped exactly like the read. NULL cells are excluded,
+    matching SQL UNPIVOT's default (no INCLUDE NULLS)."""
 
     def melt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ok, ln = batch["l_orderkey"], batch["l_linenumber"]
-        return pa.table(
+        out = pa.table(
             {
                 "l_orderkey": pa.concat_arrays(
                     [ok.combine_chunks()] * len(_UNPIVOT_MEASURES)
@@ -2125,6 +2165,7 @@ def q_lineitem_unpivot(sf_dir: str):
                 ),
             }
         )
+        return out.filter(pc.is_valid(out["value"]))
 
     return _read(
         sf_dir, "lineitem",

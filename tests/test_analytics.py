@@ -525,3 +525,58 @@ def test_activity_rollup_empty_table(tmp_path):
     row = got.iloc[0]
     assert row["event_type"] is None and pd.isna(row["day"])
     assert row["n_events"] == 0 and pd.isna(row["total_value"])
+
+
+def test_user_event_context_null_boundary_rows(tmp_path):
+    """SQL first_value/last_value return the first/last ROW's value even
+    when it is NULL — a null-skipping 'first non-null' kernel would
+    diverge exactly here."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": pa.array([None, "view", None], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_user_event_context(str(tmp_path)).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert got["first_type"].isna().all()  # first ROW is null
+    assert got["last_type"].isna().all()   # last ROW is null
+    assert got["cume"].tolist() == [
+        pytest.approx(1 / 3, abs=1e-6), pytest.approx(2 / 3, abs=1e-6), 1.0
+    ]
+
+
+def test_lineitem_unpivot_excludes_null_cells(tmp_path):
+    """SQL UNPIVOT's default drops NULL cells (no INCLUDE NULLS) — the
+    melt must agree by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2], pa.int64()),
+            "l_linenumber": pa.array([1, 1], pa.int64()),
+            "l_quantity": pa.array([5.0, None], pa.float64()),
+            "l_extendedprice": pa.array([100.0, 200.0], pa.float64()),
+            "l_discount": pa.array([0.05, 0.1], pa.float64()),
+            "l_tax": pa.array([None, 0.02], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    got = an.q_lineitem_unpivot(str(tmp_path)).to_pandas()
+    assert len(got) == 6  # 8 cells − 2 nulls
+    assert not got["value"].isna().any()
+    k1 = set(got[got["l_orderkey"] == 1]["measure"])
+    assert k1 == {"l_quantity", "l_extendedprice", "l_discount"}
