@@ -158,6 +158,8 @@ _SNAPSHOT_HEAD = [
     "lineitem_unpivot",
     # round-5 W7: lead / first_value / last_value / cume_dist in one pass
     "user_event_context",
+    # round-5 X5: regr_slope / regr_intercept / regr_r2 over exact int sums
+    "quantity_discount_regression",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

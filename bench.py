@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "lineitem_unpivot",
     "top_words_sketch",
     "user_event_context",
+    "quantity_discount_regression",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

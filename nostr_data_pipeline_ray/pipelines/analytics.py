@@ -2044,6 +2044,76 @@ def q_quantity_discount_corr(sf_dir: str):
     return grouped.map_batches(derive, batch_format="pandas")
 
 
+def q_quantity_discount_regression(sf_dir: str):
+    """X5 — linear-regression aggregates: regr_slope / regr_intercept /
+    regr_r2 of discount-cents on quantity per returnflag. The same five
+    exact integer sums as the correlation query; slope =
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) with both terms exact, intercept
+    derived as (Σy − slope·Σx)/n in the same operation order on both
+    sides, r² = corr². Degenerate groups (zero x-variance) yield NULL via
+    the same CASE guard."""
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
+        y = _round_away(batch["l_discount"].to_numpy() * 100.0, 0).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "x": x, "y": y, "xy": x * y, "x2": x * x, "y2": y * y,
+            }
+        )
+
+    grouped = bucketed_sum_count(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]).map_batches(
+            add_cols, batch_format="pandas"
+        ),
+        keys=["l_returnflag"],
+        sums={"x": "_sx", "y": "_sy", "xy": "_sxy", "x2": "_sx2", "y2": "_sy2"},
+        count_as="n_rows",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        n = _obj_ints(df["n_rows"])
+        sx, sy = _obj_ints(df["_sx"]), _obj_ints(df["_sy"])
+        sxy, sx2, sy2 = _obj_ints(df["_sxy"]), _obj_ints(df["_sx2"]), _obj_ints(df["_sy2"])
+        num = n * sxy - sx * sy
+        dena, denb = n * sx2 - sx * sx, n * sy2 - sy * sy
+        oka = (dena > 0).to_numpy(dtype=bool)
+        okb = ((dena > 0) & (denb > 0)).to_numpy(dtype=bool)
+        slope = np.where(
+            oka,
+            num.astype("float64") / dena.replace(0, 1).astype("float64"),
+            np.nan,
+        )
+        intercept = np.where(
+            oka,
+            (sy.astype("float64") - slope * sx.astype("float64"))
+            / n.astype("float64"),
+            np.nan,
+        )
+        corr = np.where(
+            okb,
+            num.astype("float64")
+            / (
+                np.sqrt(dena.replace(0, 1).astype("float64"))
+                * np.sqrt(denb.replace(0, 1).astype("float64"))
+            ),
+            np.nan,
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n_rows": df["n_rows"],
+                "slope": _round_away(slope, 6),
+                "intercept": _round_away(intercept, 6),
+                "r2": _round_away(corr * corr, 6),
+            }
+        )
+
+    return grouped.map_batches(derive, batch_format="pandas")
+
+
 def q_quantity_mode(sf_dir: str):
     """X3 — grouped mode (most frequent l_quantity per returnflag, ties to
     the smallest value). Two-phase count by (group, value) map-side — the
@@ -2349,6 +2419,43 @@ ORACLE: dict[str, str] = {
                             * sqrt(CAST(denb AS DOUBLE))), 6)
                END AS corr_qd
         FROM d
+    """,
+    "quantity_discount_regression": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(CAST(l_quantity AS BIGINT)) AS sx,
+                   sum(CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS sy,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS sxy,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS sx2,
+                   sum(CAST(round(l_discount * 100.0, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS sy2
+            FROM lineitem GROUP BY 1
+        ), d AS (
+            SELECT l_returnflag, n_rows, sx, sy,
+                   n_rows * sxy - sx * sy AS num,
+                   n_rows * sx2 - sx * sx AS dena,
+                   n_rows * sy2 - sy * sy AS denb
+            FROM b
+        ), f AS (
+            SELECT l_returnflag, n_rows, sx, sy, dena, denb,
+                   CASE WHEN dena > 0 THEN
+                       CAST(num AS DOUBLE) / CAST(dena AS DOUBLE)
+                   END AS slope_raw,
+                   CASE WHEN dena > 0 AND denb > 0 THEN
+                       CAST(num AS DOUBLE)
+                       / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE)))
+                   END AS corr_raw
+            FROM d
+        )
+        SELECT l_returnflag, n_rows,
+               round(slope_raw, 6) AS slope,
+               round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+                     / CAST(n_rows AS DOUBLE), 6) AS intercept,
+               round(corr_raw * corr_raw, 6) AS r2
+        FROM f
     """,
     "quantity_mode": """
         WITH c AS (

@@ -346,7 +346,7 @@ _WINDOW_QUERIES = (
     "user_event_path", "user_sessions",
     # statistical aggregates share the same bucket-co-location contract
     "quantity_moments", "quantity_discount_corr", "quantity_mode",
-    "order_price_ntile", "user_event_context",
+    "order_price_ntile", "user_event_context", "quantity_discount_regression",
 )
 
 

@@ -425,3 +425,37 @@ def test_exact_int_moment_formula_matches_duckdb_builtins(seed, n):
     else:
         assert corr == pytest.approx(want[2], rel=1e-9)
     assert cov == pytest.approx(want[3], rel=1e-9)
+
+
+@given(seed=st.integers(0, 2**31), n=st.integers(min_value=2, max_value=400))
+@settings(max_examples=30, deadline=None)
+def test_exact_int_regression_formula_matches_duckdb_builtins(seed, n):
+    """slope/intercept/r² from the exact integer sums must agree with
+    DuckDB's native regr_slope/regr_intercept/regr_r2 to fp precision."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 100, n)
+    y = x * 3 + rng.integers(0, 50, n)
+    df = pd.DataFrame({"x": x, "y": y})
+    want = (
+        duckdb.connect()
+        .execute("SELECT regr_slope(y, x), regr_intercept(y, x), regr_r2(y, x) FROM df")
+        .fetchone()
+    )
+
+    N, sx, sy = int(n), int(x.sum()), int(y.sum())
+    sx2 = int((x.astype(object) * x.astype(object)).sum())
+    sy2 = int((y.astype(object) * y.astype(object)).sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    num, dena, denb = N * sxy - sx * sy, N * sx2 - sx * sx, N * sy2 - sy * sy
+    if dena == 0:
+        assert want[0] is None
+        return
+    slope = float(num) / float(dena)
+    intercept = (float(sy) - slope * float(sx)) / float(N)
+    assert slope == pytest.approx(want[0], rel=1e-9)
+    assert intercept == pytest.approx(want[1], rel=1e-9, abs=1e-9)
+    if denb > 0:
+        corr = float(num) / (np.sqrt(float(dena)) * np.sqrt(float(denb)))
+        assert corr * corr == pytest.approx(want[2], rel=1e-9)
