@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "top_words_sketch",
     "user_event_context",
     "quantity_discount_regression",
+    "median_price_per_brand_tdigest",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

@@ -640,6 +640,54 @@ def q_median_price_per_brand(sf_dir: str):
     )
 
 
+def q_median_price_per_brand_tdigest(sf_dir: str, delta: int = 200):
+    """A4 scale path, GROUPED — per-group quantiles via mergeable t-digests
+    (rows-only: approximate by construction; accuracy pinned by
+    test_sketches.py against the exact grouped median above). The exact
+    `median_price_per_brand` needs every group's rows co-located and
+    sorted; this one ships a bounded digest per (brand, batch) map-side,
+    merges digests per brand inside the bucketed exchange, and derives the
+    quantiles in-bucket — the exchange moves O(brands × batches × δ)
+    floats regardless of row count, and the driver never sees data. This
+    is the shape grouped percentiles take at 10^10 rows."""
+    from ..stages.sketches import TDigest
+
+    td = TDigest(delta)
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for brand, g in batch.groupby("p_brand", sort=False):  # O(#brands)
+            m, w = td.from_values(g["p_retailprice"].to_numpy())
+            rows.append({"p_brand": brand, "means": m.tolist(),
+                         "weights": w.tolist()})
+        return pd.DataFrame(rows)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for brand, g in bucket.groupby("p_brand", sort=False):
+            m, w = td.merge(
+                [(np.asarray(r), np.asarray(s))
+                 for r, s in zip(g["means"], g["weights"])]
+            )
+            out.append(
+                {
+                    "p_brand": brand,
+                    "p25": TDigest.quantile(m, w, 0.25),
+                    "median": TDigest.quantile(m, w, 0.5),
+                    "p75": TDigest.quantile(m, w, 0.75),
+                    "n_parts": int(w.sum()),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return bucketed_map_groups(
+        _read(sf_dir, "part", columns=["p_brand", "p_retailprice"]),
+        keys=["p_brand"],
+        fn=merge,
+        pre=sketch,
+    )
+
+
 # ---------------------------------------------------------------------------
 # K4 — per-group top-k (reference: analytics/query.py:157-163)
 # ---------------------------------------------------------------------------

@@ -163,3 +163,23 @@ def test_top_words_sketch_exact_when_vocab_fits():
     assert got["est_count"].tolist() == exact.head(10).tolist()
     # ties inside the exact head can permute names; compare count-sets
     assert set(got["word"]) <= set(exact[exact >= exact.iloc[9]].index)
+
+
+def test_grouped_tdigest_matches_exact_grouped_median():
+    """The grouped t-digest scale path must land within 2% of every
+    brand's exact median at sf0.01 and report exact group counts."""
+    from nostr_data_pipeline_ray.pipelines.analytics import (
+        q_median_price_per_brand,
+        q_median_price_per_brand_tdigest,
+    )
+
+    exact = q_median_price_per_brand(SF_DIR).to_pandas().set_index("p_brand")
+    approx = (
+        q_median_price_per_brand_tdigest(SF_DIR).to_pandas().set_index("p_brand")
+    )
+    assert set(approx.index) == set(exact.index)
+    for brand in exact.index:
+        e, a = exact.loc[brand], approx.loc[brand]
+        assert a["n_parts"] == e["n_parts"], brand  # weights are exact counts
+        assert abs(a["median"] - e["median_price"]) <= 0.02 * e["median_price"], brand
+        assert a["p25"] <= a["median"] <= a["p75"], brand
