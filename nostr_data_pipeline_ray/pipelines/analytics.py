@@ -660,7 +660,9 @@ def q_median_price_per_brand_tdigest(sf_dir: str, delta: int = 200):
             m, w = td.from_values(g["p_retailprice"].to_numpy())
             rows.append({"p_brand": brand, "means": m.tolist(),
                          "weights": w.tolist()})
-        return pd.DataFrame(rows)
+        # explicit columns: an empty batch must not emit a schema-less
+        # block (the bucketing stage indexes the key column)
+        return pd.DataFrame(rows, columns=["p_brand", "means", "weights"])
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -1185,7 +1187,8 @@ def q_approx_distinct_users(sf_dir: str, p: int = 12):
             rows.append(
                 {"event_type": etype, "regs": hll.registers(g["user_id"].to_numpy())}
             )
-        return pd.DataFrame(rows)
+        # explicit columns: an empty batch must not emit a schema-less block
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -2027,14 +2030,11 @@ def q_quantity_moments(sf_dir: str):
     return grouped.map_batches(derive, batch_format="pandas")
 
 
-def q_quantity_discount_corr(sf_dir: str):
-    """X2 — Pearson correlation + sample covariance of quantity vs
-    discount-cents per returnflag. Five integer sums (Σx, Σy, Σxy, Σx²,
-    Σy²) ride one exchange; corr = (n·Σxy − ΣxΣy) /
-    (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) with exact integer inner terms,
-    each cast to DOUBLE once — sqrt is correctly-rounded IEEE, so both
-    engines produce the same doubles. Zero-variance groups yield NULL,
-    guarded identically in the oracle's CASE."""
+def _quantity_discount_sums(sf_dir: str):
+    """Shared X2/X5 pipeline: the grouped five-integer-sum exchange
+    (Σx, Σy, Σxy, Σx², Σy² + count) of quantity vs discount-cents per
+    returnflag — correlation and regression differ only in the O(#groups)
+    float derivation at the edge."""
 
     def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
         x = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
@@ -2048,7 +2048,7 @@ def q_quantity_discount_corr(sf_dir: str):
             }
         )
 
-    grouped = bucketed_sum_count(
+    return bucketed_sum_count(
         _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]).map_batches(
             add_cols, batch_format="pandas"
         ),
@@ -2057,6 +2057,17 @@ def q_quantity_discount_corr(sf_dir: str):
         count_as="n_rows",
         input_bytes=_tbytes(sf_dir, "lineitem"),
     )
+
+
+def q_quantity_discount_corr(sf_dir: str):
+    """X2 — Pearson correlation + sample covariance of quantity vs
+    discount-cents per returnflag. Five integer sums (Σx, Σy, Σxy, Σx²,
+    Σy²) ride one exchange; corr = (n·Σxy − ΣxΣy) /
+    (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) with exact integer inner terms,
+    each cast to DOUBLE once — sqrt is correctly-rounded IEEE, so both
+    engines produce the same doubles. Zero-variance groups yield NULL,
+    guarded identically in the oracle's CASE."""
+    grouped = _quantity_discount_sums(sf_dir)
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
         n = _obj_ints(df["n_rows"])
@@ -2098,28 +2109,11 @@ def q_quantity_discount_regression(sf_dir: str):
     exact integer sums as the correlation query; slope =
     (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) with both terms exact, intercept
     derived as (Σy − slope·Σx)/n in the same operation order on both
-    sides, r² = corr². Degenerate groups (zero x-variance) yield NULL via
-    the same CASE guard."""
-
-    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
-        x = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
-        y = _round_away(batch["l_discount"].to_numpy() * 100.0, 0).astype("int64")
-        return pd.DataFrame(
-            {
-                "l_returnflag": batch["l_returnflag"].to_numpy(),
-                "x": x, "y": y, "xy": x * y, "x2": x * x, "y2": y * y,
-            }
-        )
-
-    grouped = bucketed_sum_count(
-        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]).map_batches(
-            add_cols, batch_format="pandas"
-        ),
-        keys=["l_returnflag"],
-        sums={"x": "_sx", "y": "_sy", "xy": "_sxy", "x2": "_sx2", "y2": "_sy2"},
-        count_as="n_rows",
-        input_bytes=_tbytes(sf_dir, "lineitem"),
-    )
+    sides, r² = corr². Degenerate groups follow the SQL-standard builtins
+    exactly (pinned by hypothesis against DuckDB's regr_*): zero
+    x-variance → all three NULL; zero y-variance with varying x → slope 0,
+    intercept ȳ, and r² = 1 (a constant fits itself perfectly)."""
+    grouped = _quantity_discount_sums(sf_dir)
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
         n = _obj_ints(df["n_rows"])
@@ -2149,13 +2143,17 @@ def q_quantity_discount_regression(sf_dir: str):
             ),
             np.nan,
         )
+        # DuckDB/SQL regr_r2 of a CONSTANT y over varying x is 1 (a
+        # constant fits itself perfectly), not NULL like corr
+        const_y = (oka & (denb == 0).to_numpy(dtype=bool))
+        r2 = np.where(const_y, 1.0, corr * corr)
         return pd.DataFrame(
             {
                 "l_returnflag": df["l_returnflag"],
                 "n_rows": df["n_rows"],
                 "slope": _round_away(slope, 6),
                 "intercept": _round_away(intercept, 6),
-                "r2": _round_away(corr * corr, 6),
+                "r2": _round_away(r2, 6),
             }
         )
 
@@ -2502,7 +2500,8 @@ ORACLE: dict[str, str] = {
                round(slope_raw, 6) AS slope,
                round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
                      / CAST(n_rows AS DOUBLE), 6) AS intercept,
-               round(corr_raw * corr_raw, 6) AS r2
+               round(CASE WHEN dena > 0 AND denb = 0 THEN 1.0
+                          ELSE corr_raw * corr_raw END, 6) AS r2
         FROM f
     """,
     "quantity_mode": """

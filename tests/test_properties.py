@@ -450,7 +450,8 @@ def test_exact_int_regression_formula_matches_duckdb_builtins(seed, n):
     sxy = int((x.astype(object) * y.astype(object)).sum())
     num, dena, denb = N * sxy - sx * sy, N * sx2 - sx * sx, N * sy2 - sy * sy
     if dena == 0:
-        assert want[0] is None
+        # constant x: all three regr_* are NULL (pin all, not just slope)
+        assert want[0] is None and want[1] is None and want[2] is None
         return
     slope = float(num) / float(dena)
     intercept = (float(sy) - slope * float(sx)) / float(N)
@@ -459,3 +460,53 @@ def test_exact_int_regression_formula_matches_duckdb_builtins(seed, n):
     if denb > 0:
         corr = float(num) / (np.sqrt(float(dena)) * np.sqrt(float(denb)))
         assert corr * corr == pytest.approx(want[2], rel=1e-9)
+    else:
+        assert want[2] == 1.0  # constant y over varying x: r² is 1, not NULL
+
+
+def test_regression_degenerate_groups_match_duckdb():
+    """The two degenerate branches the random generator essentially never
+    hits: constant y over varying x (slope 0, intercept ȳ, r² = 1) and
+    constant x (all NULL) — pinned explicitly against DuckDB's regr_*."""
+    import duckdb
+
+    df = pd.DataFrame({"x": [1, 2, 3, 4], "y": [5, 5, 5, 5]})
+    want = (
+        duckdb.connect()
+        .execute("SELECT regr_slope(y, x), regr_intercept(y, x), regr_r2(y, x) FROM df")
+        .fetchone()
+    )
+    assert want == (0.0, 5.0, 1.0)
+
+    df = pd.DataFrame({"x": [7, 7, 7], "y": [1, 2, 3]})
+    want = (
+        duckdb.connect()
+        .execute("SELECT regr_slope(y, x), regr_intercept(y, x), regr_r2(y, x) FROM df")
+        .fetchone()
+    )
+    assert want == (None, None, None)
+
+    # and the ENGINE's derive produces the same shape on a planted table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {
+                "l_returnflag": pa.array(["A"] * 4 + ["B"] * 3, pa.string()),
+                "l_quantity": pa.array([1.0, 2, 3, 4] + [7.0, 7, 7], pa.float64()),
+                "l_discount": pa.array([0.05] * 4 + [0.01, 0.02, 0.03], pa.float64()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        got = (
+            an.q_quantity_discount_regression(d)
+            .to_pandas()
+            .set_index("l_returnflag")
+        )
+        a, b = got.loc["A"], got.loc["B"]
+        assert (a["slope"], a["intercept"], a["r2"]) == (0.0, 5.0, 1.0)
+        assert pd.isna(b["slope"]) and pd.isna(b["intercept"]) and pd.isna(b["r2"])

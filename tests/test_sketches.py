@@ -165,14 +165,26 @@ def test_top_words_sketch_exact_when_vocab_fits():
     assert set(got["word"]) <= set(exact[exact >= exact.iloc[9]].index)
 
 
-def test_grouped_tdigest_matches_exact_grouped_median():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("forced_distributed", [False, True])
+def test_grouped_tdigest_matches_exact_grouped_median(
+    forced_distributed, monkeypatch
+):
     """The grouped t-digest scale path must land within 2% of every
-    brand's exact median at sf0.01 and report exact group counts."""
+    brand's exact median at sf0.01 and report exact group counts — on
+    BOTH the single-task local path and the forced bucketed exchange
+    (list-columned sketch frames through the shuffle)."""
     from nostr_data_pipeline_ray.pipelines.analytics import (
         q_median_price_per_brand,
         q_median_price_per_brand_tdigest,
     )
 
+    if forced_distributed:
+        from nostr_data_pipeline_ray.stages import shuffle as sh
+
+        monkeypatch.setattr(sh, "LOCAL_MAX_INPUT_BYTES", 0)
     exact = q_median_price_per_brand(SF_DIR).to_pandas().set_index("p_brand")
     approx = (
         q_median_price_per_brand_tdigest(SF_DIR).to_pandas().set_index("p_brand")
