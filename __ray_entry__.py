@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["top_words_sketch"] = _an.q_top_words_sketch  # rows-only: Misra-Gries
     # rows-only: grouped t-digest (per-group quantile scale path)
     qs["median_price_per_brand_tdigest"] = _an.q_median_price_per_brand_tdigest
+    # rows-only: grouped Misra-Gries (per-group heavy hitters)
+    qs["top_words_per_source_sketch"] = _an.q_top_words_per_source_sketch
     qs["changelog_filter"] = _flag.q_changelog_filter
     qs["lake_stats"] = _flag.q_lake_stats  # rows-only: wall-clock metrics
     qs["lake_health"] = _flag.q_lake_health  # rows-only: F4 over lineage

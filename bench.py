@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "user_event_context",
     "quantity_discount_regression",
     "median_price_per_brand_tdigest",
+    "top_words_per_source_sketch",
     "ann_topk_ivf_index",
     "incremental_curation",
     # steady-state per-epoch cost: bootstrap fixture memoized per process,

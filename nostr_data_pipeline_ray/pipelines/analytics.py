@@ -2336,6 +2336,76 @@ def q_top_words_sketch(sf_dir: str, k: int = 4096, topn: int = 20):
     )
 
 
+def q_top_words_per_source_sketch(sf_dir: str, k: int = 1024, topn: int = 5):
+    """GROUPED heavy hitters — Misra-Gries per source (the per-group twin
+    of `top_words_sketch`, completing the grouped-sketch symmetry: HLL has
+    `approx_distinct_users`, t-digest has `median_price_per_brand_tdigest`).
+    Per batch each source's exact counts collapse to a ≤k-pair summary, the
+    bucketed exchange on source moves O(sources × batches × k) pairs, and
+    the per-source decrement-truncate + top-n runs inside the bucket —
+    the per-source undercount bound is n_source/(k+1)."""
+    from ..stages.sketches import MisraGries
+
+    mg = MisraGries(k)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(flat)
+        return pa.table(
+            {
+                "source": batch["source"].take(parents),
+                "word": pc.list_flatten(flat),
+            }
+        )
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in batch.groupby("source", sort=False):  # O(#sources)
+            items, counts = np.unique(g["word"].to_numpy(), return_counts=True)
+            items, counts = mg.summarize(items, counts)
+            rows.append(
+                pd.DataFrame({"source": src, "word": items, "cnt": counts})
+            )
+        if not rows:
+            return pd.DataFrame({"source": [], "word": [], "cnt": []})
+        return pd.concat(rows, ignore_index=True)
+
+    def per_source(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        merged = (
+            bucket.groupby(["source", "word"], sort=False)["cnt"].sum().reset_index()
+        )
+        for src, g in merged.groupby("source", sort=False):
+            items, counts = mg.truncate(g["word"].to_numpy(), g["cnt"].to_numpy())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "source": src,
+                        "word": items[:topn],
+                        "est_count": counts[:topn].astype("int64"),
+                        "rank": np.arange(
+                            1, min(topn, len(items)) + 1, dtype="int64"
+                        ),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"source": [], "word": [], "est_count": [], "rank": []}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(
+        _read(sf_dir, "documents", columns=["text", "source"])
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(summarize, batch_format="pandas"),
+        keys=["source"],
+        fn=per_source,
+        input_bytes=_tbytes(sf_dir, "documents"),
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)

@@ -195,3 +195,38 @@ def test_grouped_tdigest_matches_exact_grouped_median(
         assert a["n_parts"] == e["n_parts"], brand  # weights are exact counts
         assert abs(a["median"] - e["median_price"]) <= 0.02 * e["median_price"], brand
         assert a["p25"] <= a["median"] <= a["p75"], brand
+
+
+@_pytest.mark.parametrize("forced_distributed", [False, True])
+def test_grouped_heavy_hitters_exact_when_vocab_fits(
+    forced_distributed, monkeypatch
+):
+    """With capacity ≥ per-source vocabulary no decrement fires, so the
+    grouped sketch's per-source top-n must exactly match brute-force
+    counts — on both the local and the forced bucketed-exchange path."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from nostr_data_pipeline_ray.pipelines.analytics import (
+        q_top_words_per_source_sketch,
+    )
+
+    if forced_distributed:
+        from nostr_data_pipeline_ray.stages import shuffle as sh
+
+        monkeypatch.setattr(sh, "LOCAL_MAX_INPUT_BYTES", 0)
+    sf = "/root/testdata/sf0.001"
+    got = q_top_words_per_source_sketch(sf, k=1_000_000, topn=3).to_pandas()
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["text", "source"])
+    flat = pc.split_pattern(t["text"], " ").combine_chunks()
+    parents = pc.list_parent_indices(flat)
+    df = pd.DataFrame(
+        {
+            "source": t["source"].take(parents).to_pandas(),
+            "word": pc.list_flatten(flat).to_pandas(),
+        }
+    )
+    for src, g in got.groupby("source"):
+        exact = df[df["source"] == src]["word"].value_counts()
+        assert g.sort_values("rank")["est_count"].tolist() == exact.head(3).tolist(), src
