@@ -59,6 +59,20 @@ def _tbytes(sf_dir: str, table: str) -> int:
 from ..functions.rounding import round_away as _round_away  # shared contract
 
 
+def _explode_words(batch: pa.Table, carry: list[str]) -> pa.Table:
+    """Whitespace-tokenize ``text`` into one row per word, carrying the
+    ``carry`` columns via parent indices. The combine_chunks BEFORE
+    list_parent_indices is load-bearing: on a ChunkedArray the parent
+    indices are per-chunk-relative and misalign the carried columns."""
+    words = pc.split_pattern(batch["text"], " ")
+    flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    parents = pc.list_parent_indices(flat)
+    cols = {"word": pc.list_flatten(flat)}
+    for c in carry:
+        cols[c] = batch[c].take(parents)
+    return pa.table(cols)
+
+
 def _same_as_prev(arr: np.ndarray) -> np.ndarray:
     """Exact neighbor equality (row i vs i−1; row 0 False). The pandas
     idiom eq(shift(1)) upcasts int64 to float64 to hold the NaN hole, so
@@ -140,16 +154,7 @@ def q_search_documents(sf_dir: str):
 
 def q_trending_words(sf_dir: str):
     def explode(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ")
-        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
-        parents = pc.list_parent_indices(flat)
-        return pa.table(
-            {
-                "word": pc.list_flatten(flat),
-                "source": batch["source"].take(parents),
-                "doc_id": batch["doc_id"].take(parents),
-            }
-        )
+        return _explode_words(batch, ["source", "doc_id"])
 
     # two-phase: per-batch (word, source) partial counts map-side, then one
     # bucketed shuffle keyed on word computes total mentions + distinct
@@ -2304,8 +2309,7 @@ def q_top_words_sketch(sf_dir: str, k: int = 4096, topn: int = 20):
     mg = MisraGries(k)
 
     def explode(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ")
-        return pa.table({"word": pc.list_flatten(words)})
+        return _explode_words(batch, [])
 
     def summarize(batch: pd.DataFrame) -> pd.DataFrame:
         items, counts = np.unique(batch["word"].to_numpy(), return_counts=True)
@@ -2349,15 +2353,15 @@ def q_top_words_per_source_sketch(sf_dir: str, k: int = 1024, topn: int = 5):
     mg = MisraGries(k)
 
     def explode(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ")
-        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
-        parents = pc.list_parent_indices(flat)
-        return pa.table(
-            {
-                "source": batch["source"].take(parents),
-                "word": pc.list_flatten(flat),
-            }
-        )
+        return _explode_words(batch, ["source"])
+
+    _EMPTY_SUMMARY = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype=object),
+            "word": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype="int64"),
+        }
+    )
 
     def summarize(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -2367,8 +2371,8 @@ def q_top_words_per_source_sketch(sf_dir: str, k: int = 1024, topn: int = 5):
             rows.append(
                 pd.DataFrame({"source": src, "word": items, "cnt": counts})
             )
-        if not rows:
-            return pd.DataFrame({"source": [], "word": [], "cnt": []})
+        if not rows:  # dtype-pinned: an empty block must keep the schema
+            return _EMPTY_SUMMARY
         return pd.concat(rows, ignore_index=True)
 
     def per_source(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -2390,9 +2394,14 @@ def q_top_words_per_source_sketch(sf_dir: str, k: int = 1024, topn: int = 5):
                     }
                 )
             )
-        if not out:
+        if not out:  # dtype-pinned empty (see summarize)
             return pd.DataFrame(
-                {"source": [], "word": [], "est_count": [], "rank": []}
+                {
+                    "source": pd.Series([], dtype=object),
+                    "word": pd.Series([], dtype=object),
+                    "est_count": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
             )
         return pd.concat(out, ignore_index=True)
 

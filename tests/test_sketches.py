@@ -227,6 +227,12 @@ def test_grouped_heavy_hitters_exact_when_vocab_fits(
             "word": pc.list_flatten(flat).to_pandas(),
         }
     )
+    # every source must be present (a dropped bucket would otherwise make
+    # the per-source loop below pass vacuously) and fully ranked
+    assert set(got["source"]) == set(df["source"].unique())
     for src, g in got.groupby("source"):
         exact = df[df["source"] == src]["word"].value_counts()
         assert g.sort_values("rank")["est_count"].tolist() == exact.head(3).tolist(), src
+        top = g.sort_values("rank")["word"].tolist()
+        # words must come from the ties-allowed exact head
+        assert set(top) <= set(exact[exact >= exact.iloc[2]].index), src
