@@ -164,6 +164,8 @@ _SNAPSHOT_HEAD = [
     "user_event_context",
     # round-5 X5: regr_slope / regr_intercept / regr_r2 over exact int sums
     "quantity_discount_regression",
+    # round-5 G1b: full CUBE via the same hierarchical partial-sum reuse
+    "activity_cube",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     # partial-sum reuse, INTERSECT/EXCEPT as per-user flags, fixed-dispatch
     # pivot — each one scan + one integer-sum exchange
     "activity_rollup",
+    "activity_cube",
     "user_type_set_ops",
     "daily_type_pivot",
     "user_event_path",

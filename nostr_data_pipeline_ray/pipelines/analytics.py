@@ -1879,6 +1879,99 @@ def q_activity_rollup(sf_dir: str):
     )
 
 
+def q_activity_cube(sf_dir: str):
+    """G1b — full CUBE(event_type, day): all four grouping sets. Same
+    hierarchical-reuse plan as the ROLLUP — the raw table is scanned once
+    into the (event_type, day) base aggregate; every coarser level
+    re-aggregates the base's O(types × days) partial sums, which is
+    bounded by dimensional cardinality (not corpus size), so the level
+    derivation runs in one task over bounded rows. Value sums stay raw
+    through every level and round once at the edge."""
+    from ..stages.shuffle import table_rows
+
+    if table_rows(_t(sf_dir, "events")) == 0:  # one grand-total row (SQL)
+        return pd.DataFrame(
+            {
+                "event_type": pd.array([None], dtype=object),
+                "day": np.array(["NaT"], dtype="datetime64[us]"),
+                "n_events": np.array([0], dtype="int64"),
+                "total_value": [np.nan],
+            }
+        )
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["day"] = (
+            batch["ts"].to_numpy(dtype="datetime64[D]").astype("datetime64[us]")
+        )
+        return batch[["event_type", "day", "value"]]
+
+    base = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
+            add_day, batch_format="pandas"
+        ),
+        keys=["event_type", "day"],
+        sums={"value": "_sv"},
+        count_as="n_events",
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        tp = (
+            df.groupby("event_type", sort=False)
+            .agg(n_events=("n_events", "sum"), _sv=("_sv", "sum"))
+            .reset_index()
+        )
+        dy = (
+            df.groupby("day", sort=False)
+            .agg(n_events=("n_events", "sum"), _sv=("_sv", "sum"))
+            .reset_index()
+        )
+        nat = np.datetime64("NaT", "us")
+        out = pd.DataFrame(
+            {
+                "event_type": np.concatenate(
+                    [
+                        df["event_type"].to_numpy(),
+                        tp["event_type"].to_numpy(),
+                        np.full(len(dy), None, dtype=object),
+                        np.array([None], dtype=object),
+                    ]
+                ),
+                "day": np.concatenate(
+                    [
+                        df["day"].to_numpy(dtype="datetime64[us]"),
+                        np.full(len(tp), nat),
+                        dy["day"].to_numpy(dtype="datetime64[us]"),
+                        np.array([nat]),
+                    ]
+                ),
+                "n_events": np.concatenate(
+                    [
+                        df["n_events"].to_numpy(),
+                        tp["n_events"].to_numpy(),
+                        dy["n_events"].to_numpy(),
+                        [df["n_events"].sum()],
+                    ]
+                ).astype("int64"),
+                "_sv": np.concatenate(
+                    [
+                        df["_sv"].to_numpy(),
+                        tp["_sv"].to_numpy(),
+                        dy["_sv"].to_numpy(),
+                        [float(df["_sv"].sum())],
+                    ]
+                ),
+            }
+        )
+        out["total_value"] = _round_away(out["_sv"].to_numpy(dtype="float64"), 2)
+        return out[["event_type", "day", "n_events", "total_value"]]
+
+    return base.repartition(1).map_batches(
+        levels, batch_format="pandas", batch_size=None
+    )
+
+
 def q_user_type_set_ops(sf_dir: str):
     """G2 — set algebra: INTERSECT / EXCEPT over the distinct-user sets of
     two event types, labelled 'both' / 'purchase_only' / 'signup_only'
@@ -2471,6 +2564,14 @@ ORACLE: dict[str, str] = {
         SELECT event_type, day, count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM e GROUP BY ROLLUP(event_type, day)
+    """,
+    "activity_cube": """
+        WITH e AS (
+            SELECT event_type, date_trunc('day', ts) AS day, value FROM events
+        )
+        SELECT event_type, day, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM e GROUP BY CUBE(event_type, day)
     """,
     "user_type_set_ops": """
         WITH p AS (SELECT DISTINCT user_id FROM events

@@ -342,7 +342,7 @@ _WINDOW_QUERIES = (
     "event_gaps", "rolling_daily_events", "cumulative_revenue",
     "order_price_ranks",
     # grouping-sets family shares the same bucket-co-location contract
-    "activity_rollup", "user_type_set_ops", "daily_type_pivot",
+    "activity_rollup", "activity_cube", "user_type_set_ops", "daily_type_pivot",
     "user_event_path", "user_sessions",
     # statistical aggregates share the same bucket-co-location contract
     "quantity_moments", "quantity_discount_corr", "quantity_mode",
