@@ -102,6 +102,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_pub.QUERIES)  # rows-only: publish-back round-trip (S6)
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.shards as _sh
+
+        qs.update(_sh.QUERIES)  # seeded shuffle → training shards (oracle)
+    except ImportError:
+        pass
     return _snapshot_order(qs)
 
 
@@ -113,7 +119,7 @@ def _oracle_keys() -> set:
         "changelog_filter", "conv_turn_counts", "conv_turn_counts_ivm",
         "ann_topk_ivf_index",
     }
-    for mod in ("dedup", "curate", "textops"):
+    for mod in ("dedup", "curate", "textops", "shards"):
         try:
             m = __import__(
                 f"nostr_data_pipeline_ray.pipelines.{mod}", fromlist=["ORACLE"]
@@ -166,6 +172,8 @@ _SNAPSHOT_HEAD = [
     "quantity_discount_regression",
     # round-5 G1b: full CUBE via the same hierarchical partial-sum reuse
     "activity_cube",
+    # round-5: deterministic seeded shuffle → fixed training shards
+    "shuffled_shards",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)
@@ -219,6 +227,12 @@ def oracle_sql() -> dict[str, str]:
         import nostr_data_pipeline_ray.pipelines.textops as _tx
 
         out.update(_tx.ORACLE)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.shards as _sh
+
+        out.update(_sh.ORACLE)
     except ImportError:
         pass
     # the persisted IVF index answers with an exhaustive probe, so its

@@ -1,0 +1,191 @@
+"""Deterministic seeded global shuffle into fixed training shards.
+
+The last step of a training-data pipeline: after curation the corpus is
+globally shuffled (so each training shard is an unbiased sample and
+epoch order is decorrelated from ingest order) and written as a FIXED
+number of shards a data loader can stream. Two requirements drive the
+design:
+
+- **Deterministic + seeded.** The shuffle must be reproducible from
+  (corpus, seed) alone — re-running the pipeline, resuming a failed
+  write, or re-deriving "which shard holds doc X" must all agree.
+  ``ray.data.Dataset.random_shuffle`` is an all-to-all exchange whose
+  output order is not a pure function the oracle could re-derive, so the
+  engine instead uses the repo's bijective multiplicative hash
+  (stages/shuffle.py:id_hash) over ``doc_id + seed``: shard = h % n,
+  within-shard order = ascending h (a seeded pseudo-random permutation,
+  tie-broken by doc_id where ids exceed the 2^32 hash range). Exactly
+  reproducible as DuckDB HUGEINT arithmetic — the same SQL twin the
+  deterministic samplers use — so the full assignment carries an oracle.
+
+- **One exchange, resumable output.** Shard assignment is map-side; the
+  single bucketed exchange co-locates each shard in one task, which
+  sorts it and (in the writer) emits ONE parquet file per shard via
+  tmp-file + atomic rename. A re-run skips shards whose final file
+  exists — a failed run resumes by completing only missing shards
+  (the brief's "resumable output" requirement, same discipline as
+  cdc.py export_snapshot).
+
+At 100 TB: assignment is embarrassingly parallel; the exchange moves
+each row once; ``n_shards`` is the operator knob (thousands of shards →
+thousands of independent sort-and-write tasks, each ~corpus/n_shards in
+size). No driver-side state beyond the O(n_shards) manifest.
+
+Reference analog: the reference pipeline ends at an analytics store and
+has no training-shard emitter; this operator is part of the
+training-data extension set (SURVEY.md §2 extensions), like pack.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..stages.shuffle import bucketed_map_groups, id_hash, table_bytes
+
+# Defaults for the registered query: small-but-nontrivial shard count so
+# the sf fixtures exercise multi-shard assignment; the seed is part of
+# the oracle SQL, so both are baked into the registered query's identity.
+N_SHARDS = 16
+SEED = 7
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _with_assignment(batch: pd.DataFrame, n_shards: int, seed: int) -> pd.DataFrame:
+    """Map-side shard assignment: h is the seeded permutation key.
+
+    ``id_hash`` is bijective mod 2^32 (odd multiplier), so ``doc_id +
+    seed`` gives a distinct permutation per seed with zero collisions for
+    ids below 2^32; above that the (h, doc_id) sort key keeps the order
+    deterministic."""
+    ids = batch["doc_id"].to_numpy()
+    batch = batch.copy(deep=False)
+    batch["_h"] = id_hash(ids + np.int64(seed)).astype(np.int64)
+    batch["shard"] = (batch["_h"] % np.int64(n_shards)).astype(np.int64)
+    return batch
+
+
+def _order_within_shards(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket kernel: all rows of any shard are co-located, so the
+    within-shard position is a sort + cumcount (vectorized; mergesort for
+    a stable, fully-deterministic order on the (h, doc_id) key)."""
+    g = g.sort_values(["_h", "doc_id"], kind="mergesort")
+    g["pos"] = g.groupby("shard", sort=False).cumcount().astype(np.int64)
+    return g.drop(columns=["_h"])
+
+
+def shuffled_shards(
+    sf_dir: str,
+    n_shards: int = N_SHARDS,
+    seed: int = SEED,
+    num_buckets: int | None = None,
+):
+    """The assignment view: (doc_id, shard, pos) for every document."""
+    path = _t(sf_dir, "documents")
+    ds = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        lambda b: _with_assignment(b, n_shards, seed), batch_format="pandas"
+    )
+    return bucketed_map_groups(
+        ds,
+        keys=["shard"],
+        fn=lambda g: _order_within_shards(g)[["doc_id", "shard", "pos"]],
+        num_buckets=num_buckets,
+        input_bytes=table_bytes(path),
+    )
+
+
+def q_shuffled_shards(sf_dir: str):
+    return shuffled_shards(sf_dir)
+
+
+_SHUFFLED_SHARDS_SQL = f"""
+WITH h AS (
+    SELECT doc_id,
+           CAST(((doc_id + {SEED})::HUGEINT * 2654435761) % 4294967296
+                AS BIGINT) AS hv
+    FROM documents
+)
+SELECT doc_id,
+       hv % {N_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {N_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) - 1 AS pos
+FROM h
+"""
+
+
+def write_shards(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+    seed: int = SEED,
+    columns: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Materialize the shuffled corpus as ``n_shards`` parquet files.
+
+    Exactly-once per shard: each shard is written to ``<final>.tmp`` then
+    atomically renamed; a shard whose final file already exists is
+    skipped untouched (``skipped=True`` in the manifest), so a partially
+    failed run resumes by completing only the missing shards. The
+    bucketed exchange co-locates each shard in exactly one task, so no
+    two tasks ever race on a shard's final name (a retried task re-checks
+    existence and the rename is atomic either way).
+
+    Returns the manifest — O(n_shards) rows, the only driver-side
+    collection."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = _t(sf_dir, "documents")
+    cols = ["doc_id"] + [c for c in (columns or ["text"]) if c != "doc_id"]
+    ds = rd.read_parquet(path, columns=cols).map_batches(
+        lambda b: _with_assignment(b, n_shards, seed), batch_format="pandas"
+    )
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        g = _order_within_shards(g)
+        rows = []
+        for shard_id, part in g.groupby("shard", sort=True):
+            final = os.path.join(out_dir, f"shard-{int(shard_id):05d}.parquet")
+            if os.path.exists(final):
+                rows.append((int(shard_id), len(part), final, True))
+                continue
+            tmp = final + ".tmp"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part.reset_index(drop=True), preserve_index=False
+                ),
+                tmp,
+            )
+            os.replace(tmp, final)
+            rows.append((int(shard_id), len(part), final, False))
+        return pd.DataFrame(
+            rows, columns=["shard", "n_docs", "path", "skipped"]
+        )
+
+    manifest = bucketed_map_groups(
+        ds,
+        keys=["shard"],
+        fn=write_bucket,
+        num_buckets=num_buckets,
+        input_bytes=table_bytes(path),
+    )
+    # O(n_shards) rows — bounded driver collection by construction
+    out = manifest.to_pandas()
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+QUERIES = {
+    "shuffled_shards": q_shuffled_shards,
+}
+ORACLE = {
+    "shuffled_shards": _SHUFFLED_SHARDS_SQL,
+}
