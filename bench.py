@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     # its steady-state per-epoch cost (fixture memoized, pure-ingest timing)
     "incremental_curation_embedding",
     "incremental_curation_embedding_epoch",
+    # round-5: seeded deterministic shuffle → fixed training shards
+    "shuffled_shards",
 ]
 
 
@@ -212,6 +214,7 @@ def run_bench() -> dict:
         from nostr_data_pipeline_ray.pipelines import curate_index as ci
         from nostr_data_pipeline_ray.pipelines import dedup_index as di
         from nostr_data_pipeline_ray.pipelines import pack as pk
+        from nostr_data_pipeline_ray.pipelines import shards as sh
         from nostr_data_pipeline_ray.pipelines import textops as tx
 
         # best-of-2 passes per query: this host's noise comes in multi-
@@ -228,6 +231,7 @@ def run_bench() -> dict:
                     or tx.QUERIES.get(name)
                     or ai.QUERIES.get(name)
                     or ci.QUERIES.get(name)
+                    or sh.QUERIES.get(name)
                     or pk.QUERIES[name]
                 )
                 t0 = time.time()
