@@ -108,6 +108,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_sh.QUERIES)  # seeded shuffle → training shards (oracle)
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.relevance as _rv
+
+        qs.update(_rv.QUERIES)  # TF-IDF top terms + BM25 ranking (oracle)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.fuzzy as _fz
+
+        qs.update(_fz.QUERIES)  # fuzzy dictionary match by edit distance
+    except ImportError:
+        pass
     return _snapshot_order(qs)
 
 
@@ -119,7 +131,7 @@ def _oracle_keys() -> set:
         "changelog_filter", "conv_turn_counts", "conv_turn_counts_ivm",
         "ann_topk_ivf_index",
     }
-    for mod in ("dedup", "curate", "textops", "shards"):
+    for mod in ("dedup", "curate", "textops", "shards", "relevance", "fuzzy"):
         try:
             m = __import__(
                 f"nostr_data_pipeline_ray.pipelines.{mod}", fromlist=["ORACLE"]
@@ -174,6 +186,10 @@ _SNAPSHOT_HEAD = [
     "activity_cube",
     # round-5: deterministic seeded shuffle → fixed training shards
     "shuffled_shards",
+    # round-5: relevance scoring (TF-IDF keyword extraction, BM25 top-20),
+    # fuzzy dictionary matching (vectorized Levenshtein), higher moments
+    "doc_tfidf_top_terms", "bm25_search", "fuzzy_part_match",
+    "quantity_skew_kurtosis",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)
@@ -233,6 +249,18 @@ def oracle_sql() -> dict[str, str]:
         import nostr_data_pipeline_ray.pipelines.shards as _sh
 
         out.update(_sh.ORACLE)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.relevance as _rv
+
+        out.update(_rv.ORACLE)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.fuzzy as _fz
+
+        out.update(_fz.ORACLE)
     except ImportError:
         pass
     # the persisted IVF index answers with an exhaustive probe, so its

@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "incremental_curation_embedding_epoch",
     # round-5: seeded deterministic shuffle → fixed training shards
     "shuffled_shards",
+    # round-5: relevance scoring + fuzzy dictionary match + higher moments
+    "doc_tfidf_top_terms",
+    "bm25_search",
+    "fuzzy_part_match",
+    "quantity_skew_kurtosis",
 ]
 
 
@@ -213,7 +218,9 @@ def run_bench() -> dict:
         from nostr_data_pipeline_ray.pipelines import ann_index as ai
         from nostr_data_pipeline_ray.pipelines import curate_index as ci
         from nostr_data_pipeline_ray.pipelines import dedup_index as di
+        from nostr_data_pipeline_ray.pipelines import fuzzy as fz
         from nostr_data_pipeline_ray.pipelines import pack as pk
+        from nostr_data_pipeline_ray.pipelines import relevance as rv
         from nostr_data_pipeline_ray.pipelines import shards as sh
         from nostr_data_pipeline_ray.pipelines import textops as tx
 
@@ -232,6 +239,8 @@ def run_bench() -> dict:
                     or ai.QUERIES.get(name)
                     or ci.QUERIES.get(name)
                     or sh.QUERIES.get(name)
+                    or rv.QUERIES.get(name)
+                    or fz.QUERIES.get(name)
                     or pk.QUERIES[name]
                 )
                 t0 = time.time()

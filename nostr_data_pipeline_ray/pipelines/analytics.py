@@ -2258,6 +2258,81 @@ def q_quantity_discount_regression(sf_dir: str):
     return grouped.map_batches(derive, batch_format="pandas")
 
 
+def q_quantity_skew_kurtosis(sf_dir: str):
+    """X6 — higher moments: adjusted Fisher-Pearson sample skewness and
+    sample excess kurtosis of l_quantity per returnflag (the two shape
+    statistics DuckDB's native ``skewness``/``kurtosis`` compute — the
+    formula is validated against those builtins by hypothesis in
+    tests/test_analytics_oracle.py). Four integer power sums (Σq..Σq⁴)
+    ride one exchange (q ≤ 50 ⇒ Σq⁴ fits int64 past 10^12 rows); the
+    scaled central moments A = n·S2 − S1², B = n²·S3 − 3n·S1·S2 + 2S1³,
+    C = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴ are exact object/HUGEINT
+    integers on both sides, and the float derivation — skew =
+    √(n(n−1))/(n−2) · B/(A·√A), kurt = ((n+1)·(C/A² − 3) + 6) ·
+    (n−1)/((n−2)(n−3)) — is mirrored operation-for-operation in the
+    oracle (only IEEE sqrt/div/mul after the exact part). Degenerate
+    groups (n < 3 / n < 4, zero variance) are NULL under the same CASE
+    guards on both sides."""
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
+        q2 = q * q
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "s1": q, "s2": q2, "s3": q2 * q, "s4": q2 * q2,
+            }
+        )
+
+    grouped = bucketed_sum_count(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"]).map_batches(
+            add_cols, batch_format="pandas"
+        ),
+        keys=["l_returnflag"],
+        sums={"s1": "_s1", "s2": "_s2", "s3": "_s3", "s4": "_s4"},
+        count_as="n_rows",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        n = _obj_ints(df["n_rows"])
+        s1, s2 = _obj_ints(df["_s1"]), _obj_ints(df["_s2"])
+        s3, s4 = _obj_ints(df["_s3"]), _obj_ints(df["_s4"])
+        a = n * s2 - s1 * s1
+        bb = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+        cc = (n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+        n_np = df["n_rows"].to_numpy(dtype="int64")
+        a_ok = (a > 0).to_numpy(dtype=bool)
+        a_d = a.where(a > 0, 1).astype("float64").to_numpy()
+        b_d, c_d = bb.astype("float64").to_numpy(), cc.astype("float64").to_numpy()
+        nn1_d = (n * (n - 1)).astype("float64").to_numpy()
+        skew = np.where(
+            (n_np >= 3) & a_ok,
+            np.sqrt(nn1_d) / np.maximum(n_np - 2, 1).astype("float64")
+            * (b_d / (a_d * np.sqrt(a_d))),
+            np.nan,
+        )
+        g2 = c_d / (a_d * a_d) - 3.0
+        nm2nm3 = np.maximum((n_np - 2) * (n_np - 3), 1).astype("float64")
+        kurt = np.where(
+            (n_np >= 4) & a_ok,
+            ((n_np + 1).astype("float64") * g2 + 6.0)
+            * ((n_np - 1).astype("float64") / nm2nm3),
+            np.nan,
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n_rows": df["n_rows"],
+                "skew_qty": _round_away(skew, 6),
+                "kurt_qty": _round_away(kurt, 6),
+            }
+        )
+
+    return grouped.map_batches(derive, batch_format="pandas")
+
+
 def q_quantity_mode(sf_dir: str):
     """X3 — grouped mode (most frequent l_quantity per returnflag, ties to
     the smallest value). Two-phase count by (group, value) map-side — the
@@ -2683,6 +2758,43 @@ ORACLE: dict[str, str] = {
                round(CASE WHEN dena > 0 AND denb = 0 THEN 1.0
                           ELSE corr_raw * corr_raw END, 6) AS r2
         FROM f
+    """,
+    "quantity_skew_kurtosis": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(l_quantity AS BIGINT)) AS s1,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s2,
+                   sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s3,
+                   sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s4
+            FROM lineitem GROUP BY 1
+        ), m AS (
+            SELECT l_returnflag, n,
+                   n * s2 - s1 * s1 AS a,
+                   n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS bb,
+                   n * n * n * s4 - 4 * n * n * s1 * s3
+                       + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS cc
+            FROM b
+        )
+        SELECT l_returnflag, n AS n_rows,
+               CASE WHEN n >= 3 AND a > 0 THEN
+                   round(sqrt(CAST(n * (n - 1) AS DOUBLE)) / CAST(n - 2 AS DOUBLE)
+                         * (CAST(bb AS DOUBLE)
+                            / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE)))), 6)
+               END AS skew_qty,
+               CASE WHEN n >= 4 AND a > 0 THEN
+                   round((CAST(n + 1 AS DOUBLE)
+                          * (CAST(cc AS DOUBLE)
+                             / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0)
+                          + 6.0)
+                         * (CAST(n - 1 AS DOUBLE)
+                            / CAST((n - 2) * (n - 3) AS DOUBLE)), 6)
+               END AS kurt_qty
+        FROM m
     """,
     "quantity_mode": """
         WITH c AS (

@@ -510,3 +510,41 @@ def test_regression_degenerate_groups_match_duckdb():
         a, b = got.loc["A"], got.loc["B"]
         assert (a["slope"], a["intercept"], a["r2"]) == (0.0, 5.0, 1.0)
         assert pd.isna(b["slope"]) and pd.isna(b["intercept"]) and pd.isna(b["r2"])
+
+
+@given(seed=st.integers(0, 2**31), n=st.integers(min_value=4, max_value=400))
+@settings(max_examples=30, deadline=None)
+def test_exact_int_skew_kurtosis_formula_matches_duckdb_builtins(seed, n):
+    """G1/G2 from the exact integer power sums (A, B, C scaled central
+    moments) must agree with DuckDB's native skewness/kurtosis to fp
+    precision — the contract query pins the mirrored-SQL path; this pins
+    the FORMULA against the reference implementations on random data."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, 51, n)  # the l_quantity domain
+    df = pd.DataFrame({"x": x})
+    want = (
+        duckdb.connect()
+        .execute("SELECT skewness(x), kurtosis(x) FROM df")
+        .fetchone()
+    )
+
+    N = int(n)
+    xo = x.astype(object)
+    s1, s2 = int(xo.sum()), int((xo * xo).sum())
+    s3, s4 = int((xo * xo * xo).sum()), int((xo * xo * xo * xo).sum())
+    a = N * s2 - s1 * s1
+    bb = N * N * s3 - 3 * N * s1 * s2 + 2 * s1**3
+    cc = N**3 * s4 - 4 * N * N * s1 * s3 + 6 * N * s1 * s1 * s2 - 3 * s1**4
+    if a == 0:  # constant column: both builtins are NULL/NaN
+        assert want[0] is None or np.isnan(want[0])
+        assert want[1] is None or np.isnan(want[1])
+        return
+    skew = np.sqrt(float(N * (N - 1))) / float(N - 2) * (
+        float(bb) / (float(a) * np.sqrt(float(a)))
+    )
+    g2 = float(cc) / (float(a) * float(a)) - 3.0
+    kurt = (float(N + 1) * g2 + 6.0) * (float(N - 1) / float((N - 2) * (N - 3)))
+    assert skew == pytest.approx(want[0], rel=1e-7, abs=1e-9)
+    assert kurt == pytest.approx(want[1], rel=1e-7, abs=1e-9)

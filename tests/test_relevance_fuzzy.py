@@ -1,0 +1,188 @@
+"""TF-IDF / BM25 / fuzzy-match: path equivalence, planted cases, kernel pins.
+
+The oracle contract (check_contract.py / the driver) pins the full queries
+against DuckDB; these tests pin what the contract alone cannot — the
+broadcast≡join path equivalence, hand-computed planted scores, and the
+vectorized Levenshtein kernel against DuckDB's native implementation on
+adversarial strings."""
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nostr_data_pipeline_ray.pipelines import fuzzy, relevance
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mini_corpus(docs: list[str]) -> str:
+    d = tempfile.mkdtemp(prefix="relevance_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_tfidf_broadcast_equals_join_path(ray_session):
+    a = relevance.doc_tfidf_top_terms(SF).to_pandas()
+    b = relevance.doc_tfidf_top_terms(SF, broadcast_max=0).to_pandas()
+    key = lambda df: df.sort_values(  # noqa: E731
+        ["doc_id", "rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b), check_dtype=False)
+
+
+def test_tfidf_planted_scores(ray_session):
+    # d1: a appears twice (df 2), b once (df 1 → most characteristic)
+    # d3: c c c (df 2) vs d once (df 1)
+    d = _mini_corpus(["a a b", "a c", "c c c d"])
+    got = (
+        relevance.doc_tfidf_top_terms(d)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ln = math.log
+    r6 = lambda v: round(v, 6)  # noqa: E731 — all planted values are clean
+    # doc 1: b = 1·ln(3/1) > a = 2·ln(3/2)
+    d1 = got[got["doc_id"] == 1]
+    assert list(d1["word"]) == ["b", "a"]
+    assert d1["tfidf"].tolist() == [r6(ln(3.0)), r6(2 * ln(1.5))]
+    assert d1["rank"].tolist() == [1, 2]
+    # doc 3: c = 3·ln(3/2) > d = 1·ln(3/1)
+    d3 = got[got["doc_id"] == 3]
+    assert list(d3["word"]) == ["c", "d"]
+    # doc 2: a and c tie at 1·ln(3/2) → word ASC breaks the tie
+    d2 = got[got["doc_id"] == 2]
+    assert list(d2["word"]) == ["a", "c"]
+    assert d2["tfidf"].nunique() == 1
+
+
+def test_bm25_returns_only_matching_docs_descending(ray_session):
+    got = relevance.bm25_search(SF).to_pandas()
+    assert len(got) == relevance.BM25_TOP
+    s = got["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert (s > 0).all()
+    # every returned doc really contains a query term
+    docs = pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")
+    for doc_id in got["doc_id"]:
+        words = set(docs.loc[doc_id, "text"].split(" "))
+        assert words & set(relevance.BM25_TERMS)
+
+
+def test_bm25_planted_ordering(ray_session):
+    # same length docs: more query-term hits → higher score; a doc with
+    # no query terms is absent entirely
+    d = _mini_corpus(
+        ["merge merge filter x", "merge y z w", "a b c d", "merge filter column q"]
+    )
+    got = relevance.bm25_search(d).to_pandas()
+    assert 3 not in set(got["doc_id"])
+    ranks = {r.doc_id: i for i, r in enumerate(got.itertuples())}
+    assert ranks[4] < ranks[2]  # three distinct terms beat one
+    assert ranks[1] < ranks[2]  # two merge hits + filter beat one merge
+
+
+def test_levenshtein_kernel_matches_duckdb_exhaustively(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcde fg")
+    strs = np.array(
+        ["", "a", "gold bolt", "bbolt gold", "x" * 40, "smal rig", "ring small"]
+        + ["".join(rng.choice(alphabet, size=rng.integers(0, 14))) for _ in range(80)],
+        dtype=object,
+    )
+    con = duckdb.connect()
+    for pattern in list(fuzzy.CANON) + ["", "zzz", "gold", "a" * 25]:
+        mine = fuzzy.levenshtein_many(pattern, strs)
+        want = np.array(
+            [con.execute("SELECT levenshtein(?, ?)", [pattern, str(s)]).fetchone()[0]
+             for s in strs]
+        )
+        assert (mine == want).all(), (pattern, strs[mine != want][:5])
+
+
+def test_fuzzy_planted_distances(ray_session):
+    d = tempfile.mkdtemp(prefix="fuzzy_")
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "p_name": pa.array(
+                    ["old bolt", "cold bolt", "red widget", "small ring", "blue gear"],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    got = (
+        fuzzy.fuzzy_part_match(d)
+        .to_pandas()
+        .sort_values(["p_partkey", "canonical"])
+        .reset_index(drop=True)
+    )
+    want = {
+        (1, "gold bolt"): 1,   # old bolt  (insert g)
+        (2, "gold bolt"): 1,   # cold bolt (substitute c→g)
+        (3, "red widge"): 1,   # red widget (delete t)
+        (4, "small rig"): 1,   # small ring (delete n)
+    }
+    assert {(r.p_partkey, r.canonical): r.dist for r in got.itertuples()} == want
+
+
+def test_tfidf_rank_never_exceeds_k_and_covers_corpus(ray_session):
+    got = relevance.doc_tfidf_top_terms(SF).to_pandas()
+    assert got["rank"].between(1, relevance.TOP_TERMS_K).all()
+    n_docs = pq.read_metadata(os.path.join(SF, "documents.parquet")).num_rows
+    assert got["doc_id"].nunique() == n_docs
+    # within a doc, ranks are 1..m with strictly the oracle's ordering
+    per = got.groupby("doc_id")["rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()
+
+
+def test_skew_kurtosis_single_and_degenerate_groups(ray_session):
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    d = tempfile.mkdtemp(prefix="skew_")
+    pq.write_table(
+        pa.table(
+            {
+                # A: varied (n=5) | B: constant (a == 0) | C: n=3 (kurt NULL)
+                "l_returnflag": pa.array(list("AAAAA") + list("BBBB") + list("CCC")),
+                "l_quantity": pa.array(
+                    [1.0, 2, 3, 4, 10] + [7.0] * 4 + [1.0, 2, 9], pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    got = (
+        an.q_quantity_skew_kurtosis(d).to_pandas().set_index("l_returnflag")
+    )
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT skewness(x), kurtosis(x) FROM (VALUES (1.0),(2),(3),(4),(10)) t(x)"
+    ).fetchone()
+    assert got.loc["A", "skew_qty"] == pytest.approx(want[0], abs=5e-7)
+    assert got.loc["A", "kurt_qty"] == pytest.approx(want[1], abs=5e-7)
+    assert pd.isna(got.loc["B", "skew_qty"]) and pd.isna(got.loc["B", "kurt_qty"])
+    assert not pd.isna(got.loc["C", "skew_qty"]) and pd.isna(got.loc["C", "kurt_qty"])
