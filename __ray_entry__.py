@@ -190,6 +190,9 @@ _SNAPSHOT_HEAD = [
     # fuzzy dictionary matching (vectorized Levenshtein), higher moments
     "doc_tfidf_top_terms", "bm25_search", "fuzzy_part_match",
     "quantity_skew_kurtosis",
+    # round-5: date-spine gap fill (pure integer) + fixed-order Shannon
+    # entropy over the pivot types
+    "activity_timeline_dense", "user_event_entropy",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

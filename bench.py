@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "fuzzy_part_match",
     "quantity_skew_kurtosis",
+    "activity_timeline_dense",
+    "user_event_entropy",
 ]
 
 

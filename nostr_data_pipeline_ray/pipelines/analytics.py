@@ -2038,6 +2038,92 @@ def q_daily_type_pivot(sf_dir: str):
     )
 
 
+def q_activity_timeline_dense(sf_dir: str):
+    """Gap-filled timeline (G5 — the date-spine operator): every
+    (hour, event_type) cell between the corpus's first and last hour,
+    zero-filled where no events landed — the reshape a charting/feature
+    layer needs from a sparse groupby. The counts are the distributed
+    two-phase aggregate; the spine is CALENDAR-sized (hours × types), so
+    materializing and merging it driver-side is O(output), bounded by
+    time range and type cardinality — never by corpus size. Pure integer
+    counts: no float contract at all."""
+    counts = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "window_start": pc.floor_temporal(b["ts"], unit="hour"),
+                    "event_type": b["event_type"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["window_start", "event_type"],
+        sums={},
+        count_as="n_events",
+        input_bytes=_tbytes(sf_dir, "events"),
+    ).to_pandas()  # O(observed cells) ≤ O(hours × types) — bounded
+    lo, hi = counts["window_start"].min(), counts["window_start"].max()
+    hours = pd.date_range(lo, hi, freq="h").astype(
+        counts["window_start"].dtype  # ns → µs: match the Arrow timestamps
+    )
+    spine = pd.MultiIndex.from_product(
+        [hours, sorted(counts["event_type"].unique())],
+        names=["window_start", "event_type"],
+    )
+    out = (
+        counts.set_index(["window_start", "event_type"])
+        .reindex(spine, fill_value=0)
+        .reset_index()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (behavioral
+    diversity, in bits): the fixed-dispatch pivot counts ride ONE integer
+    exchange, then entropy = −Σ (cᵢ/n)·log2(cᵢ/n) is evaluated over the
+    FIXED type order on the O(#users) result — the oracle spells the same
+    per-type CASE terms added left-to-right, so distributed execution
+    cannot reorder the float sum. The formula is validated against
+    DuckDB's native entropy() in tests/test_relevance_fuzzy.py."""
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": batch["user_id"].to_numpy()}
+        et = batch["event_type"].to_numpy()
+        for t in _PIVOT_TYPES:
+            out[f"c_{t}"] = (et == t).astype("int64")
+        return pd.DataFrame(out)
+
+    grouped = bucketed_sum_count(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]).map_batches(
+            add_cols, batch_format="pandas"
+        ),
+        keys=["user_id"],
+        sums={f"c_{t}": f"c_{t}" for t in _PIVOT_TYPES},
+        count_as="n_events",
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].to_numpy(dtype="float64")
+        ent = np.zeros(len(df), dtype="float64")
+        for t in _PIVOT_TYPES:  # FIXED order — mirrors the oracle's terms
+            c = df[f"c_{t}"].to_numpy(dtype="float64")
+            p = c / n
+            term = np.where(c > 0.0, -(p * np.log2(np.where(c > 0.0, p, 1.0))), 0.0)
+            ent = ent + term
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "n_events": df["n_events"].astype("int64"),
+                "entropy_bits": _round_away(ent, 6),
+            }
+        )
+
+    return grouped.map_batches(derive, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates (beyond-reference family, X1-X4): sample
 # variance/stddev, Pearson correlation + sample covariance, grouped mode,
@@ -3063,6 +3149,64 @@ ORACLE: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "activity_timeline_dense": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS window_start
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), counts AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT spine.window_start, types.event_type,
+               COALESCE(counts.n_events, 0) AS n_events
+        FROM spine CROSS JOIN types
+        LEFT JOIN counts ON counts.window_start = spine.window_start
+                        AND counts.event_type = types.event_type
+    """,
+    "user_event_entropy": """
+        WITH g AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS c_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS c_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS c_view
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               round(
+                   (CASE WHEN c_click > 0 THEN
+                       -((CAST(c_click AS DOUBLE) / CAST(n_events AS DOUBLE))
+                         * log2(CAST(c_click AS DOUBLE) / CAST(n_events AS DOUBLE)))
+                    ELSE 0.0 END)
+                   + (CASE WHEN c_error > 0 THEN
+                       -((CAST(c_error AS DOUBLE) / CAST(n_events AS DOUBLE))
+                         * log2(CAST(c_error AS DOUBLE) / CAST(n_events AS DOUBLE)))
+                    ELSE 0.0 END)
+                   + (CASE WHEN c_purchase > 0 THEN
+                       -((CAST(c_purchase AS DOUBLE) / CAST(n_events AS DOUBLE))
+                         * log2(CAST(c_purchase AS DOUBLE) / CAST(n_events AS DOUBLE)))
+                    ELSE 0.0 END)
+                   + (CASE WHEN c_signup > 0 THEN
+                       -((CAST(c_signup AS DOUBLE) / CAST(n_events AS DOUBLE))
+                         * log2(CAST(c_signup AS DOUBLE) / CAST(n_events AS DOUBLE)))
+                    ELSE 0.0 END)
+                   + (CASE WHEN c_view > 0 THEN
+                       -((CAST(c_view AS DOUBLE) / CAST(n_events AS DOUBLE))
+                         * log2(CAST(c_view AS DOUBLE) / CAST(n_events AS DOUBLE)))
+                    ELSE 0.0 END),
+               6) AS entropy_bits
+        FROM g
     """,
     "sliding_activity": """
         SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS window_start,

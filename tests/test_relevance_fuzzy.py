@@ -186,3 +186,58 @@ def test_skew_kurtosis_single_and_degenerate_groups(ray_session):
     assert got.loc["A", "kurt_qty"] == pytest.approx(want[1], abs=5e-7)
     assert pd.isna(got.loc["B", "skew_qty"]) and pd.isna(got.loc["B", "kurt_qty"])
     assert not pd.isna(got.loc["C", "skew_qty"]) and pd.isna(got.loc["C", "kurt_qty"])
+
+
+def test_entropy_formula_matches_duckdb_builtin(ray_session):
+    """The fixed-order per-type entropy must agree with DuckDB's native
+    entropy(event_type) (which is log2-based) to fp precision — the
+    contract pins the mirrored-SQL path; this pins the FORMULA."""
+    import duckdb
+
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    got = an.q_user_event_entropy(SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).set_index(
+        "user_id"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF, 'events.parquet')}')"
+    )
+    want = con.execute(
+        "SELECT user_id, entropy(event_type) AS e FROM events GROUP BY user_id"
+    ).df().set_index("user_id")
+    for uid in got.index:
+        assert got.loc[uid, "entropy_bits"] == pytest.approx(
+            want.loc[uid, "e"], abs=5e-7
+        )
+
+
+def test_dense_timeline_fills_planted_gap(ray_session):
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    d = tempfile.mkdtemp(prefix="dense_")
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 03:20"]
+    ).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts),
+                "event_type": pa.array(["view", "click", "view"], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = an.q_activity_timeline_dense(d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    # spine: 4 hours (00..03) × 2 types = 8 cells, 5 of them zero-filled
+    assert len(got) == 8
+    assert int((got["n_events"] == 0).sum()) == 5
+    assert int(got["n_events"].sum()) == 3
+    g = got.set_index(["window_start", "event_type"])["n_events"]
+    h0 = pd.Timestamp("2024-01-01 00:00").as_unit("us")
+    h1 = pd.Timestamp("2024-01-01 01:00").as_unit("us")
+    assert g.loc[(h0, "view")] == 1 and g.loc[(h0, "click")] == 1
+    assert g.loc[(h1, "view")] == 0 and g.loc[(h1, "click")] == 0
