@@ -193,6 +193,9 @@ _SNAPSHOT_HEAD = [
     # round-5: date-spine gap fill (pure integer) + fixed-order Shannon
     # entropy over the pivot types
     "activity_timeline_dense", "user_event_entropy",
+    # round-5: deterministic weighted sampling (Efraimidis–Spirakis A-Res
+    # over the hash-uniform, SQL-mirrorable)
+    "weighted_sample_docs",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

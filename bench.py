@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "quantity_skew_kurtosis",
     "activity_timeline_dense",
     "user_event_entropy",
+    "weighted_sample_docs",
 ]
 
 

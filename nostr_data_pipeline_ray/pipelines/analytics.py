@@ -1507,6 +1507,45 @@ def q_sample_per_group(sf_dir: str, k: int = 200):
     )
 
 
+_WSAMPLE_K = 100
+_WSAMPLE_SEED = 11
+
+
+def q_weighted_sample_docs(sf_dir: str, k: int = _WSAMPLE_K,
+                           seed: int = _WSAMPLE_SEED):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    P(doc in sample) ∝ its weight — here n_chars, the "sample longer
+    documents more often" mixing knob. Each doc gets a deterministic
+    pseudo-uniform u = (id_hash(doc_id+seed) + 0.5)/2³² and the top-k by
+    u^(1/w) wins; ranking by the monotone-equivalent ln(u)/w avoids the
+    pow() divergence between libms, and the rank compares the ROUNDED key
+    (doc_id tiebreak) like the TF-IDF ranks. Map-side keying + a
+    local_topk prune — no full sort, nothing corpus-sized anywhere. The
+    hash is the same HUGEINT-expressible bijection the shard shuffle
+    uses, so the whole draw carries a SQL oracle. Weights must be > 0
+    (checked loudly; the fixture's n_chars ≥ 48)."""
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy(dtype="float64")
+        if (w <= 0).any():
+            raise ValueError("weighted_sample_docs: non-positive weight")
+        h = id_hash(ids + np.int64(seed)).astype("float64")
+        u = (h + 0.5) / 4294967296.0
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chars": batch["n_chars"].to_numpy(dtype="int64"),
+                "key": _round_away(np.log(u) / w, 6),
+            }
+        )
+
+    scored = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).map_batches(
+        add_key, batch_format="pandas"
+    )
+    return local_topk(scored, by=["key", "doc_id"], descending=[True, False], k=k)
+
+
 # ---------------------------------------------------------------------------
 # Domain mixing: draw the LARGEST corpus that hits exact target source
 # proportions (the data-mixture step of a pre-training pipeline). Phase 1
@@ -2844,6 +2883,20 @@ ORACLE: dict[str, str] = {
                round(CASE WHEN dena > 0 AND denb = 0 THEN 1.0
                           ELSE corr_raw * corr_raw END, 6) AS r2
         FROM f
+    """,
+    "weighted_sample_docs": f"""
+        WITH h AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(((doc_id + {_WSAMPLE_SEED})::HUGEINT * 2654435761)
+                        % 4294967296 AS DOUBLE) AS hv
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               round(ln((hv + 0.5) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 6) AS key
+        FROM h
+        ORDER BY key DESC, doc_id
+        LIMIT {_WSAMPLE_K}
     """,
     "quantity_skew_kurtosis": """
         WITH b AS (

@@ -241,3 +241,45 @@ def test_dense_timeline_fills_planted_gap(ray_session):
     h1 = pd.Timestamp("2024-01-01 01:00").as_unit("us")
     assert g.loc[(h0, "view")] == 1 and g.loc[(h0, "click")] == 1
     assert g.loc[(h1, "view")] == 0 and g.loc[(h1, "click")] == 0
+
+
+def test_weighted_sample_biases_toward_heavy_docs(ray_session):
+    """A-Res property: with weights 50 vs 1 and k = n/4, the heavy half
+    dominates the sample; same seed is reproducible; zero/negative
+    weights fail loudly."""
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    d = tempfile.mkdtemp(prefix="wsample_")
+    n = 400
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                # even ids heavy (50), odd light (1)
+                "n_chars": pa.array(
+                    [50 if i % 2 == 0 else 1 for i in range(n)], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = an.q_weighted_sample_docs(d, k=100).to_pandas()
+    heavy = (got["doc_id"] % 2 == 0).mean()
+    assert heavy > 0.85  # expected ~0.98 at 50:1 odds; 0.85 is 5σ-safe
+    again = an.q_weighted_sample_docs(d, k=100).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+    other = an.q_weighted_sample_docs(d, k=100, seed=99).to_pandas()
+    assert set(other["doc_id"]) != set(got["doc_id"])
+
+    bad = tempfile.mkdtemp(prefix="wsample_bad_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "n_chars": pa.array([10, 0], pa.int64()),
+            }
+        ),
+        os.path.join(bad, "documents.parquet"),
+    )
+    with pytest.raises(Exception, match="non-positive weight"):
+        an.q_weighted_sample_docs(bad, k=1).to_pandas()
