@@ -196,6 +196,8 @@ _SNAPSHOT_HEAD = [
     # round-5: deterministic weighted sampling (Efraimidis–Spirakis A-Res
     # over the hash-uniform, SQL-mirrorable)
     "weighted_sample_docs",
+    # round-5: funnel conversion (view→purchase attribution window)
+    "purchase_conversions",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "activity_timeline_dense",
     "user_event_entropy",
     "weighted_sample_docs",
+    "purchase_conversions",
 ]
 
 

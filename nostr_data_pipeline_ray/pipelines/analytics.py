@@ -2163,6 +2163,80 @@ def q_user_event_entropy(sf_dir: str):
     return grouped.map_batches(derive, batch_format="pandas")
 
 
+_FUNNEL_WINDOW_US = 30 * 60 * 1_000_000  # the view→purchase attribution window
+
+
+def q_purchase_conversions(sf_dir: str, num_buckets: int | None = None):
+    """Funnel conversion (W8 — event-pattern matching): per user, how many
+    purchases had a 'view' by the same user within the preceding 30
+    minutes (inclusive both ends, the SQL BETWEEN the oracle spells).
+    One bucketed exchange on user_id; the per-bucket kernel is a fully
+    vectorized segment range-count — views and purchases both sorted by
+    (user, ts), each purchase's window resolved by TWO searchsorted calls
+    over a packed (user-code · span + ts-offset) key. The packing is
+    injective because span exceeds the bucket's time range plus the
+    window; a bucket that would overflow int64 fails loudly (the CDC
+    key-packing discipline). Pure integer output — no float contract."""
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        m = pc.is_in(batch["event_type"], pa.array(["view", "purchase"]))
+        b = batch.filter(m)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": b["ts"].to_numpy(zero_copy_only=False).astype("int64"),
+                "is_purchase": pc.equal(b["event_type"], "purchase")
+                .to_numpy(zero_copy_only=False)
+                .astype("int8"),
+            }
+        )
+
+    _FUNNEL_EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.array([], dtype="int64"),
+            "n_purchases": pd.array([], dtype="int64"),
+            "n_converted": pd.array([], dtype="int64"),
+        }
+    )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or not g["is_purchase"].any():
+            return _FUNNEL_EMPTY.copy()
+        ts = g["ts_us"].to_numpy()
+        codes, users = pd.factorize(g["user_id"].to_numpy())  # bucket-local
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + _FUNNEL_WINDOW_US + 2
+        if (len(users)) * span >= np.iinfo(np.int64).max:
+            raise ValueError(
+                "purchase_conversions: bucket too wide to pack (users × "
+                "time-span exceeds int64) — raise num_buckets"
+            )
+        key = codes.astype("int64") * span + (ts - t0)
+        isp = g["is_purchase"].to_numpy().astype(bool)
+        vk = np.sort(key[~isp])
+        pk = key[isp]
+        lo = np.searchsorted(vk, pk - _FUNNEL_WINDOW_US, side="left")
+        hi = np.searchsorted(vk, pk, side="right")
+        conv = (hi > lo).astype("int64")
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy()[isp], "c": conv})
+        agg = out.groupby("user_id", sort=False).agg(
+            n_purchases=("c", "size"), n_converted=("c", "sum")
+        ).reset_index()
+        agg["n_purchases"] = agg["n_purchases"].astype("int64")
+        agg["n_converted"] = agg["n_converted"].astype("int64")
+        return agg
+
+    return bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]).map_batches(
+            project, batch_format="pyarrow"
+        ),
+        keys=["user_id"],
+        fn=funnel,
+        num_buckets=num_buckets,
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates (beyond-reference family, X1-X4): sample
 # variance/stddev, Pearson correlation + sample covariance, grouped mode,
@@ -2883,6 +2957,24 @@ ORACLE: dict[str, str] = {
                round(CASE WHEN dena > 0 AND denb = 0 THEN 1.0
                           ELSE corr_raw * corr_raw END, 6) AS r2
         FROM f
+    """,
+    "purchase_conversions": """
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ), conv AS (
+            SELECT p.user_id,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM v
+                       WHERE v.user_id = p.user_id
+                         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+                   ) THEN 1 ELSE 0 END AS c
+            FROM p
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(c) AS BIGINT) AS n_converted
+        FROM conv GROUP BY user_id
     """,
     "weighted_sample_docs": f"""
         WITH h AS (

@@ -283,3 +283,51 @@ def test_weighted_sample_biases_toward_heavy_docs(ray_session):
     )
     with pytest.raises(Exception, match="non-positive weight"):
         an.q_weighted_sample_docs(bad, k=1).to_pandas()
+
+
+def test_funnel_30min_boundary_and_forced_distributed(ray_session):
+    """Planted attribution boundary: a view EXACTLY 30 minutes before the
+    purchase converts (BETWEEN is inclusive); 30 minutes + 1 µs does not;
+    a view AFTER the purchase never does. Forced multi-bucket exchange
+    must agree with the local path."""
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    d = tempfile.mkdtemp(prefix="funnel_")
+    t = pd.Timestamp("2024-03-01 12:00:00").as_unit("us")
+    half_hour = pd.Timedelta(minutes=30)
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # u1: view exactly 30 min before → converts
+        (1, t - half_hour, "view"), (1, t, "purchase"),
+        # u2: view 30 min + 1 µs before → does NOT convert
+        (2, t - half_hour - us, "view"), (2, t, "purchase"),
+        # u3: view AFTER the purchase → does not convert
+        (3, t + us, "view"), (3, t, "purchase"),
+        # u4: view at the same instant → converts (BETWEEN upper bound)
+        (4, t, "view"), (4, t, "purchase"),
+        # u5: two purchases, one attributable view between them
+        (5, t, "view"), (5, t + us, "purchase"), (5, t + half_hour + 2 * us, "purchase"),
+        # u6: views only — absent from the output
+        (6, t, "view"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows]),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for nb in (None, 7):
+        got = an.q_purchase_conversions(d, num_buckets=nb)
+        got = (got.to_pandas() if hasattr(got, "to_pandas") else got).set_index(
+            "user_id"
+        ).sort_index()
+        assert 6 not in got.index
+        assert got.loc[1].tolist() == [1, 1]
+        assert got.loc[2].tolist() == [1, 0]
+        assert got.loc[3].tolist() == [1, 0]
+        assert got.loc[4].tolist() == [1, 1]
+        assert got.loc[5].tolist() == [2, 1]
