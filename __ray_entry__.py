@@ -198,6 +198,8 @@ _SNAPSHOT_HEAD = [
     "weighted_sample_docs",
     # round-5: funnel conversion (view→purchase attribution window)
     "purchase_conversions",
+    # round-5: grouped TF-IDF (per-source vocabulary fingerprints)
+    "source_tfidf_top_terms",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

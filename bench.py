@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "user_event_entropy",
     "weighted_sample_docs",
     "purchase_conversions",
+    "source_tfidf_top_terms",
 ]
 
 

@@ -341,11 +341,140 @@ def _bm25_sql(terms: tuple[str, ...] = BM25_TERMS, top: int = BM25_TOP) -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped TF-IDF: per-SOURCE top terms (each source's doc set as one
+# pseudo-document) — the grouped twin of doc_tfidf_top_terms, completing
+# the global/grouped symmetry the sketch family follows (HLL, t-digest,
+# Misra-Gries each have both forms).
+# ---------------------------------------------------------------------------
+
+SOURCE_TERMS_K = 5
+
+
+def source_tfidf_top_terms(sf_dir: str, k: int = SOURCE_TERMS_K):
+    """(source, word, tfidf, rank): each source's top-k characteristic
+    terms by tf·ln(N/df) with N = #sources, df = #sources containing the
+    word. Unlike the per-doc variant, term frequencies SPAN batches, so
+    tf takes its own (source, word)-keyed exchange; df then rides a
+    word-keyed exchange over the O(sources × vocab) tf rows, scoring is
+    an unconditional bucketed join (no broadcast gate needed — there is
+    no driver-side collection at all), and the top-k co-locates each
+    source's candidates. Rank compares the ROUNDED score, word ASC."""
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import bucketed_sum_count
+
+    doc_path = _t(sf_dir, "documents")
+    doc_bytes = table_bytes(doc_path)
+    blocks = min(64, max(2, doc_bytes >> 20))
+    docs = rd.read_parquet(
+        doc_path, columns=["source", "text"], override_num_blocks=blocks
+    )
+
+    def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"source": src[parents],
+             "word": pc.list_flatten(flat).to_numpy(zero_copy_only=False)}
+        )
+        out = df.groupby(["source", "word"], sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    tf = bucketed_sum_count(
+        docs.map_batches(tf_partial, batch_format="pyarrow"),
+        ["source", "word"],
+        sums={"c": "tf"},
+        input_bytes=doc_bytes,
+    ).materialize()
+
+    # N = #sources: an O(#sources) driver scalar off the already-grouped rows
+    n_sources = float(
+        tf.map_batches(
+            lambda b: b[["source"]].drop_duplicates(), batch_format="pandas"
+        ).to_pandas()["source"].nunique()
+    )
+
+    df_rows = bucketed_sum_count(
+        tf.map_batches(
+            lambda b: pd.DataFrame({"w": b["word"], "one": np.int64(1)}),
+            batch_format="pandas",
+        ),
+        ["w"],
+        sums={"one": "df"},
+        input_bytes=doc_bytes,
+    )
+
+    joined = bucketed_hash_join(
+        tf, df_rows, left_on=["word"], right_on=["w"], how="inner",
+        input_bytes=doc_bytes,
+    )
+
+    def add_score(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "word": b["word"],
+                "tfidf": _round6(
+                    b["tf"].to_numpy(dtype="float64")
+                    * np.log(n_sources / b["df"].to_numpy(dtype="float64"))
+                ),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source", "tfidf", "word"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = (g.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        return g[g["rank"] <= k][["source", "word", "tfidf", "rank"]]
+
+    return bucketed_map_groups(
+        joined.map_batches(add_score, batch_format="pandas"),
+        ["source"],
+        fn=topk,
+        input_bytes=doc_bytes,
+    )
+
+
+def q_source_tfidf_top_terms(sf_dir: str):
+    return source_tfidf_top_terms(sf_dir)
+
+
+_SOURCE_TFIDF_SQL = f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY source, word
+    ), df AS (
+        SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word
+    ), n AS (
+        SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+        SELECT tf.source, tf.word,
+               round(CAST(tf.tf AS DOUBLE) * ln(n.n / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY tfidf DESC, word
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT source, word, tfidf, rank FROM ranked WHERE rank <= {SOURCE_TERMS_K}
+"""
+
+
 QUERIES = {
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "bm25_search": q_bm25_search,
+    "source_tfidf_top_terms": q_source_tfidf_top_terms,
 }
 ORACLE = {
     "doc_tfidf_top_terms": _TFIDF_SQL,
     "bm25_search": _bm25_sql(),
+    "source_tfidf_top_terms": _SOURCE_TFIDF_SQL,
 }

@@ -331,3 +331,41 @@ def test_funnel_30min_boundary_and_forced_distributed(ray_session):
         assert got.loc[3].tolist() == [1, 0]
         assert got.loc[4].tolist() == [1, 1]
         assert got.loc[5].tolist() == [2, 1]
+
+
+def test_source_tfidf_grouped_symmetry(ray_session):
+    """Planted: words shared by every source score 0 (ln N/N); a word
+    unique to one source ranks first for it regardless of a shared word's
+    higher raw count."""
+    from nostr_data_pipeline_ray.pipelines import relevance as rv
+
+    d = tempfile.mkdtemp(prefix="srctfidf_")
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s1", "s1", "s2", "s3"], pa.string()),
+                "text": pa.array(
+                    ["shared shared rare", "shared", "shared common",
+                     "shared common"],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = (
+        rv.source_tfidf_top_terms(d)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    s1 = got[got["source"] == "s1"]
+    # rare (df 1, tf 1) beats shared (df 3 → idf 0, tf 3)
+    assert s1.iloc[0]["word"] == "rare"
+    assert s1.iloc[0]["tfidf"] == round(math.log(3.0), 6)
+    shared = got[got["word"] == "shared"]
+    assert (shared["tfidf"] == 0.0).all()  # present in every source
+    # common appears in s2+s3 only: tfidf = 1·ln(3/2) for each
+    common = got[got["word"] == "common"]
+    assert sorted(common["source"]) == ["s2", "s3"]
+    assert (common["tfidf"] == round(math.log(1.5), 6)).all()
