@@ -306,4 +306,24 @@ print("quantity moments:\n", mom.head(4).to_string())
 hh = an.q_top_words_sketch(sf, k=4096, topn=5).to_pandas()
 print("Misra-Gries top words:", list(zip(hh["word"], hh["est_count"])))
 
+# 19. the last mile: seeded deterministic shuffle of the corpus into fixed
+#     training shards — one parquet per shard, exactly-once (tmp+rename),
+#     resumable (existing shards skipped). A data loader streams these.
+from nostr_data_pipeline_ray.pipelines.shards import write_shards
+
+manifest = write_shards(sf, f"{BASE}/shards", n_shards=8)
+print("\ntraining shards:", len(manifest), "files,",
+      int(manifest["n_docs"].sum()), "docs; resume skips:",
+      int(write_shards(sf, f"{BASE}/shards", n_shards=8)["skipped"].sum()))
+
+# 20. retrieval + relevance over the same corpus: BM25 top-k and each
+#     source's characteristic vocabulary (grouped TF-IDF).
+from nostr_data_pipeline_ray.pipelines import relevance as rv
+
+top = rv.bm25_search(sf).to_pandas()
+print("bm25 top-3 for", rv.BM25_TERMS, ":", top["doc_id"].head(3).tolist())
+fp = rv.source_tfidf_top_terms(sf).to_pandas()
+print("source fingerprint (first source):",
+      fp[fp["source"] == fp["source"].iloc[0]]["word"].tolist())
+
 ray.shutdown()
