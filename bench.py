@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "purchase_conversions",
     "source_tfidf_top_terms",
+    "quantity_zscore",
+    "train_val_split",
 ]
 
 

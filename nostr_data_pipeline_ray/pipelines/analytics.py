@@ -2532,6 +2532,102 @@ def q_quantity_skew_kurtosis(sf_dir: str):
     return grouped.map_batches(derive, batch_format="pandas")
 
 
+def q_quantity_zscore(sf_dir: str):
+    """X7 — the standard-scaler normalization (two-pass feature scaling):
+    z = (x − μ_g)/σ_g of l_quantity within its returnflag group, the
+    preprocessing step an ML feature pipeline runs per column. Pass 1 is
+    the exact-integer grouped moment exchange (O(#groups) driver rows);
+    μ/σ are derived ONCE per group in the mirrored operation order; pass
+    2 is a pure map that broadcasts the tiny (group → μ, σ) table. The
+    output is row-level (the whole table, normalized) — the engine's
+    largest-output oracle class, like the unpivot. Zero-variance groups
+    yield NULL z under the same CASE guard."""
+    import ray
+
+    from ..stages.actors import cached_get
+
+    def add_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity")
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(),
+                "q": q,
+                "q2": q * q,
+            }
+        )
+
+    grouped = bucketed_sum_count(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"]).map_batches(
+            add_cols, batch_format="pandas"
+        ),
+        keys=["l_returnflag"],
+        sums={"q": "_sq", "q2": "_sq2"},
+        count_as="n_rows",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    ).to_pandas()  # O(#groups)
+
+    stats: dict[str, tuple[float, float]] = {}
+    for flag, n, sq, sq2 in zip(
+        grouped["l_returnflag"], grouped["n_rows"], grouped["_sq"], grouped["_sq2"]
+    ):
+        n, sq, sq2 = int(n), int(sq), int(sq2)
+        mu = float(sq) / float(n)
+        num, den = n * sq2 - sq * sq, n * (n - 1)
+        sigma = float(np.sqrt(float(num) / float(den))) if den > 0 and num > 0 else None
+        stats[flag] = (mu, sigma)
+    ref = ray.put(stats)
+
+    def zmap(batch: pd.DataFrame) -> pd.DataFrame:
+        st = cached_get(ref)
+        q = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity").astype(
+            "float64"
+        )
+        flags = batch["l_returnflag"].to_numpy()
+        mu = np.array([st[f][0] for f in flags])
+        sig = np.array(
+            [st[f][1] if st[f][1] is not None else np.nan for f in flags]
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(dtype="int64"),
+                "l_linenumber": batch["l_linenumber"].to_numpy(dtype="int64"),
+                "l_returnflag": flags,
+                "z_qty": _round_away((q - mu) / sig, 6),
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    ).map_batches(zmap, batch_format="pandas")
+
+
+_SPLIT_SEED = 23
+_SPLIT_TRAIN_PCT = 90
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic train/validation split: doc → 'train' (90%) or 'val'
+    (10%) by the same HUGEINT-expressible hash bijection the shard
+    shuffle uses — reproducible from (corpus, seed) alone, embarrassingly
+    parallel, and any node can re-derive any doc's split without
+    coordination."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        h = id_hash(ids + np.int64(_SPLIT_SEED)).astype(np.int64) % np.int64(100)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "split": np.where(h < _SPLIT_TRAIN_PCT, "train", "val"),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        tag, batch_format="pandas"
+    )
+
+
 def q_quantity_mode(sf_dir: str):
     """X3 — grouped mode (most frequent l_quantity per returnflag, ties to
     the smallest value). Two-phase count by (group, value) map-side — the
@@ -2957,6 +3053,33 @@ ORACLE: dict[str, str] = {
                round(CASE WHEN dena > 0 AND denb = 0 THEN 1.0
                           ELSE corr_raw * corr_raw END, 6) AS r2
         FROM f
+    """,
+    "quantity_zscore": """
+        WITH b AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(l_quantity AS BIGINT)) AS sq,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS sq2
+            FROM lineitem GROUP BY 1
+        ), s AS (
+            SELECT l_returnflag,
+                   CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   CASE WHEN n > 1 AND n * sq2 - sq * sq > 0 THEN
+                       sqrt(CAST(n * sq2 - sq * sq AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE))
+                   END AS sigma
+            FROM b
+        )
+        SELECT l_orderkey, l_linenumber, lineitem.l_returnflag,
+               round((CAST(l_quantity AS BIGINT) - mu) / sigma, 6) AS z_qty
+        FROM lineitem JOIN s ON lineitem.l_returnflag = s.l_returnflag
+    """,
+    "train_val_split": f"""
+        SELECT doc_id,
+               CASE WHEN CAST(((doc_id + {_SPLIT_SEED})::HUGEINT * 2654435761)
+                         % 4294967296 AS BIGINT) % 100 < {_SPLIT_TRAIN_PCT}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
     """,
     "purchase_conversions": """
         WITH p AS (

@@ -371,6 +371,14 @@ def source_tfidf_top_terms(sf_dir: str, k: int = SOURCE_TERMS_K):
     )
 
     def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:  # dtype-pinned empty (Arrow unification)
+            return pd.DataFrame(
+                {
+                    "source": pd.array([], dtype="str"),
+                    "word": pd.array([], dtype="str"),
+                    "c": pd.array([], dtype="int64"),
+                }
+            )
         words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
         flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
         parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)

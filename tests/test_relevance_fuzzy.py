@@ -369,3 +369,31 @@ def test_source_tfidf_grouped_symmetry(ray_session):
     common = got[got["word"] == "common"]
     assert sorted(common["source"]) == ["s2", "s3"]
     assert (common["tfidf"] == round(math.log(1.5), 6)).all()
+
+
+def test_zscore_degenerate_and_moments(ray_session):
+    """Constant group → NULL z for every row; varied group normalizes to
+    sample mean 0 / stddev 1 (over the rounded values, loose tolerance)."""
+    import nostr_data_pipeline_ray.pipelines.analytics as an
+
+    d = tempfile.mkdtemp(prefix="zscore_")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(10), pa.int64()),
+                "l_linenumber": pa.array([1] * 10, pa.int64()),
+                "l_returnflag": pa.array(list("AAAAAA") + list("BBBB")),
+                "l_quantity": pa.array(
+                    [1.0, 2, 3, 4, 5, 9] + [7.0] * 4, pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    got = an.q_quantity_zscore(d)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    a = got[got["l_returnflag"] == "A"]["z_qty"]
+    b = got[got["l_returnflag"] == "B"]["z_qty"]
+    assert b.isna().all()  # zero variance → NULL, matching the oracle CASE
+    assert abs(a.mean()) < 1e-6
+    assert abs(a.std(ddof=1) - 1.0) < 1e-5
