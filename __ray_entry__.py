@@ -200,6 +200,9 @@ _SNAPSHOT_HEAD = [
     "purchase_conversions",
     # round-5: grouped TF-IDF (per-source vocabulary fingerprints)
     "source_tfidf_top_terms",
+    # round-5: standard-scaler normalization + deterministic train/val
+    # split — fills the head to exactly the driver's 50-entry window
+    "quantity_zscore", "train_val_split",
 ]
 _SNAPSHOT_DEMOTED = [
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)

@@ -2101,6 +2101,14 @@ def q_activity_timeline_dense(sf_dir: str):
         count_as="n_events",
         input_bytes=_tbytes(sf_dir, "events"),
     ).to_pandas()  # O(observed cells) ≤ O(hours × types) — bounded
+    if counts.empty:  # oracle: generate_series over NULL bounds = empty set
+        return pd.DataFrame(
+            {
+                "window_start": pd.array([], dtype="datetime64[us]"),
+                "event_type": pd.array([], dtype="str"),
+                "n_events": pd.array([], dtype="int64"),
+            }
+        )
     lo, hi = counts["window_start"].min(), counts["window_start"].max()
     hours = pd.date_range(lo, hi, freq="h").astype(
         counts["window_start"].dtype  # ns → µs: match the Arrow timestamps
@@ -2566,27 +2574,30 @@ def q_quantity_zscore(sf_dir: str):
         input_bytes=_tbytes(sf_dir, "lineitem"),
     ).to_pandas()  # O(#groups)
 
-    stats: dict[str, tuple[float, float]] = {}
+    mu_d: dict[str, float] = {}
+    sig_d: dict[str, float] = {}
     for flag, n, sq, sq2 in zip(
         grouped["l_returnflag"], grouped["n_rows"], grouped["_sq"], grouped["_sq2"]
     ):
         n, sq, sq2 = int(n), int(sq), int(sq2)
-        mu = float(sq) / float(n)
+        mu_d[flag] = float(sq) / float(n)
         num, den = n * sq2 - sq * sq, n * (n - 1)
-        sigma = float(np.sqrt(float(num) / float(den))) if den > 0 and num > 0 else None
-        stats[flag] = (mu, sigma)
-    ref = ray.put(stats)
+        sig_d[flag] = (
+            float(np.sqrt(float(num) / float(den)))
+            if den > 0 and num > 0 else np.nan
+        )
+    # two tiny Series, broadcast once — the per-batch lookup is a
+    # vectorized hash join (Series.map), never a per-row Python loop
+    ref = ray.put((pd.Series(mu_d), pd.Series(sig_d)))
 
     def zmap(batch: pd.DataFrame) -> pd.DataFrame:
-        st = cached_get(ref)
+        mu_s, sig_s = cached_get(ref)
         q = _int_exact(batch["l_quantity"].to_numpy(), "l_quantity").astype(
             "float64"
         )
-        flags = batch["l_returnflag"].to_numpy()
-        mu = np.array([st[f][0] for f in flags])
-        sig = np.array(
-            [st[f][1] if st[f][1] is not None else np.nan for f in flags]
-        )
+        flags = pd.Series(batch["l_returnflag"].to_numpy())
+        mu = flags.map(mu_s).to_numpy(dtype="float64")
+        sig = flags.map(sig_s).to_numpy(dtype="float64")
         return pd.DataFrame(
             {
                 "l_orderkey": batch["l_orderkey"].to_numpy(dtype="int64"),

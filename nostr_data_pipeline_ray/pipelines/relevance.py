@@ -44,11 +44,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
-
 from ..functions.rounding import round6 as _round6
 from ..stages.shuffle import bucketed_map_groups, table_bytes, table_rows
 from .textops import VOCAB_BROADCAST_MAX
+from .textops import _read_docs as _read_docs_cols  # shared block sizing
 
 TOP_TERMS_K = 3
 
@@ -63,17 +62,18 @@ def _t(sf_dir: str, table: str) -> str:
 
 
 def _read_docs(sf_dir: str):
-    path = _t(sf_dir, "documents")
-    blocks = min(64, max(2, table_bytes(path) >> 20))
-    return rd.read_parquet(
-        path, columns=["doc_id", "text"], override_num_blocks=blocks
-    )
+    return _read_docs_cols(sf_dir, ["doc_id", "text"])
 
 
 def _doc_word_tf(batch: pa.Table) -> pd.DataFrame:
     """(doc_id, word, tf) for one batch — globally complete per (doc, word)
     because a document is one input row. Vectorized: explode + lexsort
     run-length (pandas groupby on the exploded frame)."""
+    # NULL text drops the document — matching the oracle's unnest semantics
+    # (string_split(NULL) unnests to zero rows), NOT the ''-coalesce some
+    # dirty-corpus signals use; see oracle-parity pitfalls: null semantics
+    # are part of the spec
+    batch = batch.filter(pc.is_valid(batch["text"]))
     if batch.num_rows == 0:  # dtype-pinned empty frame (Arrow unification)
         return pd.DataFrame(
             {
@@ -82,7 +82,7 @@ def _doc_word_tf(batch: pa.Table) -> pd.DataFrame:
                 "tf": pd.array([], dtype="int64"),
             }
         )
-    words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+    words = pc.split_pattern(batch["text"], " ")
     flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
     parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
     toks = pc.list_flatten(flat).to_numpy(zero_copy_only=False)
@@ -223,8 +223,12 @@ _TFIDF_SQL = f"""
 
 def _doc_term_stats(batch: pa.Table, terms: tuple[str, ...]) -> pd.DataFrame:
     """Per document: token count + per-query-term frequency (vectorized:
-    one exploded comparison per term against the flat token array)."""
-    words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+    one exploded comparison per term against the flat token array).
+    NULL-text docs are dropped to match the oracle's unnest semantics —
+    they contribute to neither the corpus stats (n, avglen, df) nor the
+    scored set."""
+    batch = batch.filter(pc.is_valid(batch["text"]))
+    words = pc.split_pattern(batch["text"], " ")
     flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
     parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
     toks = pc.list_flatten(flat)
@@ -363,14 +367,11 @@ def source_tfidf_top_terms(sf_dir: str, k: int = SOURCE_TERMS_K):
     from ..stages.joins import bucketed_hash_join
     from ..stages.shuffle import bucketed_sum_count
 
-    doc_path = _t(sf_dir, "documents")
-    doc_bytes = table_bytes(doc_path)
-    blocks = min(64, max(2, doc_bytes >> 20))
-    docs = rd.read_parquet(
-        doc_path, columns=["source", "text"], override_num_blocks=blocks
-    )
+    doc_bytes = table_bytes(_t(sf_dir, "documents"))
+    docs = _read_docs_cols(sf_dir, ["source", "text"])
 
     def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.is_valid(batch["text"]))  # oracle unnest drops NULL
         if batch.num_rows == 0:  # dtype-pinned empty (Arrow unification)
             return pd.DataFrame(
                 {
@@ -379,7 +380,7 @@ def source_tfidf_top_terms(sf_dir: str, k: int = SOURCE_TERMS_K):
                     "c": pd.array([], dtype="int64"),
                 }
             )
-        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        words = pc.split_pattern(batch["text"], " ")
         flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
         parents = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
         src = batch["source"].to_numpy(zero_copy_only=False)

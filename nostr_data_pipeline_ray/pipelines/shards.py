@@ -180,7 +180,45 @@ def write_shards(
     )
     # O(n_shards) rows — bounded driver collection by construction
     out = manifest.to_pandas()
+
+    # a shard no document hashed into never reaches the exchange — complete
+    # it with an empty file (same schema, same tmp+rename discipline) so a
+    # data loader iterating shard-00000..shard-{n-1} and the resume check
+    # both see exactly n_shards files, never a FileNotFound ambiguity
+    missing = sorted(set(range(n_shards)) - set(out["shard"].astype(int)))
+    if missing:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = pq.read_schema(_part_schema_path(path))
+        fields = [base.field(c) for c in cols] + [
+            pa.field("shard", pa.int64()), pa.field("pos", pa.int64())
+        ]
+        empty = pa.schema(fields).empty_table()
+        rows = []
+        for shard_id in missing:
+            final = os.path.join(out_dir, f"shard-{shard_id:05d}.parquet")
+            if not os.path.exists(final):
+                tmp = final + ".tmp"
+                pq.write_table(empty, tmp)
+                os.replace(tmp, final)
+                rows.append((shard_id, 0, final, False))
+            else:
+                rows.append((shard_id, 0, final, True))
+        out = pd.concat(
+            [out, pd.DataFrame(rows, columns=["shard", "n_docs", "path", "skipped"])],
+            ignore_index=True,
+        )
     return out.sort_values("shard").reset_index(drop=True)
+
+
+def _part_schema_path(path: str) -> str:
+    """First parquet file of a table that may be a directory of parts."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+    return path
 
 
 QUERIES = {

@@ -347,6 +347,10 @@ _WINDOW_QUERIES = (
     # statistical aggregates share the same bucket-co-location contract
     "quantity_moments", "quantity_discount_corr", "quantity_mode",
     "order_price_ntile", "user_event_context", "quantity_discount_regression",
+    # round-5 fourth-session members of the same contract: higher moments,
+    # funnel range-counts, entropy pivot, gap-fill counts, two-pass z-score
+    "quantity_skew_kurtosis", "purchase_conversions", "user_event_entropy",
+    "activity_timeline_dense", "quantity_zscore",
 )
 
 

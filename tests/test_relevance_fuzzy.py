@@ -397,3 +397,96 @@ def test_zscore_degenerate_and_moments(ray_session):
     assert b.isna().all()  # zero variance → NULL, matching the oracle CASE
     assert abs(a.mean()) < 1e-6
     assert abs(a.std(ddof=1) - 1.0) < 1e-5
+
+
+def test_relevance_null_text_matches_oracle_semantics(ray_session):
+    """NULL text drops the document on BOTH sides (the oracle's unnest of
+    string_split(NULL) yields no rows): scores, df, n and avglen must be
+    identical to DuckDB on a corpus WITH a NULL — the divergence class the
+    fixtures can't catch."""
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="nulltext_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["merge filter a", None, "merge b", "column c merge"],
+                    pa.string(),
+                ),
+                "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}')"
+    )
+    norm = lambda df: df[sorted(df.columns)].sort_values(  # noqa: E731
+        by=sorted(df.columns), kind="mergesort"
+    ).reset_index(drop=True)
+    for name, fn in relevance.QUERIES.items():
+        got = fn(d)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.execute(relevance.ORACLE[name]).df()
+        pd.testing.assert_frame_equal(
+            norm(got), norm(want), check_dtype=False, check_exact=True
+        )
+        assert 2 not in set(got.get("doc_id", []))  # the NULL doc never scores
+
+
+def test_write_shards_completes_empty_shards(ray_session, tmp_path):
+    """More shards than documents can fill: every shard file exists (empty
+    parquet with the full schema), the manifest has exactly n_shards rows,
+    and a resume run skips all of them."""
+    import glob
+
+    from nostr_data_pipeline_ray.pipelines import shards
+
+    d = _mini_corpus(["a", "b", "c", "d", "e"])  # 5 docs, 64 shards
+    out = str(tmp_path / "many")
+    manifest = shards.write_shards(d, out, n_shards=64)
+    assert len(manifest) == 64
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    assert len(files) == 64
+    assert int(manifest["n_docs"].sum()) == 5
+    empties = manifest[manifest["n_docs"] == 0]
+    assert len(empties) >= 59
+    t = pq.read_table(empties.iloc[0]["path"])
+    assert t.num_rows == 0
+    assert t.schema.names == ["doc_id", "text", "shard", "pos"]
+    again = shards.write_shards(d, out, n_shards=64)
+    assert again["skipped"].all()
+
+
+def test_new_module_queries_forced_distributed(ray_session, monkeypatch):
+    """The relevance / fuzzy / shards queries under a forced multi-bucket
+    exchange (LOCAL_MAX_INPUT_BYTES=0) must still match their DuckDB
+    oracles — the sf0.001 fixtures otherwise take the local fast path."""
+    import duckdb
+
+    from nostr_data_pipeline_ray.pipelines import shards
+    from nostr_data_pipeline_ray.stages import shuffle as sh
+
+    monkeypatch.setattr(sh, "LOCAL_MAX_INPUT_BYTES", 0)
+    con = duckdb.connect()
+    for t in ("documents", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF, t + '.parquet')}')"
+        )
+    norm = lambda df: df[sorted(df.columns)].sort_values(  # noqa: E731
+        by=sorted(df.columns), kind="mergesort"
+    ).reset_index(drop=True)
+    cases = {**relevance.QUERIES, **fuzzy.QUERIES, **shards.QUERIES}
+    oracles = {**relevance.ORACLE, **fuzzy.ORACLE, **shards.ORACLE}
+    for name, fn in cases.items():
+        got = fn(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.execute(oracles[name]).df()
+        pd.testing.assert_frame_equal(
+            norm(got), norm(want), check_dtype=False, check_exact=True
+        )
