@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "source_tfidf_top_terms",
     "quantity_zscore",
     "train_val_split",
+    "corpus_collocations",
 ]
 
 

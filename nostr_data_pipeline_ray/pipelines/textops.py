@@ -403,6 +403,178 @@ def q_doc_lm_score(sf_dir: str, broadcast_max: int = VOCAB_BROADCAST_MAX):
 
 
 # ---------------------------------------------------------------------------
+# corpus_collocations — PMI collocation extraction
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def q_corpus_collocations(
+    sf_dir: str,
+    min_count: int = PMI_MIN_COUNT,
+    top: int = PMI_TOP,
+    broadcast_max: int = VOCAB_BROADCAST_MAX,
+):
+    """Top collocations by pointwise mutual information: bigrams whose
+    co-occurrence beats chance, PMI = ln(P(w1w2)/(P(w1)·P(w2))) — the
+    classic phrase-mining signal (Church & Hanks 1990). Unigram and
+    bigram counts each take ONE map-side-combined exchange; the totals
+    T/B are scalars off the already-grouped tables; attaching c(w1)/c(w2)
+    is a vocabulary-gated broadcast (one ray.put, fetched per worker) or
+    two bucketed joins above the gate; the top-k is a local_topk prune
+    over candidates already thinned by the integer min_count filter. The
+    float derivation — three divisions, one multiply, one ln — is
+    mirrored operation-for-operation in the oracle, ranked on the ROUNDED
+    score (then w1, w2)."""
+    import ray
+
+    from ..stages.actors import cached_get
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import bucketed_sum_count, local_topk
+
+    doc_bytes = table_bytes(_t(sf_dir, "documents"))
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        t = pd.DataFrame(
+            {"word": pc.list_flatten(words).to_numpy(zero_copy_only=False)}
+        )
+        out = t.groupby("word", sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def bg_partial(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "w1": pd.array([], dtype="str"),
+                "w2": pd.array([], dtype="str"),
+                "c": pd.array([], dtype="int64"),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        flat_list = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        parents = pc.list_parent_indices(flat_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(flat_list).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return empty
+        same = parents[:-1] == parents[1:]  # adjacent tokens, same document
+        if not same.any():
+            return empty
+        t = pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+        out = t.groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    uni = bucketed_sum_count(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["word"], sums={"c": "c"}, input_bytes=doc_bytes,
+    ).materialize()
+    bgc = bucketed_sum_count(
+        docs.map_batches(bg_partial, batch_format="pyarrow"),
+        ["w1", "w2"], sums={"c": "c12"}, input_bytes=doc_bytes,
+    ).materialize()
+    t_total = float(uni.sum("c"))
+    b_total = float(bgc.sum("c12"))
+    vocab = uni.count()
+
+    cand = bgc.map_batches(
+        lambda b: b[b["c12"] >= np.int64(min_count)], batch_format="pandas"
+    )
+
+    if vocab <= broadcast_max:
+        table = uni.to_pandas()
+        cmap = pd.Series(table["c"].to_numpy(dtype="float64"), index=table["word"])
+        ref = ray.put(cmap)
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            cm = cached_get(ref)
+            c12 = b["c12"].to_numpy(dtype="float64")
+            c1 = b["w1"].map(cm).to_numpy(dtype="float64")
+            c2 = b["w2"].map(cm).to_numpy(dtype="float64")
+            pmi = np.log((c12 / b_total) / ((c1 / t_total) * (c2 / t_total)))
+            return pd.DataFrame(
+                {
+                    "w1": b["w1"], "w2": b["w2"],
+                    "c12": b["c12"].astype("int64"),
+                    "pmi": _round6(pmi),
+                }
+            )
+
+        scored = cand.map_batches(score, batch_format="pandas")
+    else:
+        uni1 = uni.map_batches(
+            lambda b: b.rename_columns(["u1", "c1"]), batch_format="pyarrow"
+        )
+        uni2 = uni.map_batches(
+            lambda b: b.rename_columns(["u2", "c2"]), batch_format="pyarrow"
+        )
+        j1 = bucketed_hash_join(
+            cand, uni1, left_on=["w1"], right_on=["u1"], how="inner",
+            input_bytes=doc_bytes,
+        )
+        j2 = bucketed_hash_join(
+            j1, uni2, left_on=["w2"], right_on=["u2"], how="inner",
+            input_bytes=doc_bytes,
+        )
+
+        def score_joined(b: pd.DataFrame) -> pd.DataFrame:
+            c12 = b["c12"].to_numpy(dtype="float64")
+            c1 = b["c1"].to_numpy(dtype="float64")
+            c2 = b["c2"].to_numpy(dtype="float64")
+            pmi = np.log((c12 / b_total) / ((c1 / t_total) * (c2 / t_total)))
+            return pd.DataFrame(
+                {
+                    "w1": b["w1"], "w2": b["w2"],
+                    "c12": b["c12"].astype("int64"),
+                    "pmi": _round6(pmi),
+                }
+            )
+
+        scored = j2.map_batches(score_joined, batch_format="pandas")
+
+    return local_topk(
+        scored, by=["pmi", "w1", "w2"], descending=[True, False, False], k=top
+    )
+
+
+_COLLOCATIONS_SQL = f"""
+    WITH w AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+    ), tok AS (
+        SELECT unnest(ws) AS word FROM w
+    ), uni AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+    ), bg AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, UNNEST(range(1, len(ws))) AS r(i)
+    ), bgc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ), btot AS (
+        SELECT CAST(sum(c12) AS DOUBLE) AS b FROM bgc
+    )
+    SELECT w1, w2, c12,
+           round(ln((CAST(c12 AS DOUBLE) / b)
+                    / ((CAST(u1.c AS DOUBLE) / t)
+                       * (CAST(u2.c AS DOUBLE) / t))), 6) AS pmi
+    FROM bgc
+    JOIN uni u1 ON bgc.w1 = u1.word
+    JOIN uni u2 ON bgc.w2 = u2.word
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE c12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_dup_spans — cross-document duplicated-substring analysis
 # ---------------------------------------------------------------------------
 
@@ -796,6 +968,7 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "doc_dup_spans": q_doc_dup_spans,
     "dup_span_trim": q_dup_span_trim,
+    "corpus_collocations": q_corpus_collocations,
 }
 ORACLE = {
     "doc_repetition": _REPETITION_SQL,
@@ -803,4 +976,5 @@ ORACLE = {
     "doc_lm_score": _LM_SCORE_SQL,
     "doc_dup_spans": _DUP_SPANS_SQL,
     "dup_span_trim": _DUP_SPAN_TRIM_SQL,
+    "corpus_collocations": _COLLOCATIONS_SQL,
 }

@@ -490,3 +490,24 @@ def test_new_module_queries_forced_distributed(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             norm(got), norm(want), check_dtype=False, check_exact=True
         )
+
+
+def test_collocations_planted_pmi(ray_session):
+    """A pair that ALWAYS co-occurs gets the maximal PMI; a pair that
+    co-occurs at chance gets ~0; counts below min_count are excluded."""
+    from nostr_data_pipeline_ray.pipelines import textops as tx
+
+    # "new york" always adjacent (6 times); "a b" co-occur but a/b are
+    # everywhere; "rare gem" appears 3 times (< min_count 5) → excluded
+    docs = ["new york a b"] * 6 + ["a b rare gem"] * 3 + ["b a"] * 3
+    d = _mini_corpus(docs)
+    got = tx.q_corpus_collocations(d, min_count=5).to_pandas()
+    pairs = {(r.w1, r.w2): r.pmi for r in got.itertuples()}
+    assert ("new", "york") in pairs
+    assert ("rare", "gem") not in pairs  # under min_count
+    # exclusive pair beats the promiscuous one
+    assert pairs[("new", "york")] == max(pairs.values())
+    # PMI of the exclusive pair: ln((6/B)/((6/T)*(6/T))) with
+    # T = 6*4 + 3*4 + 3*2 = 42 tokens, B = 6*3 + 3*3 + 3*1 = 30 bigrams
+    want = round(math.log((6 / 30.0) / ((6 / 42.0) * (6 / 42.0))), 6)
+    assert pairs[("new", "york")] == want
