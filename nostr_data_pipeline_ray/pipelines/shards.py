@@ -12,11 +12,15 @@ design:
   ``ray.data.Dataset.random_shuffle`` is an all-to-all exchange whose
   output order is not a pure function the oracle could re-derive, so the
   engine instead uses the repo's bijective multiplicative hash
-  (stages/shuffle.py:id_hash) over ``doc_id + seed``: shard = h % n,
-  within-shard order = ascending h (a seeded pseudo-random permutation,
-  tie-broken by doc_id where ids exceed the 2^32 hash range). Exactly
-  reproducible as DuckDB HUGEINT arithmetic — the same SQL twin the
-  deterministic samplers use — so the full assignment carries an oracle.
+  (stages/shuffle.py:id_hash) avalanched through murmur3 fmix32
+  (stages/shuffle.py:finalize32 — the multiplicative hash alone is
+  linear mod powers of two, which would round-robin sequential ids
+  across a power-of-two shard count) over ``doc_id + seed``:
+  shard = h % n, within-shard order = ascending h (a seeded
+  pseudo-random permutation, tie-broken by doc_id where ids exceed the
+  2^32 hash range). Exactly reproducible as DuckDB HUGEINT/xor-shift
+  arithmetic — the same SQL-twin discipline the deterministic samplers
+  use — so the full assignment carries an oracle.
 
 - **One exchange, resumable output.** Shard assignment is map-side; the
   single bucketed exchange co-locates each shard in one task, which
@@ -45,7 +49,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from ..stages.shuffle import bucketed_map_groups, id_hash, table_bytes
+from ..stages.shuffle import bucketed_map_groups, finalize32, id_hash, table_bytes
 
 # Defaults for the registered query: small-but-nontrivial shard count so
 # the sf fixtures exercise multi-shard assignment; the seed is part of
@@ -61,13 +65,16 @@ def _t(sf_dir: str, table: str) -> str:
 def _with_assignment(batch: pd.DataFrame, n_shards: int, seed: int) -> pd.DataFrame:
     """Map-side shard assignment: h is the seeded permutation key.
 
-    ``id_hash`` is bijective mod 2^32 (odd multiplier), so ``doc_id +
-    seed`` gives a distinct permutation per seed with zero collisions for
-    ids below 2^32; above that the (h, doc_id) sort key keeps the order
-    deterministic."""
+    ``id_hash`` alone is linear mod powers of two (``shard = h % 16``
+    would round-robin sequential doc_ids — a strided, not pseudo-random,
+    sample per shard), so the multiplicative hash is avalanched through
+    ``finalize32`` (murmur3 fmix32) before the modulo. Both steps are
+    bijective mod 2^32, so ``doc_id + seed`` gives a distinct permutation
+    per seed with zero collisions for ids below 2^32; above that the
+    (h, doc_id) sort key keeps the order deterministic."""
     ids = batch["doc_id"].to_numpy()
     batch = batch.copy(deep=False)
-    batch["_h"] = id_hash(ids + np.int64(seed)).astype(np.int64)
+    batch["_h"] = finalize32(id_hash(ids + np.int64(seed))).astype(np.int64)
     batch["shard"] = (batch["_h"] % np.int64(n_shards)).astype(np.int64)
     return batch
 
@@ -105,12 +112,27 @@ def q_shuffled_shards(sf_dir: str):
     return shuffled_shards(sf_dir)
 
 
+# the fmix32 chain, step-for-step: xor-shift and odd-multiply both mirror
+# exactly (values stay < 2^32, so BIGINT xor/shift are the 32-bit ops and
+# the HUGEINT multiply-mod equals the uint64 wrap — same argument as id_hash)
 _SHUFFLED_SHARDS_SQL = f"""
-WITH h AS (
+WITH h0 AS (
     SELECT doc_id,
            CAST(((doc_id + {SEED})::HUGEINT * 2654435761) % 4294967296
                 AS BIGINT) AS hv
     FROM documents
+), h1 AS (
+    SELECT doc_id,
+           CAST((xor(hv, hv >> 16)::HUGEINT * {0x85EBCA6B}) % 4294967296
+                AS BIGINT) AS hv
+    FROM h0
+), h2 AS (
+    SELECT doc_id,
+           CAST((xor(hv, hv >> 13)::HUGEINT * {0xC2B2AE35}) % 4294967296
+                AS BIGINT) AS hv
+    FROM h1
+), h AS (
+    SELECT doc_id, xor(hv, hv >> 16) AS hv FROM h2
 )
 SELECT doc_id,
        hv % {N_SHARDS} AS shard,

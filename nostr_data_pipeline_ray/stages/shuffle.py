@@ -43,6 +43,27 @@ def id_hash(ids: np.ndarray) -> np.ndarray:
     oracle."""
     return (np.asarray(ids).astype(np.uint64) * _KNUTH) % _HASH_MOD
 
+
+_FMIX1 = np.uint64(0x85EBCA6B)
+_FMIX2 = np.uint64(0xC2B2AE35)
+
+
+def finalize32(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix32 avalanche over 32-bit values (uint64 arrays,
+    values < 2^32). A purely multiplicative hash is linear mod small
+    powers of two — ``id_hash(i) % 16`` round-robins sequential ids — so
+    any consumer that buckets by LOW bits (e.g. ``shard = h % n`` with a
+    power-of-two n) must avalanche first. fmix32 is bijective on 32 bits
+    (each xor-shift and odd multiply is invertible), so distinct hashes
+    stay distinct, and every step mirrors exactly in DuckDB BIGINT/HUGEINT
+    arithmetic (``xor(h, h >> k)`` and ``(h::HUGEINT * c) % 4294967296``) —
+    the same oracle-reproducibility contract as ``id_hash``."""
+    h = h ^ (h >> np.uint64(16))
+    h = (h * _FMIX1) % _HASH_MOD
+    h = h ^ (h >> np.uint64(13))
+    h = (h * _FMIX2) % _HASH_MOD
+    return h ^ (h >> np.uint64(16))
+
 # Each bucket is materialized as ONE pandas DataFrame inside map_groups, so
 # bucket count must scale with input size: ~64 MB of parquet (≈ a few hundred
 # MB in-memory) per bucket. At 100 TB that is ~1.6M buckets — the groupby key

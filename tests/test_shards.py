@@ -82,3 +82,58 @@ def test_seed_changes_permutation_deterministically(ray_session):
     # different seed → a different permutation (not everything can agree)
     same = (key(a)[["shard", "pos"]] == key(b)[["shard", "pos"]]).all(axis=1)
     assert not same.all()
+
+
+def test_finalizer_breaks_power_of_two_round_robin():
+    """shard = h % 16 takes the LOW bits; the raw multiplicative hash is
+    linear mod 16, so sequential ids would cycle through all 16 shards in
+    a fixed stride (a strided, not pseudo-random, sample per shard). The
+    fmix32 avalanche must break that cycle while staying bijective."""
+    import numpy as np
+
+    from nostr_data_pipeline_ray.stages.shuffle import finalize32, id_hash
+
+    ids = np.arange(4096, dtype=np.int64)
+    h = finalize32(id_hash(ids.astype(np.uint64) + np.uint64(7)))
+    shard = (h % np.uint64(16)).astype(np.int64)
+    # the raw hash satisfies shard[i+16] == shard[i] for ALL i; avalanched
+    # assignment must not (any fixed small period would stride the sample)
+    for period in (2, 4, 8, 16):
+        assert (shard[period:] != shard[:-period]).any(), period
+    # still bijective (each xor-shift / odd multiply is invertible mod 2^32)
+    assert len(np.unique(finalize32(np.arange(100_000, dtype=np.uint64)))) == 100_000
+    # and balanced: each shard within 3x sqrt-deviation of the mean
+    counts = np.bincount(shard, minlength=16)
+    assert counts.min() > 256 - 3 * 16 and counts.max() < 256 + 3 * 16
+
+
+def test_finalizer_matches_duckdb_mirror():
+    """The exact xor/shift/multiply chain the oracle SQL runs, checked on
+    adversarial ids (beyond 2^32, near the wrap) — the same exact-
+    arithmetic contract id_hash carries."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from nostr_data_pipeline_ray.stages.shuffle import finalize32, id_hash
+
+    ids = np.array(
+        [0, 1, 15, 2**31 - 1, 2**32 - 5, 2**32, 2**40 + 123, 2**52 + 7],
+        dtype=np.int64,
+    )
+    mine = finalize32(id_hash(ids.astype(np.uint64) + np.uint64(7))).astype(np.int64)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids}))
+    got = con.execute(
+        """
+        WITH h0 AS (SELECT doc_id, CAST(((doc_id + 7)::HUGEINT * 2654435761)
+                         % 4294967296 AS BIGINT) AS hv FROM t),
+             h1 AS (SELECT doc_id, CAST((xor(hv, hv >> 16)::HUGEINT * 2246822507)
+                         % 4294967296 AS BIGINT) AS hv FROM h0),
+             h2 AS (SELECT doc_id, CAST((xor(hv, hv >> 13)::HUGEINT * 3266489909)
+                         % 4294967296 AS BIGINT) AS hv FROM h1)
+        SELECT xor(hv, hv >> 16) AS hv FROM h2 ORDER BY doc_id
+        """
+    ).df()["hv"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    assert (mine[order] == got).all()
