@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "quantity_zscore",
     "train_val_split",
     "corpus_collocations",
+    # round-5: context-window chunking (pure map, ~W/S x the corpus words)
+    "doc_chunks",
 ]
 
 

@@ -962,6 +962,112 @@ _TRIM_SELECT = """
 _DUP_SPAN_TRIM_SQL = f"WITH {_trim_ctes()} {_TRIM_SELECT}"
 
 
+# ---------------------------------------------------------------------------
+# doc_chunks — fixed context-window chunking with stride
+# ---------------------------------------------------------------------------
+
+# Registered-query knobs: the sf fixtures average ~54 words/doc, so a
+# 16-word window with stride 12 (4-word overlap) exercises real multi-chunk
+# overlap (~4.7 chunks/doc) instead of degenerating to one chunk per doc.
+# Production pre-training chunking is the same kernel at e.g. W=2048/S=1920.
+CHUNK_WINDOW = 16
+CHUNK_STRIDE = 12
+
+
+def _chunk_batch(batch: pa.Table, window: int, stride: int) -> pa.Table:
+    """Split each document's word sequence into overlapping fixed windows:
+    chunk c covers words [c*stride, c*stride + window); the last chunk is
+    the clamped remainder; a doc with <= window words is one chunk. NULL
+    text yields no chunks (string_split(NULL) unnests to zero rows — the
+    relevance.py convention, mirrored by WHERE text IS NOT NULL).
+
+    Fully vectorized: one split, then the overlapping slices are gathered
+    through a flat take-index (overlap means a plain offsets-into-values
+    ListArray can't alias the split buffer) and re-joined with
+    ``binary_join``. Batch-local — zero exchanges at any scale; output is
+    ~window/stride × the input word count."""
+    batch = batch.filter(pc.is_valid(batch["text"]))
+    words = pc.split_pattern(batch["text"], " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    n = (
+        pc.list_value_length(words).to_numpy().astype(np.int64)
+        if len(words)
+        else np.array([], dtype=np.int64)
+    )
+    n_chunks = 1 + np.maximum(0, (n - window + stride - 1) // stride)
+    parents = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    first = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    chunk_idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - first
+    offs = (
+        np.asarray(words.offsets)[:-1].astype(np.int64)
+        if len(words)
+        else np.array([], dtype=np.int64)
+    )
+    start = offs[parents] + chunk_idx * stride
+    length = np.minimum(chunk_idx * stride + window, n[parents]) - chunk_idx * stride
+    out_offs = np.zeros(len(length) + 1, dtype=np.int64)
+    np.cumsum(length, out=out_offs[1:])
+    take_idx = np.repeat(start - out_offs[:-1], length) + np.arange(
+        int(out_offs[-1]), dtype=np.int64
+    )
+    gathered = pc.list_flatten(words).take(pa.array(take_idx, pa.int64()))
+    chunks = pa.LargeListArray.from_arrays(pa.array(out_offs, pa.int64()), gathered)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(parents, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_words": pa.array(length, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " "),
+        }
+    )
+
+
+def doc_chunks(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+):
+    """Context-window chunking — the step that turns curated documents
+    into model-sized training windows (with overlap so no span is only
+    seen truncated at a window boundary). The reference pipeline has no
+    analog (it ends at an analytics store); this is part of the
+    training-data extension set, downstream of curation and upstream of
+    ``pack_sequences`` / ``write_shards``. A pure map: embarrassingly
+    parallel, streams at 100 TB."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(f"need 0 < stride <= window, got {window=} {stride=}")
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _chunk_batch(b, window, stride), batch_format="pyarrow"
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    return doc_chunks(sf_dir)
+
+
+# list slicing is 1-based inclusive and clamps at both ends, so
+# ws[c*S + 1 : c*S + W] is exactly words [c*S, c*S + W) clamped to n
+_DOC_CHUNKS_SQL = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           len(string_split(text, ' ')) AS n
+    FROM documents WHERE text IS NOT NULL
+), c AS (
+    SELECT doc_id, ws, n,
+           unnest(range(0, CASE WHEN n <= {CHUNK_WINDOW} THEN 1
+                ELSE (n - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1)
+                     // {CHUNK_STRIDE} + 1 END)) AS chunk_idx
+    FROM w
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(LEAST(n - chunk_idx * {CHUNK_STRIDE}, {CHUNK_WINDOW}) AS BIGINT)
+           AS n_words,
+       array_to_string(ws[chunk_idx * {CHUNK_STRIDE} + 1 :
+                          chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')
+           AS chunk_text
+FROM c
+"""
+
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "corpus_token_budget": q_corpus_token_budget,
@@ -969,6 +1075,7 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "dup_span_trim": q_dup_span_trim,
     "corpus_collocations": q_corpus_collocations,
+    "doc_chunks": q_doc_chunks,
 }
 ORACLE = {
     "doc_repetition": _REPETITION_SQL,
@@ -977,4 +1084,5 @@ ORACLE = {
     "doc_dup_spans": _DUP_SPANS_SQL,
     "dup_span_trim": _DUP_SPAN_TRIM_SQL,
     "corpus_collocations": _COLLOCATIONS_SQL,
+    "doc_chunks": _DOC_CHUNKS_SQL,
 }

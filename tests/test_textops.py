@@ -246,17 +246,15 @@ def test_dup_span_trim_planted(ray_session, tmp_path):
         "doc_lm_score",
         "doc_dup_spans",
         "dup_span_trim",
+        "doc_chunks",
     ],
 )
 def test_agrees_with_duckdb_oracle(ray_session, name):
     import nostr_data_pipeline_ray.pipelines.textops as tx
 
-    got = (
-        tx.QUERIES[name](SF)
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    got = tx.QUERIES[name](SF).to_pandas()
+    key = [c for c in ("doc_id", "chunk_idx") if c in got.columns]
+    got = got.sort_values(key).reset_index(drop=True)
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
@@ -265,7 +263,7 @@ def test_agrees_with_duckdb_oracle(ray_session, name):
     want = (
         con.execute(tx.ORACLE[name])
         .fetchdf()
-        .sort_values("doc_id")
+        .sort_values(key)
         .reset_index(drop=True)
     )
     assert list(got.columns) == list(want.columns)
@@ -321,3 +319,76 @@ def test_token_budget_matches_pandas_reference_randomized(ray_session, tmp_path,
     pd.testing.assert_frame_equal(
         got.astype(want.dtypes.to_dict()), want
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks — properties SQL doesn't pin
+# ---------------------------------------------------------------------------
+
+
+def _chunks_df(sf, **kw):
+    from nostr_data_pipeline_ray.pipelines.textops import doc_chunks
+
+    return (
+        doc_chunks(sf, **kw)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_doc_chunks_covers_and_reconstructs(ray_session, tmp_path):
+    """Every word appears in at least one chunk, chunk boundaries follow
+    (window, stride) exactly, and stitching the stride-prefix of each
+    chunk plus the full last chunk's tail reproduces the document."""
+    rows = [
+        (1, ""),                                   # 1 empty word -> 1 chunk
+        (2, "a"),
+        (3, " ".join(f"w{i}" for i in range(16))),  # n == W -> 1 chunk
+        (4, " ".join(f"w{i}" for i in range(17))),  # n == W+1 -> 2 chunks
+        (5, " ".join(f"w{i}" for i in range(100))),
+    ]
+    sf = _docs_dir(tmp_path, rows)
+    got = _chunks_df(sf, window=16, stride=12)
+    by_doc = dict(iter(got.groupby("doc_id")))
+    assert len(by_doc[1]) == 1 and by_doc[1]["chunk_text"].iloc[0] == ""
+    assert len(by_doc[3]) == 1 and by_doc[3]["n_words"].iloc[0] == 16
+    assert len(by_doc[4]) == 2 and by_doc[4]["n_words"].tolist() == [16, 5]
+    for doc_id, text in rows:
+        words = text.split(" ")
+        part = by_doc[doc_id]
+        # coverage + exact window content per chunk
+        for _, r in part.iterrows():
+            s = int(r["chunk_idx"]) * 12
+            assert r["chunk_text"] == " ".join(words[s : s + 16])
+        # reconstruction: stride-prefixes + last chunk tail == document
+        stitched = []
+        for _, r in part.iterrows():
+            stitched.extend(r["chunk_text"].split(" ")[:12])
+        last = part.iloc[-1]["chunk_text"].split(" ")
+        stitched.extend(last[12:])
+        assert stitched == words, doc_id
+
+
+def test_doc_chunks_null_text_yields_no_chunks(ray_session, tmp_path):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["x y", None], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = _chunks_df(str(d))
+    assert got["doc_id"].tolist() == [1]
+
+
+def test_doc_chunks_rejects_bad_params(ray_session):
+    from nostr_data_pipeline_ray.pipelines.textops import doc_chunks
+
+    for kw in ({"stride": 0}, {"window": 0}, {"window": 8, "stride": 9}):
+        with pytest.raises(ValueError):
+            doc_chunks(SF, **kw)
