@@ -157,7 +157,7 @@ _SNAPSHOT_HEAD = [
     # oracle-bearing, not yet covered by a driver snapshot (r1-r4)
     "dedup_clusters", "dedup_survivors", "dedup_clusters_embedding",
     "contamination_flags", "embedding_near_dup",
-    "curated_corpus", "curated_corpus_plus", "curated_corpus_trimmed",
+    "curated_corpus_trimmed",
     "doc_repetition", "corpus_token_budget", "doc_lm_score",
     "doc_dup_spans", "dup_span_trim", "ann_topk_ivf_index",
     # round-5 window-function family (W1-W4), oracle-bearing, new
@@ -201,10 +201,17 @@ _SNAPSHOT_HEAD = [
     # round-5: grouped TF-IDF (per-source vocabulary fingerprints)
     "source_tfidf_top_terms",
     # round-5: standard-scaler normalization + deterministic train/val
-    # split — fills the head to exactly the driver's 50-entry window
+    # split
     "quantity_zscore", "train_val_split",
+    # round-5: PMI collocations + context-window chunking — fills the head
+    # to exactly the driver's 50-entry window
+    "corpus_collocations", "doc_chunks",
 ]
 _SNAPSHOT_DEMOTED = [
+    # stage-prefixes of curated_corpus_trimmed: the five-stage chain's ONE
+    # composed SQL oracle contains both prefixes' CTE chains, so checking
+    # _trimmed checks them
+    "curated_corpus", "curated_corpus_plus",
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)
     "doc_quality",             # ⊂ doc_quality_full
     "hour_histogram",          # same groupby-count shape as activity_timeline
