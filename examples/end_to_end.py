@@ -306,10 +306,17 @@ print("quantity moments:\n", mom.head(4).to_string())
 hh = an.q_top_words_sketch(sf, k=4096, topn=5).to_pandas()
 print("Misra-Gries top words:", list(zip(hh["word"], hh["est_count"])))
 
-# 19. the last mile: seeded deterministic shuffle of the corpus into fixed
-#     training shards — one parquet per shard, exactly-once (tmp+rename),
-#     resumable (existing shards skipped). A data loader streams these.
+# 19. the last mile: context-window chunking (overlapping model-sized
+#     windows; a pure map), then seeded deterministic shuffle of the corpus
+#     into fixed training shards — one parquet per shard, exactly-once
+#     (tmp+rename), resumable (existing shards skipped). A data loader
+#     streams these.
 from nostr_data_pipeline_ray.pipelines.shards import write_shards
+from nostr_data_pipeline_ray.pipelines.textops import doc_chunks
+
+ch = doc_chunks(sf).to_pandas()
+print("\ncontext windows:", len(ch), "chunks from",
+      ch["doc_id"].nunique(), "docs (W=16, stride=12)")
 
 manifest = write_shards(sf, f"{BASE}/shards", n_shards=8)
 print("\ntraining shards:", len(manifest), "files,",
