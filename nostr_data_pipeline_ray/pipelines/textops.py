@@ -437,7 +437,9 @@ def q_corpus_collocations(
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def uni_partial(batch: pa.Table) -> pd.DataFrame:
-        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        # NULL text contributes no tokens (string_split(NULL) unnests to
+        # zero rows in the oracle — the relevance.py convention)
+        words = pc.split_pattern(batch["text"].drop_null(), " ")
         t = pd.DataFrame(
             {"word": pc.list_flatten(words).to_numpy(zero_copy_only=False)}
         )
@@ -455,7 +457,7 @@ def q_corpus_collocations(
         )
         if batch.num_rows == 0:
             return empty
-        words = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        words = pc.split_pattern(batch["text"].drop_null(), " ")
         flat_list = (
             words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
         )

@@ -511,3 +511,34 @@ def test_collocations_planted_pmi(ray_session):
     # T = 6*4 + 3*4 + 3*2 = 42 tokens, B = 6*3 + 3*3 + 3*1 = 30 bigrams
     want = round(math.log((6 / 30.0) / ((6 / 42.0) * (6 / 42.0))), 6)
     assert pairs[("new", "york")] == want
+
+
+def test_collocations_null_text_matches_oracle(ray_session):
+    """NULL text must contribute zero tokens/bigrams on BOTH sides
+    (string_split(NULL) unnests to zero rows) — a ''-coalesce on the Ray
+    side would inflate the unigram total T and shift every PMI."""
+    import duckdb
+
+    from nostr_data_pipeline_ray.pipelines import textops as tx
+
+    docs = ["new york a b"] * 6 + [None] * 4
+    d = _mini_corpus(docs)
+    got = (
+        tx.q_corpus_collocations(d, min_count=5)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}')"
+    )
+    want = (
+        con.execute(tx.ORACLE["corpus_collocations"])
+        .df()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0  # the non-null pairs still score
