@@ -120,6 +120,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qs.update(_fz.QUERIES)  # fuzzy dictionary match by edit distance
     except ImportError:
         pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.graphrank as _gr
+
+        qs.update(_gr.QUERIES)  # integer PageRank (iterative, oracle)
+    except ImportError:
+        pass
     return _snapshot_order(qs)
 
 
@@ -131,7 +137,8 @@ def _oracle_keys() -> set:
         "changelog_filter", "conv_turn_counts", "conv_turn_counts_ivm",
         "ann_topk_ivf_index",
     }
-    for mod in ("dedup", "curate", "textops", "shards", "relevance", "fuzzy"):
+    for mod in ("dedup", "curate", "textops", "shards", "relevance", "fuzzy",
+                "graphrank"):
         try:
             m = __import__(
                 f"nostr_data_pipeline_ray.pipelines.{mod}", fromlist=["ORACLE"]
@@ -163,8 +170,10 @@ _SNAPSHOT_HEAD = [
     # round-5 window-function family (W1-W4), oracle-bearing, new
     "event_gaps", "rolling_daily_events", "cumulative_revenue",
     "order_price_ranks",
-    # round-5 grouping-sets / set-algebra / pivot family (G1-G3)
-    "activity_rollup", "user_type_set_ops", "daily_type_pivot",
+    # round-5 grouping-sets / set-algebra / pivot family (G1-G3;
+    # activity_rollup demoted — its grouping sets are a strict subset of
+    # activity_cube's, which stays in the head)
+    "user_type_set_ops", "daily_type_pivot",
     # round-5 ordered string aggregation (W5, funnel paths)
     "user_event_path",
     # sessionization (LAG boundary flag under a running SUM) — oracle-bearing
@@ -203,15 +212,19 @@ _SNAPSHOT_HEAD = [
     # round-5: standard-scaler normalization + deterministic train/val
     # split
     "quantity_zscore", "train_val_split",
-    # round-5: PMI collocations + context-window chunking — fills the head
-    # to exactly the driver's 50-entry window
+    # round-5: PMI collocations + context-window chunking
     "corpus_collocations", "doc_chunks",
+    # round-5: integer fixed-point PageRank (iterative graph ranking with
+    # an exact unrolled-CTE oracle) — fills the head to exactly the
+    # driver's 50-entry window
+    "supplier_pagerank",
 ]
 _SNAPSHOT_DEMOTED = [
     # stage-prefixes of curated_corpus_trimmed: the five-stage chain's ONE
     # composed SQL oracle contains both prefixes' CTE chains, so checking
     # _trimmed checks them
     "curated_corpus", "curated_corpus_plus",
+    "activity_rollup",         # grouping sets ⊂ activity_cube
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)
     "doc_quality",             # ⊂ doc_quality_full
     "hour_histogram",          # same groupby-count shape as activity_timeline
@@ -281,6 +294,12 @@ def oracle_sql() -> dict[str, str]:
         import nostr_data_pipeline_ray.pipelines.fuzzy as _fz
 
         out.update(_fz.ORACLE)
+    except ImportError:
+        pass
+    try:
+        import nostr_data_pipeline_ray.pipelines.graphrank as _gr
+
+        out.update(_gr.ORACLE)
     except ImportError:
         pass
     # the persisted IVF index answers with an exhaustive probe, so its

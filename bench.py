@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "corpus_collocations",
     # round-5: context-window chunking (pure map, ~W/S x the corpus words)
     "doc_chunks",
+    # round-5: integer PageRank (K=5 iterations, one integer-sum exchange
+    # each over the bidirectional customer<->supplier edge list)
+    "supplier_pagerank",
 ]
 
 
@@ -229,6 +232,7 @@ def run_bench() -> dict:
         from nostr_data_pipeline_ray.pipelines import curate_index as ci
         from nostr_data_pipeline_ray.pipelines import dedup_index as di
         from nostr_data_pipeline_ray.pipelines import fuzzy as fz
+        from nostr_data_pipeline_ray.pipelines import graphrank as gr
         from nostr_data_pipeline_ray.pipelines import pack as pk
         from nostr_data_pipeline_ray.pipelines import relevance as rv
         from nostr_data_pipeline_ray.pipelines import shards as sh
@@ -251,6 +255,7 @@ def run_bench() -> dict:
                     or sh.QUERIES.get(name)
                     or rv.QUERIES.get(name)
                     or fz.QUERIES.get(name)
+                    or gr.QUERIES.get(name)
                     or pk.QUERIES[name]
                 )
                 t0 = time.time()
