@@ -48,6 +48,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -119,12 +120,17 @@ def _edges_with_deg(sf_dir: str):
 
 
 def _present(out: pd.DataFrame, n_nodes: int) -> pd.DataFrame:
+    from ..functions.rounding import round6
+
     node = out["node"].to_numpy(dtype="int64")
     r = out["r"].to_numpy(dtype="int64")
-    # one multiply + one divide from exact ints, mirrored in the SQL:
-    # CAST(r * n AS DOUBLE) / SCALE (both factors exact in a double)
-    rank = np.round(
-        (r * np.int64(n_nodes)).astype(np.float64) / PAGERANK_SCALE, 6
+    # cast each exact int to double BEFORE the multiply (an int64 product
+    # r*n wraps past ~10^9 nodes; the IEEE double multiply/divide chain is
+    # deterministic and mirrored op-for-op in the SQL), then the shared
+    # half-away 6dp contract (np.round's half-to-even diverges from
+    # DuckDB's round() on exact half-ties)
+    rank = round6(
+        r.astype(np.float64) * np.float64(n_nodes) / PAGERANK_SCALE
     )
     return pd.DataFrame(
         {
@@ -136,6 +142,12 @@ def _present(out: pd.DataFrame, n_nodes: int) -> pd.DataFrame:
             # across kinds at equal rank; node cannot)
         }
     )
+
+
+_EMPTY_RESULT = pa.schema(
+    [("kind", pa.string()), ("entity_id", pa.int64()),
+     ("rank_scaled", pa.int64()), ("rank", pa.float64())]
+)
 
 
 def _pagerank_local(sf_dir: str, k: int, top: int):
@@ -162,6 +174,8 @@ def _pagerank_local(sf_dir: str, k: int, top: int):
     d_idx = np.searchsorted(nodes, dst)  # dst values ⊆ nodes (bidirectional)
     deg = np.bincount(s_idx, minlength=len(nodes)).astype(np.int64)
     n_nodes = len(nodes)
+    if n_nodes == 0:  # empty join: the oracle yields zero rows, so do we
+        return rd.from_arrow(_EMPTY_RESULT.empty_table())
     r = np.full(n_nodes, PAGERANK_SCALE // n_nodes, dtype=np.int64)
     base = (15 * (PAGERANK_SCALE // n_nodes)) // 100
     for _ in range(k):
@@ -197,10 +211,14 @@ def supplier_pagerank(
 
     edges = _edges_with_deg(sf_dir)
     in_bytes = edges.size_bytes()
-    # node ids: every node appears as a src (bidirectional edges)
+    # node ids: every node appears as a src (bidirectional edges);
+    # materialized so count() + the branch below don't re-run the
+    # O(edges) grouped count
     deg_tbl = bucketed_sum_count(edges, ["src"], sums={}, count_as="_e",
-                                 input_bytes=in_bytes)
+                                 input_bytes=in_bytes).materialize()
     n_nodes = deg_tbl.count()
+    if n_nodes == 0:
+        return rd.from_arrow(_EMPTY_RESULT.empty_table())
     r0 = PAGERANK_SCALE // n_nodes
     base = (15 * r0) // 100
 
@@ -329,8 +347,8 @@ WITH pairs AS (
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
        node // 2 AS entity_id,
        r AS rank_scaled,
-       round(CAST(r * (SELECT n FROM params) AS DOUBLE) / {PAGERANK_SCALE}, 6)
-           AS rank
+       round(CAST(r AS DOUBLE) * CAST((SELECT n FROM params) AS DOUBLE)
+             / {PAGERANK_SCALE}, 6) AS rank
 FROM r{PAGERANK_K} ORDER BY rank_scaled DESC, node LIMIT {PAGERANK_TOP}
 """
 

@@ -31,7 +31,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from ..stages.shuffle import bucketed_map_groups, id_hash
+from ..stages.shuffle import bucketed_map_groups, finalize32, id_hash
 
 
 def _t(sf_dir: str, table: str) -> str:
@@ -83,7 +83,13 @@ def pack_documents(
 
     def shard(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
-        b["_shard"] = (id_hash(b["doc_id"].to_numpy()) % shards).astype(np.int64)
+        # avalanche before the modulo: the raw multiplicative hash is
+        # linear mod small powers of two (id_hash(id) % 2 == id % 2), so an
+        # all-even id corpus would collapse every document into one shard
+        # at n_shards=2 — see stages/shuffle.py:finalize32
+        b["_shard"] = (
+            finalize32(id_hash(b["doc_id"].to_numpy())) % shards
+        ).astype(np.int64)
         return b
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:

@@ -160,11 +160,52 @@ def write_shards(
     two tasks ever race on a shard's final name (a retried task re-checks
     existence and the rename is atomic either way).
 
+    Resume safety: the resume check is by FILENAME, so it is only valid
+    when the existing files were produced by the same assignment function
+    and parameters. A ``_shards_meta.json`` written before the first
+    shard records (n_shards, seed, columns, assignment version); resuming
+    into a directory whose meta mismatches — or which holds shard files
+    with no meta at all (an unknown/older assignment) — raises instead of
+    silently mixing two permutations (duplicated + missing documents).
+
     Returns the manifest — O(n_shards) rows, the only driver-side
     collection."""
     os.makedirs(out_dir, exist_ok=True)
     path = _t(sf_dir, "documents")
     cols = ["doc_id"] + [c for c in (columns or ["text"]) if c != "doc_id"]
+
+    import json
+
+    meta_path = os.path.join(out_dir, "_shards_meta.json")
+    meta = {
+        "n_shards": int(n_shards),
+        "seed": int(seed),
+        "columns": cols,
+        "assignment": "knuth-fmix32/v2",
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old != meta:
+            raise ValueError(
+                f"write_shards: {out_dir} was written with different "
+                f"parameters ({old}) than requested ({meta}) — resuming "
+                "would mix two shard assignments; use a fresh out_dir"
+            )
+    else:
+        if any(
+            f.startswith("shard-") and f.endswith(".parquet")
+            for f in os.listdir(out_dir)
+        ):
+            raise ValueError(
+                f"write_shards: {out_dir} holds shard files but no "
+                "_shards_meta.json — unknown assignment version; refusing "
+                "to resume over them"
+            )
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp_meta, meta_path)
     ds = rd.read_parquet(path, columns=cols).map_batches(
         lambda b: _with_assignment(b, n_shards, seed), batch_format="pandas"
     )

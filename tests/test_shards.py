@@ -137,3 +137,27 @@ def test_finalizer_matches_duckdb_mirror():
     ).df()["hv"].to_numpy()
     order = np.argsort(ids, kind="stable")
     assert (mine[order] == got).all()
+
+
+def test_write_shards_refuses_mismatched_resume(ray_session, tmp_path):
+    """The resume check is by filename, so resuming with different
+    parameters (or over files from an unknown assignment version) must
+    fail loudly instead of mixing two permutations."""
+    import json
+
+    import pytest as _pytest
+
+    out = str(tmp_path / "shards")
+    shards.write_shards(SF, out, n_shards=4)
+    # different n_shards / seed -> refuse
+    with _pytest.raises(ValueError, match="different parameters"):
+        shards.write_shards(SF, out, n_shards=8)
+    with _pytest.raises(ValueError, match="different parameters"):
+        shards.write_shards(SF, out, n_shards=4, seed=9)
+    # same parameters -> clean resume (all skipped)
+    m = shards.write_shards(SF, out, n_shards=4)
+    assert m["skipped"].all()
+    # shard files with no meta (pre-versioning dir) -> refuse
+    os.remove(os.path.join(out, "_shards_meta.json"))
+    with _pytest.raises(ValueError, match="no .?_shards_meta"):
+        shards.write_shards(SF, out, n_shards=4)
