@@ -333,4 +333,15 @@ fp = rv.source_tfidf_top_terms(sf).to_pandas()
 print("source fingerprint (first source):",
       fp[fp["source"] == fp["source"].iloc[0]]["word"].tolist())
 
+# 21. iterative graph ranking: integer fixed-point PageRank over the
+#     bipartite customer↔supplier order graph (K=5 damped iterations,
+#     rank mass as exact int64 micro-units so the distributed sums match
+#     the SQL oracle bit-for-bit).
+from nostr_data_pipeline_ray.pipelines.graphrank import supplier_pagerank
+
+pr = supplier_pagerank(sf).to_pandas()
+print("\npagerank top-3:",
+      [(r.kind, int(r.entity_id), float(r.rank)) for r in
+       pr.head(3).itertuples()])
+
 ray.shutdown()
