@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["cdc_apply"] = _flag.q_cdc_apply
     qs["cdc_apply_delta"] = _flag.q_cdc_apply_delta  # LSM path, same oracle
     qs["cdc_ordered_head"] = _flag.q_cdc_ordered_head  # shuffle-free order
+    qs["cdc_time_travel"] = _flag.q_cdc_time_travel  # as-of manifest read
     qs["conv_turn_counts"] = _flag.q_conv_turn_counts
     # incrementally maintained view, same aggregate + same oracle
     qs["conv_turn_counts_ivm"] = _flag.q_conv_turn_counts_ivm
@@ -135,7 +136,7 @@ def _oracle_keys() -> set:
     keys = set(_an.ORACLE) | {
         "cdc_apply", "cdc_apply_delta", "cdc_ordered_head",
         "changelog_filter", "conv_turn_counts", "conv_turn_counts_ivm",
-        "ann_topk_ivf_index",
+        "ann_topk_ivf_index", "cdc_time_travel",
     }
     for mod in ("dedup", "curate", "textops", "shards", "relevance", "fuzzy",
                 "graphrank"):
@@ -159,7 +160,7 @@ def _oracle_keys() -> set:
 # scripts/check_contract.py regardless of position.
 _SNAPSHOT_HEAD = [
     # flagship CDC / streaming family — never let these fall out
-    "cdc_apply", "cdc_apply_delta", "cdc_ordered_head",
+    "cdc_apply", "cdc_apply_delta", "cdc_ordered_head", "cdc_time_travel",
     "conv_turn_counts", "conv_turn_counts_ivm", "changelog_filter",
     # oracle-bearing, not yet covered by a driver snapshot (r1-r4)
     "dedup_clusters", "dedup_survivors", "dedup_clusters_embedding",
@@ -183,7 +184,10 @@ _SNAPSHOT_HEAD = [
     "price_percentiles_cont",
     # round-5 statistical aggregates (X1-X4): exact-integer moments,
     # correlation/covariance, grouped mode, NTILE
-    "quantity_moments", "quantity_discount_corr", "quantity_mode",
+    # (quantity_discount_corr demoted: corr² = regr_r2 and slope =
+    # covar/var — the regression query rides the SAME shared five-sum
+    # pipeline and stays in the head)
+    "quantity_moments", "quantity_mode",
     "order_price_ntile",
     # round-5 UNPIVOT (G4): map-side melt, zero exchanges
     "lineitem_unpivot",
@@ -225,6 +229,7 @@ _SNAPSHOT_DEMOTED = [
     # _trimmed checks them
     "curated_corpus", "curated_corpus_plus",
     "activity_rollup",         # grouping sets ⊂ activity_cube
+    "quantity_discount_corr",  # corr² = regr_r2; same shared five-sum kernel
     "latest_event",            # ⊂ latest_event_per_user (top-1 of argmax)
     "doc_quality",             # ⊂ doc_quality_full
     "hour_histogram",          # same groupby-count shape as activity_timeline
@@ -258,6 +263,9 @@ def oracle_sql() -> dict[str, str]:
         "/root/testdata/sf0.01"
     )
     out["changelog_filter"] = _flag.changelog_filter_oracle_sql("/root/testdata/sf0.01")
+    out["cdc_time_travel"] = _flag.cdc_time_travel_oracle_sql(
+        "/root/testdata/sf0.01"
+    )
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts_ivm"] = out["conv_turn_counts"]  # IVM ≡ recompute
     try:

@@ -1636,7 +1636,10 @@ def lake_lineage(lake_root: str) -> pa.Table:
 
 
 def read_final(
-    lake_root: str, sort: bool = False, columns: list[str] | None = None
+    lake_root: str,
+    sort: bool = False,
+    columns: list[str] | None = None,
+    as_of: int | None = None,
 ) -> "rd.Dataset":
     """The current lake state as a Dataset (transcript columns + lsn).
 
@@ -1645,6 +1648,13 @@ def read_final(
     project after the per-partition LWW merge (the merge needs the key +
     lsn + op columns regardless).
 
+    ``as_of`` is TIME TRAVEL: resolve through a past committed epoch's
+    manifest instead of the pointer (Lake.manifest_at) — the snapshot
+    exactly as a reader saw it after that epoch committed. Valid for the
+    ``vacuum(keep_manifests=…)`` retention window; older epochs raise
+    loudly (their manifests and unreferenced parts were pruned together,
+    so a resolvable manifest is always fully readable).
+
     A partial schema-evolution epoch leaves the snapshot mixed-schema
     (rewritten parts carry the new column, carried-forward parts don't) —
     Ray would infer the schema from the first file and silently drop the
@@ -1652,11 +1662,11 @@ def read_final(
     snapshot schema; the common homogeneous case pays nothing.
     """
     lake = Lake(lake_root)
-    if lake.has_deltas():
+    if lake.has_deltas(as_of=as_of):
         # merge-on-read lake: one materialize task per partition (same
         # fan-out shape as the merge itself); compact() restores the plain
         # scan fast path below
-        parts = lake.partition_files()
+        parts = lake.partition_files(as_of=as_of)
         items = [
             {"pkey": pk, "base": b, "deltas": ds}
             for pk, (b, ds) in sorted(parts.items())
@@ -1695,7 +1705,7 @@ def read_final(
         if sort:
             ds = ds.sort(["conv_id", "turn_idx"])
         return ds
-    files = lake.snapshot_files()
+    files = lake.snapshot_files(as_of=as_of)
     if not files:
         return rd.from_arrow(LAKE_SCHEMA.empty_table())
     distinct = _snapshot_schemas(files)
@@ -1858,11 +1868,11 @@ def read_final_ordered(
     return ds
 
 
-def final_table(lake_root: str) -> pa.Table:
+def final_table(lake_root: str, as_of: int | None = None) -> pa.Table:
     """Driver-side sorted snapshot for tests/oracle comparison (small scales)."""
     import ray
 
-    ds = read_final(lake_root, sort=False)
+    ds = read_final(lake_root, sort=False, as_of=as_of)
     refs = ds.to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows]
     if not tables:

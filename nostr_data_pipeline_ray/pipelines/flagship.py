@@ -74,6 +74,40 @@ def cdc_oracle_sql(sf_dir: str) -> str:
     return expected_final_state_sql(binlog)
 
 
+# time-travel query knobs: 4-segment epochs give every fixture scale
+# multiple committed epochs (sf0.001: 8 segs → 2, sf0.01: 10 → 3,
+# sf0.1: 64 → 16); the query reads AS OF epoch 1 = the first 8 segments
+AS_OF_EPOCH = 1
+_AS_OF_SEGMENTS = 4
+
+
+def q_cdc_time_travel(sf_dir: str):
+    """Apply the full changelog in 4-segment epochs to a dedicated lake,
+    then read the snapshot AS OF epoch 1 — byte-exactly the state a
+    reader saw after the second epoch committed, resolved through that
+    epoch's retained manifest (state/lake.py:manifest_at; the Delta/
+    Iceberg-style time travel whose retention window is
+    ``Lake.vacuum(keep_manifests=…)``). Idempotent like q_cdc_apply."""
+    import dataclasses
+
+    binlog = binlog_dir_for(sf_dir)
+    lake = lake_dir_for(sf_dir) + "-asof"
+    cfg = dataclasses.replace(CONFIG, epoch_segments=_AS_OF_SEGMENTS)
+    apply_changelog(lake, binlog, cfg)
+    return read_final(lake, sort=False, as_of=AS_OF_EPOCH)
+
+
+def cdc_time_travel_oracle_sql(sf_dir: str) -> str:
+    """LWW over exactly the segment FILES epochs 0..AS_OF_EPOCH applied
+    (epochs are filename-sorted 4-segment groups — cdc.py:apply loop)."""
+    from ..synth import expected_state_sql_for_files
+    from .cdc import list_segments
+
+    binlog = binlog_dir_for(sf_dir)
+    segs = list_segments(binlog)[: (AS_OF_EPOCH + 1) * _AS_OF_SEGMENTS]
+    return expected_state_sql_for_files(segs)
+
+
 def q_cdc_apply_delta(sf_dir: str):
     """The SAME replay through ``merge_policy='delta'`` (merge-on-read) +
     compaction — and the SAME DuckDB LWW oracle: driver-level bit-for-bit

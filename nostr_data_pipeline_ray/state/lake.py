@@ -115,6 +115,33 @@ class Lake:
         m = self.current_manifest()
         return -1 if m is None else int(m["epoch"])
 
+    def manifest_at(self, epoch: int) -> dict[str, Any]:
+        """Committed manifest of a PAST epoch — the time-travel resolver.
+        Only epochs ≤ the committed pointer are valid: phase 2 writes
+        ``manifests/epoch-{n}.json`` BEFORE flipping ``_manifest.json``,
+        so a bare manifest above the pointer may be an uncommitted orphan.
+        Epochs pruned by ``vacuum`` raise (their manifest file is deleted
+        together with their unreferenced parts — a retained manifest is
+        always fully readable, see ``vacuum``)."""
+        cur = self.current_epoch()
+        if cur < 0:
+            raise ValueError(f"lake {self.root} has no committed epoch")
+        if epoch > cur or epoch < 0:
+            raise ValueError(
+                f"as_of epoch {epoch} is not committed (current: {cur})"
+            )
+        p = os.path.join(self.root, "manifests", f"epoch-{epoch}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"epoch {epoch} manifest is gone — pruned by vacuum; time "
+                f"travel reaches only the retained window (current: {cur})"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def _manifest(self, as_of: int | None) -> dict[str, Any] | None:
+        return self.current_manifest() if as_of is None else self.manifest_at(as_of)
+
     def applied_segments(self) -> set[str]:
         m = self.current_manifest()
         return set() if m is None else set(m["applied_segments"])
@@ -126,11 +153,14 @@ class Lake:
             return {}
         return {int(k): int(v) for k, v in m["watermarks"].items()}
 
-    def snapshot_files(self, pkeys: list[int] | None = None) -> list[str]:
+    def snapshot_files(
+        self, pkeys: list[int] | None = None, as_of: int | None = None
+    ) -> list[str]:
         """Absolute paths of current BASE part files (optionally only for
-        pkeys). Partitions with pending delta parts (merge-on-read policy)
+        pkeys; ``as_of`` resolves a past committed epoch instead).
+        Partitions with pending delta parts (merge-on-read policy)
         are not fully described by this — use ``partition_files``."""
-        m = self.current_manifest()
+        m = self._manifest(as_of)
         if m is None:
             return []
         files = m["files"]
@@ -141,12 +171,13 @@ class Lake:
         return [os.path.join(self.root, r) for r in rels]
 
     def partition_files(
-        self, pkeys: list[int] | None = None
+        self, pkeys: list[int] | None = None, as_of: int | None = None
     ) -> dict[int, tuple[str | None, list[str]]]:
         """pkey → (base part abspath or None, [delta part abspaths, oldest
-        first]) for the committed snapshot. The complete read contract under
+        first]) for the committed snapshot (``as_of`` resolves a past
+        committed epoch instead). The complete read contract under
         either merge policy: rewrite lakes have empty delta lists."""
-        m = self.current_manifest()
+        m = self._manifest(as_of)
         if m is None:
             return {}
         files = m["files"]
@@ -168,8 +199,8 @@ class Lake:
             )
         return out
 
-    def has_deltas(self) -> bool:
-        m = self.current_manifest()
+    def has_deltas(self, as_of: int | None = None) -> bool:
+        m = self._manifest(as_of)
         return bool(m and any(m.get("deltas", {}).values()))
 
     def part_path(self, epoch: int, pkey: int) -> str:

@@ -223,10 +223,18 @@ def expected_final_state(binlog_dir: str) -> pa.Table:
 
 def expected_final_state_sql(binlog_dir: str) -> str:
     """The DuckDB SQL oracle for the final lake state after full replay."""
+    return expected_state_sql_for_files([f"{binlog_dir}/*.parquet"])
+
+
+def expected_state_sql_for_files(paths: list[str]) -> str:
+    """The same LWW oracle over an explicit segment-file list — the
+    time-travel oracle's building block: the state as of epoch e is the
+    LWW fold of exactly the segment files epochs 0..e applied."""
+    file_list = ", ".join(f"'{p}'" for p in paths)
     return f"""
         SELECT conv_id, turn_idx, role, text, tool, ts, lsn
         FROM (
-            SELECT * FROM read_parquet('{binlog_dir}/*.parquet', union_by_name=true)
+            SELECT * FROM read_parquet([{file_list}], union_by_name=true)
             QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) = 1
         )
         WHERE op != 'delete'
