@@ -164,7 +164,15 @@ def cmd_synth(args) -> int:
 def cmd_stats(args) -> int:
     from .state.lake import Lake
 
-    m = Lake(args.lake).current_manifest()
+    lake = Lake(args.lake)
+    if getattr(args, "as_of", None) is not None:
+        try:
+            m = lake.manifest_at(args.as_of)  # time travel: a PAST epoch
+        except ValueError as ex:
+            print(json.dumps({"error": str(ex)}))
+            return 1
+    else:
+        m = lake.current_manifest()
     if m is None:
         print(json.dumps({"epoch": None}))
         return 0
@@ -450,6 +458,11 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats", help="lake manifest summary")
     st.add_argument("--lake", required=True)
+    st.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="summarize a PAST committed epoch's manifest (time travel; "
+        "valid for the vacuum retention window)",
+    )
     st.set_defaults(fn=cmd_stats)
 
     q = sub.add_parser("query", help="run a registered analytics query")
