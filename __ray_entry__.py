@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["cdc_apply_delta"] = _flag.q_cdc_apply_delta  # LSM path, same oracle
     qs["cdc_ordered_head"] = _flag.q_cdc_ordered_head  # shuffle-free order
     qs["cdc_time_travel"] = _flag.q_cdc_time_travel  # as-of manifest read
+    qs["cdc_changes"] = _flag.q_cdc_changes  # change data feed (CDF)
     qs["conv_turn_counts"] = _flag.q_conv_turn_counts
     # incrementally maintained view, same aggregate + same oracle
     qs["conv_turn_counts_ivm"] = _flag.q_conv_turn_counts_ivm
@@ -136,7 +137,7 @@ def _oracle_keys() -> set:
     keys = set(_an.ORACLE) | {
         "cdc_apply", "cdc_apply_delta", "cdc_ordered_head",
         "changelog_filter", "conv_turn_counts", "conv_turn_counts_ivm",
-        "ann_topk_ivf_index", "cdc_time_travel",
+        "ann_topk_ivf_index", "cdc_time_travel", "cdc_changes",
     }
     for mod in ("dedup", "curate", "textops", "shards", "relevance", "fuzzy",
                 "graphrank"):
@@ -161,6 +162,7 @@ def _oracle_keys() -> set:
 _SNAPSHOT_HEAD = [
     # flagship CDC / streaming family — never let these fall out
     "cdc_apply", "cdc_apply_delta", "cdc_ordered_head", "cdc_time_travel",
+    "cdc_changes",
     "conv_turn_counts", "conv_turn_counts_ivm", "changelog_filter",
     # oracle-bearing, not yet covered by a driver snapshot (r1-r4)
     "dedup_clusters", "dedup_survivors", "dedup_clusters_embedding",
@@ -177,9 +179,8 @@ _SNAPSHOT_HEAD = [
     "user_type_set_ops", "daily_type_pivot",
     # round-5 ordered string aggregation (W5, funnel paths)
     "user_event_path",
-    # sessionization (LAG boundary flag under a running SUM) — oracle-bearing
-    # since r3; promoted into the checked head with the window family
-    "user_sessions",
+    # (user_sessions demoted from the head: driver-checked green in r04 —
+    # its slot goes to the never-checked change-data-feed query)
     # round-5 interpolated quantiles (percentile_cont, ANSI convention)
     "price_percentiles_cont",
     # round-5 statistical aggregates (X1-X4): exact-integer moments,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_time_travel"] = _flag.cdc_time_travel_oracle_sql(
         "/root/testdata/sf0.01"
     )
+    out["cdc_changes"] = _flag.cdc_changes_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts_ivm"] = out["conv_turn_counts"]  # IVM ≡ recompute
     try:

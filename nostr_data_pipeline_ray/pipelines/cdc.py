@@ -1880,3 +1880,123 @@ def final_table(lake_root: str, as_of: int | None = None) -> pa.Table:
     t = pa.concat_tables(tables, promote_options="permissive")
     idx = pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
     return t.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# change data feed — what changed between two committed snapshots
+# ---------------------------------------------------------------------------
+
+
+def _partitions_dataset(parts, pkeys: list[int]) -> "rd.Dataset":
+    """As-of state restricted to the given partitions, via the shared
+    merge-on-read primitive (rewrite lakes are the deltas=[] case). One
+    materialize task per partition; conforms to LAKE_SCHEMA (evolved
+    columns beyond it are not part of the change-feed contract)."""
+    items = [
+        {"pkey": pk, "base": parts[pk][0], "deltas": parts[pk][1]}
+        for pk in pkeys
+        if pk in parts
+    ]
+    if not items:
+        return rd.from_arrow(LAKE_SCHEMA.empty_table())
+
+    def mat(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            t = materialize_partition(
+                batch["base"][i].as_py(), batch["deltas"][i].as_py() or []
+            )
+            outs.append(conform_schema(t, target=LAKE_SCHEMA))
+        return pa.concat_tables(outs)
+
+    return rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+        mat, batch_format="pyarrow", batch_size=None
+    )
+
+
+CHANGES_SCHEMA = pa.schema(
+    [pa.field("change_type", pa.string())] + list(LAKE_SCHEMA)
+)
+
+
+def lake_changes(
+    lake_root: str, from_epoch: int, to_epoch: int | None = None
+) -> "rd.Dataset":
+    """Change data feed: the row-level difference between two committed
+    snapshots (the Delta-CDF analog, built on the same retained-manifest
+    time travel as ``read_final(as_of=…)``) — 'upsert' rows carry the NEW
+    state (key absent at ``from_epoch`` or re-written since: lsn is
+    engine-monotone, so any change moves it), 'delete' rows carry the OLD
+    state of keys gone from the new snapshot.
+
+    Scale design: the manifest DIFF prunes the work before any file is
+    read — a partition whose (base, deltas) entries are identical in both
+    manifests cannot contain a change and is skipped entirely, so cost is
+    O(changed partitions), not O(lake). The changed partitions then pay
+    one key-bucketed join each side (upsert probe + delete anti-join)."""
+    lake = Lake(lake_root)
+    to_epoch = lake.current_epoch() if to_epoch is None else to_epoch
+    if from_epoch > to_epoch:
+        raise ValueError(
+            f"from_epoch {from_epoch} is after to_epoch {to_epoch}"
+        )
+    old_parts = lake.partition_files(as_of=from_epoch)
+    new_parts = lake.partition_files(as_of=to_epoch)
+    changed = sorted(
+        pk
+        for pk in set(old_parts) | set(new_parts)
+        if old_parts.get(pk) != new_parts.get(pk)
+    )
+    if not changed:
+        return rd.from_arrow(CHANGES_SCHEMA.empty_table())
+    old_ds = _partitions_dataset(old_parts, changed)
+    new_ds = _partitions_dataset(new_parts, changed)
+
+    from ..stages.joins import bucketed_hash_join
+
+    cols = LAKE_SCHEMA.names
+
+    def old_key_lsn(b: "pd.DataFrame") -> "pd.DataFrame":
+        return b[["conv_id", "turn_idx", "lsn"]].rename(
+            columns={"conv_id": "_oc", "turn_idx": "_ot", "lsn": "_old_lsn"}
+        )
+
+    probed = bucketed_hash_join(
+        new_ds,
+        old_ds.map_batches(old_key_lsn, batch_format="pandas"),
+        left_on=["conv_id", "turn_idx"],
+        right_on=["_oc", "_ot"],
+        how="left",
+    )
+
+    def upserts(b: "pd.DataFrame") -> "pd.DataFrame":
+        # a missing old row left-joins to NaN (float64); lsn is bounded by
+        # the event count (≪ 2^53), so the int64 round-trip is exact and
+        # -1 is a safe sentinel (lsn ≥ 0)
+        old_lsn = b["_old_lsn"].fillna(-1).to_numpy(dtype="int64")
+        keep = b[old_lsn != b["lsn"].to_numpy(dtype="int64")]
+        out = keep[cols].copy(deep=False)
+        out.insert(0, "change_type", "upsert")
+        return out
+
+    def new_keys(b: "pd.DataFrame") -> "pd.DataFrame":
+        return b[["conv_id", "turn_idx"]].rename(
+            columns={"conv_id": "_nc", "turn_idx": "_nt"}
+        )
+
+    gone = bucketed_hash_join(
+        old_ds,
+        new_ds.map_batches(new_keys, batch_format="pandas"),
+        left_on=["conv_id", "turn_idx"],
+        right_on=["_nc", "_nt"],
+        how="left_anti",
+    )
+
+    def deletes(b: "pd.DataFrame") -> "pd.DataFrame":
+        out = b[cols].copy(deep=False)
+        out.insert(0, "change_type", "delete")
+        return out
+
+    return probed.map_batches(upserts, batch_format="pandas").union(
+        gone.map_batches(deletes, batch_format="pandas")
+    )

@@ -108,6 +108,52 @@ def cdc_time_travel_oracle_sql(sf_dir: str) -> str:
     return expected_state_sql_for_files(segs)
 
 
+def q_cdc_changes(sf_dir: str):
+    """Change data feed between the as-of snapshot (epoch 1) and the
+    current one (cdc.py:lake_changes — the Delta-CDF analog): 'upsert'
+    rows carry the new state, 'delete' rows the vanished old state; the
+    manifest diff prunes unchanged partitions before any file is read.
+    Reuses q_cdc_time_travel's 3-epoch lake (idempotent to build)."""
+    import dataclasses
+
+    from .cdc import lake_changes
+
+    binlog = binlog_dir_for(sf_dir)
+    lake = lake_dir_for(sf_dir) + "-asof"
+    cfg = dataclasses.replace(CONFIG, epoch_segments=_AS_OF_SEGMENTS)
+    apply_changelog(lake, binlog, cfg)
+    return lake_changes(lake, from_epoch=AS_OF_EPOCH)
+
+
+def cdc_changes_oracle_sql(sf_dir: str) -> str:
+    """Row-level diff of the two LWW folds: upserts = keys new or
+    re-written since (lsn is engine-monotone, so any change moves it),
+    deletes = keys present at epoch 1 and gone now."""
+    from ..synth import expected_state_sql_for_files
+    from .cdc import list_segments
+
+    binlog = binlog_dir_for(sf_dir)
+    segs = list_segments(binlog)
+    old_sql = expected_state_sql_for_files(
+        segs[: (AS_OF_EPOCH + 1) * _AS_OF_SEGMENTS]
+    )
+    cur_sql = expected_state_sql_for_files(segs)
+    return f"""
+    WITH old AS ({old_sql}), cur AS ({cur_sql})
+    SELECT 'upsert' AS change_type, cur.conv_id, cur.turn_idx, cur.role,
+           cur.text, cur.tool, cur.ts, cur.lsn
+    FROM cur LEFT JOIN old
+        ON cur.conv_id = old.conv_id AND cur.turn_idx = old.turn_idx
+    WHERE old.lsn IS NULL OR old.lsn <> cur.lsn
+    UNION ALL
+    SELECT 'delete' AS change_type, old.conv_id, old.turn_idx, old.role,
+           old.text, old.tool, old.ts, old.lsn
+    FROM old LEFT JOIN cur
+        ON old.conv_id = cur.conv_id AND old.turn_idx = cur.turn_idx
+    WHERE cur.lsn IS NULL
+    """
+
+
 def q_cdc_apply_delta(sf_dir: str):
     """The SAME replay through ``merge_policy='delta'`` (merge-on-read) +
     compaction — and the SAME DuckDB LWW oracle: driver-level bit-for-bit
