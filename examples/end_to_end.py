@@ -61,6 +61,18 @@ final = read_final(lake, sort=True)
 print("final lake:", final.count(), "rows; schema:", final.schema().names)
 print("lineage sample:", lake_lineage(lake).slice(0, 3).to_pylist())
 
+# 3b. time travel + change data feed: read the snapshot AS OF epoch 0
+#     (resolved through that epoch's retained manifest), then the exact
+#     row-level changes epoch 1 applied — the manifest diff prunes
+#     untouched partitions before any file is read.
+from nostr_data_pipeline_ray.pipelines.cdc import lake_changes
+
+asof0 = read_final(lake, as_of=0)
+changes = lake_changes(lake, from_epoch=0).to_pandas()
+print("as-of epoch 0:", asof0.count(), "rows; changes since:",
+      (changes["change_type"] == "upsert").sum(), "upserts,",
+      (changes["change_type"] == "delete").sum(), "deletes")
+
 # 4. analytics over the shared testdata tables
 import nostr_data_pipeline_ray.pipelines.analytics as an
 
