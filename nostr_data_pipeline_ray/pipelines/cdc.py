@@ -1635,6 +1635,26 @@ def lake_lineage(lake_root: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def _materialized_dataset(items: list[dict], target: pa.Schema) -> "rd.Dataset":
+    """One materialize task per partition item ({pkey, base, deltas}),
+    every block conformed to ``target`` — the single merge-on-read read
+    plan shared by read_final's delta branch and the change feed's
+    partition-scoped reads (a fix to one must reach the other)."""
+
+    def mat(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            t = materialize_partition(
+                batch["base"][i].as_py(), batch["deltas"][i].as_py() or []
+            )
+            outs.append(conform_schema(t, target=target))
+        return pa.concat_tables(outs)
+
+    return rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+        mat, batch_format="pyarrow", batch_size=None
+    )
+
+
 def read_final(
     lake_root: str,
     sort: bool = False,
@@ -1690,18 +1710,7 @@ def read_final(
         if columns is not None:
             target = pa.schema([target.field(c) for c in columns])
 
-        def mat(batch: pa.Table) -> pa.Table:
-            outs = []
-            for i in range(batch.num_rows):
-                t = materialize_partition(
-                    batch["base"][i].as_py(), batch["deltas"][i].as_py() or []
-                )
-                outs.append(conform_schema(t, target=target))
-            return pa.concat_tables(outs)
-
-        ds = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
-            mat, batch_format="pyarrow", batch_size=None
-        )
+        ds = _materialized_dataset(items, target)
         if sort:
             ds = ds.sort(["conv_id", "turn_idx"])
         return ds
@@ -1889,9 +1898,9 @@ def final_table(lake_root: str, as_of: int | None = None) -> pa.Table:
 
 def _partitions_dataset(parts, pkeys: list[int]) -> "rd.Dataset":
     """As-of state restricted to the given partitions, via the shared
-    merge-on-read primitive (rewrite lakes are the deltas=[] case). One
-    materialize task per partition; conforms to LAKE_SCHEMA (evolved
-    columns beyond it are not part of the change-feed contract)."""
+    merge-on-read read plan (rewrite lakes are the deltas=[] case);
+    conforms to LAKE_SCHEMA (evolved columns beyond it are not part of
+    the change-feed contract)."""
     items = [
         {"pkey": pk, "base": parts[pk][0], "deltas": parts[pk][1]}
         for pk in pkeys
@@ -1899,19 +1908,7 @@ def _partitions_dataset(parts, pkeys: list[int]) -> "rd.Dataset":
     ]
     if not items:
         return rd.from_arrow(LAKE_SCHEMA.empty_table())
-
-    def mat(batch: pa.Table) -> pa.Table:
-        outs = []
-        for i in range(batch.num_rows):
-            t = materialize_partition(
-                batch["base"][i].as_py(), batch["deltas"][i].as_py() or []
-            )
-            outs.append(conform_schema(t, target=LAKE_SCHEMA))
-        return pa.concat_tables(outs)
-
-    return rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
-        mat, batch_format="pyarrow", batch_size=None
-    )
+    return _materialized_dataset(items, LAKE_SCHEMA)
 
 
 CHANGES_SCHEMA = pa.schema(
@@ -1933,7 +1930,13 @@ def lake_changes(
     read — a partition whose (base, deltas) entries are identical in both
     manifests cannot contain a change and is skipped entirely, so cost is
     O(changed partitions), not O(lake). The changed partitions then pay
-    one key-bucketed join each side (upsert probe + delete anti-join)."""
+    one key-bucketed join each side (upsert probe + delete anti-join).
+
+    Readers hold no lock, so a CONCURRENT ``vacuum`` that prunes
+    ``from_epoch`` can race this read (manifest or part file vanishing
+    mid-plan → ValueError / FileNotFoundError) — the same documented
+    window ``export_snapshot`` retries around; retry against a retained
+    epoch, or don't vacuum while a change feed over old epochs runs."""
     lake = Lake(lake_root)
     to_epoch = lake.current_epoch() if to_epoch is None else to_epoch
     if from_epoch > to_epoch:
@@ -1949,8 +1952,11 @@ def lake_changes(
     )
     if not changed:
         return rd.from_arrow(CHANGES_SCHEMA.empty_table())
-    old_ds = _partitions_dataset(old_parts, changed)
-    new_ds = _partitions_dataset(new_parts, changed)
+    # each side feeds TWO consumers (the upsert probe and the delete
+    # anti-join); materialize once or the per-partition LWW merge — the
+    # feature's core cost — executes twice per side
+    old_ds = _partitions_dataset(old_parts, changed).materialize()
+    new_ds = _partitions_dataset(new_parts, changed).materialize()
 
     from ..stages.joins import bucketed_hash_join
 

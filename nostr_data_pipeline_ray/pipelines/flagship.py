@@ -91,10 +91,19 @@ def q_cdc_time_travel(sf_dir: str):
     import dataclasses
 
     binlog = binlog_dir_for(sf_dir)
-    lake = lake_dir_for(sf_dir) + "-asof"
+    lake = _asof_lake_dir(sf_dir)
     cfg = dataclasses.replace(CONFIG, epoch_segments=_AS_OF_SEGMENTS)
     apply_changelog(lake, binlog, cfg)
     return read_final(lake, sort=False, as_of=AS_OF_EPOCH)
+
+
+def _asof_lake_dir(sf_dir: str) -> str:
+    """Epoch grouping is part of this lake's semantics: fold the segment
+    count into the dir name so changing _AS_OF_SEGMENTS can't silently
+    reuse a lake whose epoch boundaries no longer match the oracle (the
+    apply would no-op via applied_segments and as_of=1 would read the
+    OLD grouping's state)."""
+    return lake_dir_for(sf_dir) + f"-asof{_AS_OF_SEGMENTS}"
 
 
 def cdc_time_travel_oracle_sql(sf_dir: str) -> str:
@@ -119,7 +128,7 @@ def q_cdc_changes(sf_dir: str):
     from .cdc import lake_changes
 
     binlog = binlog_dir_for(sf_dir)
-    lake = lake_dir_for(sf_dir) + "-asof"
+    lake = _asof_lake_dir(sf_dir)
     cfg = dataclasses.replace(CONFIG, epoch_segments=_AS_OF_SEGMENTS)
     apply_changelog(lake, binlog, cfg)
     return lake_changes(lake, from_epoch=AS_OF_EPOCH)

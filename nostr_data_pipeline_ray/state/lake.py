@@ -80,6 +80,9 @@ class Lake:
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "parts"), exist_ok=True)
         self._manifest_cache: tuple[tuple, dict[str, Any]] | None = None
+        # epoch → parsed manifest (committed manifests are immutable);
+        # pruned entries are never refreshed — manifest_at re-raises
+        self._asof_cache: dict[int, dict[str, Any]] = {}
 
     # ---- read side -------------------------------------------------------
 
@@ -121,8 +124,14 @@ class Lake:
         ``manifests/epoch-{n}.json`` BEFORE flipping ``_manifest.json``,
         so a bare manifest above the pointer may be an uncommitted orphan.
         Epochs pruned by ``vacuum`` raise (their manifest file is deleted
-        together with their unreferenced parts — a retained manifest is
-        always fully readable, see ``vacuum``)."""
+        together with their unreferenced parts, so absent a CONCURRENT
+        vacuum a resolvable manifest is fully readable; readers hold no
+        lock, so a vacuum racing an in-flight as-of read can still pull
+        parts out from under it — the export_snapshot retry pattern).
+
+        Committed manifests are immutable, so parses are cached per
+        instance (an as-of read consults the manifest several times; at
+        the 400k-partition design point one parse is multi-second)."""
         cur = self.current_epoch()
         if cur < 0:
             raise ValueError(f"lake {self.root} has no committed epoch")
@@ -130,14 +139,24 @@ class Lake:
             raise ValueError(
                 f"as_of epoch {epoch} is not committed (current: {cur})"
             )
+        if epoch == cur:  # the pointer cache already holds this parse
+            return self.current_manifest()
+        hit = self._asof_cache.get(epoch)
+        if hit is not None:
+            return hit
         p = os.path.join(self.root, "manifests", f"epoch-{epoch}.json")
-        if not os.path.exists(p):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            # no exists() pre-check: a concurrent vacuum could unlink
+            # between check and open — map the race to the same error
             raise ValueError(
                 f"epoch {epoch} manifest is gone — pruned by vacuum; time "
                 f"travel reaches only the retained window (current: {cur})"
-            )
-        with open(p) as f:
-            return json.load(f)
+            ) from None
+        self._asof_cache[epoch] = m
+        return m
 
     def _manifest(self, as_of: int | None) -> dict[str, Any] | None:
         return self.current_manifest() if as_of is None else self.manifest_at(as_of)
