@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     # round-5: integer PageRank (K=5 iterations, one integer-sum exchange
     # each over the bidirectional customer<->supplier edge list)
     "supplier_pagerank",
+    # round-5: time travel + change data feed (pass 1 pays the one-time
+    # 4-segment-epoch replay into the -asof lake; the best-of-2 min is the
+    # warm as-of read / manifest-diff + join — the numbers that matter)
+    "cdc_time_travel",
+    "cdc_changes",
 ]
 
 
@@ -247,6 +252,7 @@ def run_bench() -> dict:
             for name in BENCH_QUERIES:
                 fn = (
                     getattr(an, f"q_{name}", None)
+                    or getattr(flag, f"q_{name}", None)
                     or dd.QUERIES.get(name)
                     or di.QUERIES.get(name)
                     or tx.QUERIES.get(name)
