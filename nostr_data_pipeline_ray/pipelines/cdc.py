@@ -1342,15 +1342,20 @@ def conversation_pkeys(
 
 
 def read_conversation(
-    lake_root: str, conv_id: str, max_turn: int | None = None
+    lake_root: str,
+    conv_id: str,
+    max_turn: int | None = None,
+    as_of: int | None = None,
 ) -> pa.Table:
     """Partition-pruned point lookup: re-derive the conversation's candidate
     pkeys from the manifest's persisted partitioning, read ONLY those part
     files with a conv_id predicate (parts are sorted by conv_id, so parquet
     row-group stats prune tightly), return turns in turn order. At 100 TB
-    this touches a handful of files out of ~400k."""
+    this touches a handful of files out of ~400k. ``as_of`` resolves a
+    past committed epoch's manifest instead (time travel: the
+    conversation exactly as it stood after that epoch)."""
     lake = Lake(lake_root)
-    m = lake.current_manifest()
+    m = lake._manifest(as_of)
     if m is None:
         return LAKE_SCHEMA.empty_table()
     part = m.get("partitioning")
@@ -1364,7 +1369,7 @@ def read_conversation(
     pkeys = conversation_pkeys(
         conv_id, int(part["num_partitions"]), int(part["turn_bucket"]), max_turn
     )
-    parts = lake.partition_files(pkeys)
+    parts = lake.partition_files(pkeys, as_of=as_of)
     if not parts:
         return LAKE_SCHEMA.empty_table()
     tables = [

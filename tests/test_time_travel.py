@@ -190,3 +190,28 @@ def test_changes_equals_bruteforce_diff(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         norm(got[got["change_type"] == "delete"][old.columns]), norm(want_del)
     )
+
+
+def test_read_conversation_as_of(ray_session, tmp_path):
+    """Point-lookup time travel: the conversation as it stood after an
+    earlier epoch — the epoch-0 read must not see epoch 1's rewrite."""
+    from nostr_data_pipeline_ray.pipelines.cdc import read_conversation
+
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    _write_segment(
+        str(binlog / "seg-00000.parquet"),
+        [("c-7", 0, "before", "insert", 1), ("c-8", 0, "other", "insert", 2)],
+    )
+    _write_segment(
+        str(binlog / "seg-00001.parquet"),
+        [("c-7", 0, "after", "update", 3), ("c-7", 1, "tail", "insert", 4)],
+    )
+    lake = str(tmp_path / "lake")
+    apply_changelog(
+        lake, str(binlog), EngineConfig(num_partitions=4, epoch_segments=1)
+    )
+    old = read_conversation(lake, "c-7", as_of=0)
+    new = read_conversation(lake, "c-7")
+    assert old.num_rows == 1 and old["text"][0].as_py() == "before"
+    assert new.num_rows == 2 and new["text"][0].as_py() == "after"
