@@ -2889,6 +2889,97 @@ def q_top_words_per_source_sketch(sf_dir: str, k: int = 1024, topn: int = 5):
     )
 
 
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence — "parts bought together". The within-order
+# pair fan-out is quadratic in BASKET size, not corpus size (TPC-H orders
+# hold ≤7 lines; real carts are O(10)) — that bounded-group premise is the
+# scale contract, the same one the word-Jaccard pipeline enforces with
+# max_df. Two exchanges: co-locate orders, then aggregate pair counts.
+# ---------------------------------------------------------------------------
+
+
+def q_basket_pairs(sf_dir: str, k: int = 50):
+    from ..functions.pairs import within_group_pair_indices
+
+    def pair_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"part_a": [], "part_b": []}).astype("int64")
+        if not len(bucket):
+            return empty
+        # distinct (order, part): the same part on two lines of one order
+        # is one basket membership, not two
+        b = bucket.drop_duplicates(["l_orderkey", "l_partkey"])
+        codes, _ = pd.factorize(b["l_orderkey"].to_numpy(), sort=False)
+        order = np.lexsort((b["l_partkey"].to_numpy(), codes))
+        ids = b["l_partkey"].to_numpy()[order]
+        a_idx, b_idx = within_group_pair_indices(codes[order])
+        if not len(a_idx):
+            return empty
+        # part ascending within each order run -> part_a < part_b
+        return pd.DataFrame({"part_a": ids[a_idx], "part_b": ids[b_idx]})
+
+    pairs = bucketed_map_groups(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        keys=["l_orderkey"],
+        fn=pair_fn,
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    ).materialize()  # two consecutive all-to-alls: split the fused plan
+    co = bucketed_sum_count(
+        pairs,
+        ["part_a", "part_b"],
+        sums={},
+        count_as="n_orders",
+        input_bytes=pairs.size_bytes() or _tbytes(sf_dir, "lineitem"),
+    )
+    return local_topk(
+        co, by=["n_orders", "part_a", "part_b"],
+        descending=[True, False, False], k=k,
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped MAD (median absolute deviation) outlier screen — the robust
+# two-pass companion to quantity_zscore (mean/std break under the very
+# outliers being hunted; median/MAD don't). Both medians happen INSIDE one
+# brand-co-located bucket, so the "two passes" cost one exchange. Exactness:
+# prices are 2-decimal, so integer cents make every intermediate a quarter-
+# integer — exactly representable doubles, making the strict `dev > 3·MAD`
+# boundary comparison bit-identical to the oracle's (a float formulation
+# could flip a count on an ulp).
+# ---------------------------------------------------------------------------
+
+
+def q_price_mad_outliers(sf_dir: str):
+    def mad_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            bucket["p_retailprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        b = pd.DataFrame({"p_brand": bucket["p_brand"].to_numpy(), "c": cents})
+        g = b.groupby("p_brand", sort=False)["c"]
+        med = g.transform("median")  # half-integer cents: exact double
+        b["dev"] = np.abs(b["c"].to_numpy(dtype=np.float64) - med.to_numpy())
+        g2 = b.groupby("p_brand", sort=False)
+        mad_row = g2["dev"].transform("median")  # quarter-int: exact double
+        b["out"] = b["dev"].to_numpy() > 3.0 * mad_row.to_numpy()
+        g2 = b.groupby("p_brand", sort=False)
+        out = g2.agg(
+            n_parts=("c", "size"),
+            med=("c", "median"),
+            mad=("dev", "median"),
+            n_outliers=("out", "sum"),
+        ).reset_index()
+        out["n_parts"] = out["n_parts"].astype("int64")
+        out["n_outliers"] = out["n_outliers"].astype("int64")
+        out["median_price"] = _round_away(out["med"].to_numpy() / 100.0, 3)
+        out["mad"] = _round_away(out["mad"].to_numpy() / 100.0, 4)
+        return out[["p_brand", "n_parts", "median_price", "mad", "n_outliers"]]
+
+    return bucketed_map_groups(
+        _read(sf_dir, "part", columns=["p_brand", "p_retailprice"]),
+        keys=["p_brand"],
+        fn=mad_fn,
+    )
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -2914,6 +3005,45 @@ QUALITY_SQL_THRESHOLD = """(
 )"""
 
 ORACLE: dict[str, str] = {
+    "basket_pairs": """
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), co AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, n_orders FROM co
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    "price_mad_outliers": """
+        WITH c AS (
+            SELECT p_brand,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+            FROM part
+        ), m AS (
+            SELECT p_brand, median(cents) AS med,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM c GROUP BY 1
+        ), d AS (
+            SELECT c.p_brand, abs(c.cents - m.med) AS dev
+            FROM c JOIN m USING (p_brand)
+        ), md AS (
+            SELECT p_brand, median(dev) AS mad FROM d GROUP BY 1
+        ), o AS (
+            SELECT d.p_brand,
+                   CAST(count(*) FILTER (WHERE d.dev > 3 * md.mad) AS BIGINT)
+                       AS n_outliers
+            FROM d JOIN md USING (p_brand) GROUP BY 1
+        )
+        SELECT m.p_brand, m.n_parts,
+               round(m.med / 100, 3) AS median_price,
+               round(md.mad / 100, 4) AS mad,
+               o.n_outliers
+        FROM m JOIN md USING (p_brand) JOIN o USING (p_brand)
+    """,
     "price_percentiles_cont": """
         WITH s AS (
             SELECT l_extendedprice AS v,

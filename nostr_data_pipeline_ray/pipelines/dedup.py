@@ -21,6 +21,7 @@ import ray
 import ray.data as rd
 
 from ..functions.linalg import sq_dists
+from ..functions.pairs import within_group_pair_indices
 from ..stages.actors import cached_get, per_worker
 from ..stages.joins import bucketed_hash_join
 from ..stages.dedup_stages import MinHashLSH, SimHasher, pairs_from_group, word_shingles
@@ -151,7 +152,9 @@ def _explode_bigrams(batch: pa.Table) -> pa.Table:
     return _explode_ngrams(batch, 2)
 
 
-def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
+def _jaccard_scored(
+    sf_dir: str, explode_fn, max_df: int | None = None, score: str = "jaccard"
+):
     """Exact set-Jaccard over all co-occurring doc pairs via an inverted
     index (explode → per-feature pairing → co-occurrence counts → jaccard
     from set sizes carried through the exchange). Returns a Dataset
@@ -239,16 +242,8 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
         if not keep.any():
             return empty
         ids, ns, grp = ids[keep], ns[keep], grp[keep]
-        # kept rows stay contiguous per group; re-run-length for ranks
-        run_break = np.concatenate([[True], grp[1:] != grp[:-1]])
-        run_id = np.cumsum(run_break) - 1
-        run_sizes = np.bincount(run_id)
-        run_starts = np.concatenate([[0], np.cumsum(run_sizes[:-1])])
-        rank = np.arange(len(ids)) - run_starts[run_id]
-        reps = run_sizes[run_id] - rank - 1
-        a_idx = np.repeat(np.arange(len(ids)), reps)
-        rstart = np.cumsum(reps) - reps
-        b_idx = a_idx + (np.arange(int(reps.sum())) - np.repeat(rstart, reps) + 1)
+        # kept rows stay contiguous per group (shared run-length kernel)
+        a_idx, b_idx = within_group_pair_indices(grp)
         # doc_id ascending within each group -> doc_a < doc_b by construction
         return pd.DataFrame(
             {"doc_a": ids[a_idx], "doc_b": ids[b_idx],
@@ -276,20 +271,33 @@ def _jaccard_scored(sf_dir: str, explode_fn, max_df: int | None = None):
         input_bytes=pairs.size_bytes() or doc_bytes,
     )
 
-    def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
+    def scored(batch: pd.DataFrame) -> pd.DataFrame:
         na = batch["na"].to_numpy(dtype=np.float64)
         nb = batch["nb"].to_numpy(dtype=np.float64)
         c = batch["c"].to_numpy(dtype=np.float64)
-        batch["jaccard"] = _round6(c * 1.0 / (na + nb - c))
-        return batch[["doc_a", "doc_b", "jaccard"]]
+        if score == "containment":
+            # asymmetric near-dup evidence: |A∩B| / min(|A|,|B|) — a short
+            # doc fully CONTAINED in a long one scores 1.0 where Jaccard
+            # would dilute it by the long doc's size (the quote/excerpt
+            # duplication class ExactSubstr targets, here at set level)
+            batch[score] = _round6(c * 1.0 / np.minimum(na, nb))
+        else:
+            batch[score] = _round6(c * 1.0 / (na + nb - c))
+        return batch[["doc_a", "doc_b", score]]
 
-    return co.map_batches(jaccard, batch_format="pandas")
+    return co.map_batches(scored, batch_format="pandas")
 
 
-def _jaccard_topk(sf_dir: str, explode_fn, k: int = 50, max_df: int | None = None):
+def _jaccard_topk(
+    sf_dir: str,
+    explode_fn,
+    k: int = 50,
+    max_df: int | None = None,
+    score: str = "jaccard",
+):
     return local_topk(
-        _jaccard_scored(sf_dir, explode_fn, max_df=max_df),
-        by=["jaccard", "doc_a", "doc_b"],
+        _jaccard_scored(sf_dir, explode_fn, max_df=max_df, score=score),
+        by=[score, "doc_a", "doc_b"],
         descending=[True, False, False],
         k=k,
     )
@@ -303,6 +311,17 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     """Word-2-gram Jaccard top-50 — order-sensitive near-dup signal (the
     1-gram variant is bag-of-words; bigrams catch phrase-level copies)."""
     return _jaccard_topk(sf_dir, _explode_bigrams)
+
+
+def q_ngram_containment_pairs(sf_dir: str):
+    """Word-2-gram CONTAINMENT top-50: |A∩B| / min(|A|,|B|). The asymmetric
+    companion to ``ngram_jaccard_pairs`` — identical inverted-index plan
+    (same explode, same pairing exchange, same co-occurrence aggregate),
+    only the edge scoring differs, so the marginal cost of the second
+    metric is one vectorized map. Catches excerpt/quote duplication where
+    a short doc is wholly contained in a long one (Jaccard dilutes that
+    pair by the long doc's size; containment scores it 1.0)."""
+    return _jaccard_topk(sf_dir, _explode_bigrams, score="containment")
 
 
 # ---------------------------------------------------------------------------
@@ -1253,6 +1272,7 @@ QUERIES = {
     "doc_enrich": q_doc_enrich,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_clusters_embedding": q_dedup_clusters_embedding,
@@ -1376,6 +1396,26 @@ ORACLE = {
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+    """,
+    "ngram_containment_pairs": """
+        WITH dg AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM dg a JOIN dg b USING (gram)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        ORDER BY containment DESC, doc_a, doc_b LIMIT 50
     """,
     "word_jaccard_pairs": """
         WITH dw AS (

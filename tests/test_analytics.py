@@ -351,6 +351,10 @@ _WINDOW_QUERIES = (
     # funnel range-counts, entropy pivot, gap-fill counts, two-pass z-score
     "quantity_skew_kurtosis", "purchase_conversions", "user_event_entropy",
     "activity_timeline_dense", "quantity_zscore",
+    # round-5 fifth-session members: within-order pair mining and the
+    # two-median MAD screen both need whole groups (order / brand) in one
+    # bucket
+    "basket_pairs", "price_mad_outliers",
 )
 
 
@@ -584,3 +588,70 @@ def test_lineitem_unpivot_excludes_null_cells(tmp_path):
     assert not got["value"].isna().any()
     k1 = set(got[got["l_orderkey"] == 1]["measure"])
     assert k1 == {"l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_basket_pairs_dedups_repeated_part_within_order(tmp_path):
+    """The same part on two lines of one order is ONE basket membership —
+    and a pair co-occurring in two orders counts twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # order 1: parts {10, 20} with part 10 on two lines
+    # order 2: parts {10, 20, 30}
+    # order 3: single-part basket -> no pairs
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([10, 10, 20, 10, 20, 30, 99], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    got = an.q_basket_pairs(str(tmp_path)).to_pandas()
+    got = got.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "part_a": pd.array([10, 10, 20], dtype="int64"),
+            "part_b": pd.array([20, 30, 30], dtype="int64"),
+            "n_orders": pd.array([2, 1, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_price_mad_outliers_strict_boundary(tmp_path):
+    """dev == 3*MAD exactly is NOT an outlier (strict >) — the comparison
+    must be exact, which the integer-cents encoding guarantees; a float
+    formulation could flip this count by an ulp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # brand A: prices 1.00 1.02 1.04 1.10 1.16
+    #   median = 1.04; devs (cents) = 4 2 0 6 12; MAD = 4 cents
+    #   3*MAD = 12 cents: the 1.16 row sits EXACTLY on the boundary -> 0
+    #   outliers under strict >
+    # brand B: 2.00 2.00 2.00 9.99 -> median 2.00, devs 0 0 0 799,
+    #   MAD = 0 -> any nonzero dev is an outlier (the degenerate-MAD case)
+    t = pa.table(
+        {
+            "p_brand": pa.array(["A"] * 5 + ["B"] * 4),
+            "p_retailprice": pa.array(
+                [1.00, 1.02, 1.04, 1.10, 1.16, 2.00, 2.00, 2.00, 9.99],
+                pa.float64(),
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "part.parquet")
+
+    got = an.q_price_mad_outliers(str(tmp_path)).to_pandas()
+    got = got.sort_values("p_brand").reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "p_brand": ["A", "B"],
+            "n_parts": pd.array([5, 4], dtype="int64"),
+            "median_price": [1.04, 2.0],
+            "mad": [0.04, 0.0],
+            "n_outliers": pd.array([0, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
