@@ -152,6 +152,14 @@ BENCH_QUERIES = [
     # warm as-of read / manifest-diff + join — the numbers that matter)
     "cdc_time_travel",
     "cdc_changes",
+    # round-5 sixth session: within-order pair mining (shared run-length
+    # pair kernel) and the one-exchange grouped MAD screen
+    # (ngram_containment_pairs is correctness-only like the Jaccard twin:
+    # the exact inverted-index pair plan is the oracle anchor, not the
+    # sf0.1 scale path — that's minhash_near_dup)
+    "basket_pairs",
+    "price_mad_outliers",
+    "basket_rules",
 ]
 
 

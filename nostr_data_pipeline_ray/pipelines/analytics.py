@@ -2898,7 +2898,9 @@ def q_top_words_per_source_sketch(sf_dir: str, k: int = 1024, topn: int = 5):
 # ---------------------------------------------------------------------------
 
 
-def q_basket_pairs(sf_dir: str, k: int = 50):
+def _basket_pair_counts(sf_dir: str, count_as: str = "n_orders"):
+    """(part_a, part_b, <count_as>) for every co-purchased part pair —
+    the level-2 frequent-itemset table both basket queries share."""
     from ..functions.pairs import within_group_pair_indices
 
     def pair_fn(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -2923,16 +2925,98 @@ def q_basket_pairs(sf_dir: str, k: int = 50):
         fn=pair_fn,
         input_bytes=_tbytes(sf_dir, "lineitem"),
     ).materialize()  # two consecutive all-to-alls: split the fused plan
-    co = bucketed_sum_count(
+    return bucketed_sum_count(
         pairs,
         ["part_a", "part_b"],
         sums={},
-        count_as="n_orders",
+        count_as=count_as,
         input_bytes=pairs.size_bytes() or _tbytes(sf_dir, "lineitem"),
     )
+
+
+def q_basket_pairs(sf_dir: str, k: int = 50):
     return local_topk(
-        co, by=["n_orders", "part_a", "part_b"],
+        _basket_pair_counts(sf_dir), by=["n_orders", "part_a", "part_b"],
         descending=[True, False, False], k=k,
+    )
+
+
+def q_basket_rules(sf_dir: str, k: int = 50):
+    """Association rules over the co-purchase pairs: for each directed rule
+    antecedent→consequent, support = c/N, confidence = c/n_a and
+    lift = c·N/(n_a·n_b) — every numerator and denominator an exact
+    integer riding its own bucketed aggregate, the floats derived once at
+    the edge (the products stay < 2^53 up to ~10^8-basket catalogs; past
+    that the lift expression moves to the arbitrary-precision O(#rules)
+    edge exactly like the moments family). Three exchanges total: the
+    shared pair table, one part-frequency aggregate, and the two
+    endpoint joins (bucketed, never collected)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def part_count_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        # bucket key = l_partkey, so ALL (order, part) rows of a part are
+        # here: within-bucket distinct == global basket-membership count
+        b = bucket.drop_duplicates(["l_orderkey", "l_partkey"])
+        out = b.groupby("l_partkey", sort=False).size().rename("n_part")
+        out = out.reset_index()
+        out["n_part"] = out["n_part"].astype("int64")
+        return out
+
+    def order_count_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(bucket["l_orderkey"].nunique())]})
+
+    # N: one int on the driver (the only thing collected)
+    n_baskets = int(
+        bucketed_map_groups(
+            li, ["l_orderkey"], order_count_fn,
+            input_bytes=_tbytes(sf_dir, "lineitem"),
+        ).sum("n")
+    )
+    pc = bucketed_map_groups(
+        li, ["l_partkey"], part_count_fn,
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    ).materialize()
+    co = _basket_pair_counts(sf_dir, count_as="c").materialize()
+
+    pc_a = pc.map_batches(
+        lambda b: b.rename(columns={"l_partkey": "pa_key", "n_part": "n_a"}),
+        batch_format="pandas",
+    )
+    pc_b = pc.map_batches(
+        lambda b: b.rename(columns={"l_partkey": "pb_key", "n_part": "n_b"}),
+        batch_format="pandas",
+    )
+    j = bucketed_hash_join(co, pc_a, left_on=["part_a"], right_on=["pa_key"])
+    j = bucketed_hash_join(j, pc_b, left_on=["part_b"], right_on=["pb_key"])
+
+    def rules(batch: pd.DataFrame) -> pd.DataFrame:
+        pa_ = batch["part_a"].to_numpy(dtype=np.int64)
+        pb_ = batch["part_b"].to_numpy(dtype=np.int64)
+        c = batch["c"].to_numpy(dtype=np.float64)
+        na = batch["n_a"].to_numpy(dtype=np.float64)
+        nb = batch["n_b"].to_numpy(dtype=np.float64)
+        # both rule directions; support and lift are symmetric, confidence
+        # conditions on the antecedent
+        ante = np.concatenate([pa_, pb_])
+        cons = np.concatenate([pb_, pa_])
+        cc = np.concatenate([c, c])
+        n1 = np.concatenate([na, nb])
+        n2 = np.concatenate([nb, na])
+        return pd.DataFrame(
+            {
+                "antecedent": ante,
+                "consequent": cons,
+                "support": _round_away(cc / n_baskets, 6),
+                "confidence": _round_away(cc / n1, 6),
+                "lift": _round_away(cc * float(n_baskets) / (n1 * n2), 6),
+            }
+        )
+
+    return local_topk(
+        j.map_batches(rules, batch_format="pandas"),
+        by=["lift", "antecedent", "consequent"],
+        descending=[True, False, False],
+        k=k,
     )
 
 
@@ -3017,6 +3101,36 @@ ORACLE: dict[str, str] = {
         )
         SELECT part_a, part_b, n_orders FROM co
         ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    "basket_rules": """
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+            FROM lp
+        ), pc AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+            FROM lp GROUP BY 1
+        ), co AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), rules AS (
+            SELECT pa AS antecedent, pb AS consequent, c,
+                   x.n_part AS n_a, y.n_part AS n_b
+            FROM co JOIN pc x ON pa = x.l_partkey JOIN pc y ON pb = y.l_partkey
+            UNION ALL
+            SELECT pb, pa, c, y.n_part, x.n_part
+            FROM co JOIN pc x ON pa = x.l_partkey JOIN pc y ON pb = y.l_partkey
+        )
+        SELECT antecedent, consequent,
+               round(c * 1.0 / n.n_baskets, 6) AS support,
+               round(c * 1.0 / n_a, 6) AS confidence,
+               round((c * n.n_baskets) * 1.0 / (n_a * n_b), 6) AS lift
+        FROM rules, n
+        ORDER BY lift DESC, antecedent, consequent LIMIT 50
     """,
     "price_mad_outliers": """
         WITH c AS (

@@ -354,7 +354,7 @@ _WINDOW_QUERIES = (
     # round-5 fifth-session members: within-order pair mining and the
     # two-median MAD screen both need whole groups (order / brand) in one
     # bucket
-    "basket_pairs", "price_mad_outliers",
+    "basket_pairs", "price_mad_outliers", "basket_rules",
 )
 
 
@@ -655,3 +655,30 @@ def test_price_mad_outliers_strict_boundary(tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_basket_rules_confidence_is_directional(tmp_path):
+    """confidence conditions on the antecedent: a rare part implying a
+    common one scores high confidence, the reverse direction low — while
+    support and lift stay symmetric."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # part 10 in 4 of 4 baskets; part 20 only in basket 1 -> {20}->{10}
+    # has confidence 1.0, {10}->{20} confidence 0.25; lift = 4*1/(4*1) = 1
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "l_partkey": pa.array([10, 20, 10, 10, 10], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    got = an.q_basket_rules(str(tmp_path)).to_pandas()
+    got = got.sort_values(["antecedent"]).reset_index(drop=True)
+    assert len(got) == 2
+    fwd = got[got["antecedent"] == 20].iloc[0]
+    rev = got[got["antecedent"] == 10].iloc[0]
+    assert fwd["confidence"] == 1.0 and rev["confidence"] == 0.25
+    assert fwd["support"] == rev["support"] == 0.25
+    assert fwd["lift"] == rev["lift"] == 1.0
