@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "basket_pairs",
     "price_mad_outliers",
     "basket_rules",
+    "user_retention_cohorts",
+    "daily_purchase_vs_signup",
 ]
 
 

@@ -3064,6 +3064,99 @@ def q_price_mad_outliers(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# retention cohorts — the classic growth-analytics matrix: users grouped by
+# first-activity week, counted at each later active week offset. One
+# user-co-located exchange derives (cohort, offset) membership rows, one
+# integer-count aggregate produces the matrix; week truncation is Arrow
+# floor_temporal(week) == DuckDB date_trunc('week') (both Monday-start) and
+# the offset is exact integer day arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "w": pc.floor_temporal(batch["ts"], unit="week"),
+            }
+        )
+        return t.group_by(["user_id", "w"]).aggregate([])  # map-side shrink
+
+    def cohort_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"cohort_week": pd.Series([], dtype="datetime64[us]"),
+                                 "week_offset": pd.Series([], dtype="int64")})
+        # the map-side distinct is per-batch; a user's weeks can span
+        # batches, so re-dedup inside the co-located bucket
+        b = bucket.drop_duplicates(["user_id", "w"])
+        w0 = b.groupby("user_id", sort=False)["w"].transform("min")
+        off = ((b["w"].to_numpy() - w0.to_numpy())
+               .astype("timedelta64[D]").astype(np.int64) // 7)
+        return pd.DataFrame(
+            {"cohort_week": w0.to_numpy(), "week_offset": off.astype("int64")}
+        )
+
+    uw = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        to_weeks, batch_format="pyarrow"
+    )
+    rows = bucketed_map_groups(
+        uw, ["user_id"], cohort_fn, input_bytes=_tbytes(sf_dir, "events")
+    )
+    return bucketed_sum_count(
+        rows,
+        ["cohort_week", "week_offset"],
+        sums={},
+        count_as="n_users",
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER reconciliation — two independent daily aggregates stitched so
+# days present on either side survive (a LEFT join would silently drop
+# signup-only days; growth dashboards reconcile exactly this way). First
+# registry use of bucketed_hash_join's outer mode: unmatched rows of BOTH
+# sides surface in their key's bucket, so the same single exchange covers
+# all three match states.
+# ---------------------------------------------------------------------------
+
+
+def q_daily_purchase_vs_signup(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day_counts(which: str, key: str, n: str):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], which))
+            return pa.table({key: pc.floor_temporal(b["ts"], unit="day")})
+
+        return bucketed_sum_count(
+            ev.map_batches(f, batch_format="pyarrow"),
+            keys=[key], sums={}, count_as=n,
+            input_bytes=_tbytes(sf_dir, "events"),
+        )
+
+    p = day_counts("purchase", "pday", "n_purchases")
+    s = day_counts("signup", "sday", "n_signups")
+    j = bucketed_hash_join(
+        p, s, left_on=["pday"], right_on=["sday"], how="outer",
+        input_bytes=2 * _tbytes(sf_dir, "events"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["pday"].fillna(batch["sday"])
+        return pd.DataFrame(
+            {
+                "day": day,
+                "n_purchases": batch["n_purchases"].fillna(0).astype("int64"),
+                "n_signups": batch["n_signups"].fillna(0).astype("int64"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -3101,6 +3194,32 @@ ORACLE: dict[str, str] = {
         )
         SELECT part_a, part_b, n_orders FROM co
         ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    "daily_purchase_vs_signup": """
+        WITH p AS (
+            SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), s AS (
+            SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        )
+        SELECT COALESCE(p.day, s.day) AS day,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS n_signups
+        FROM p FULL OUTER JOIN s ON p.day = s.day
+    """,
+    "user_retention_cohorts": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+        ), f AS (
+            SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1
+        )
+        SELECT f.w0 AS cohort_week,
+               CAST(date_diff('day', f.w0, uw.w) // 7 AS BIGINT)
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN f USING (user_id)
+        GROUP BY 1, 2
     """,
     "basket_rules": """
         WITH lp AS (

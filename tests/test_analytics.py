@@ -355,6 +355,7 @@ _WINDOW_QUERIES = (
     # two-median MAD screen both need whole groups (order / brand) in one
     # bucket
     "basket_pairs", "price_mad_outliers", "basket_rules",
+    "user_retention_cohorts", "daily_purchase_vs_signup",
 )
 
 
@@ -682,3 +683,84 @@ def test_basket_rules_confidence_is_directional(tmp_path):
     assert fwd["confidence"] == 1.0 and rev["confidence"] == 0.25
     assert fwd["support"] == rev["support"] == 0.25
     assert fwd["lift"] == rev["lift"] == 1.0
+
+
+def test_user_retention_cohorts_planted_matrix(tmp_path):
+    """Two cohorts with a skipped week: offsets are relative to each
+    user's FIRST week (not the global origin) and a gap week simply has
+    no row — plus Monday-start truncation (a Sunday event belongs to the
+    week of the previous Monday)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [
+            # u1: first week of 2024-01-01 (Mon), active weeks 0, 2
+            "2024-01-02 10:00", "2024-01-17 09:00",
+            # u2: same cohort, weeks 0 and 1
+            "2024-01-07 23:00",  # Sunday -> still week of 2024-01-01
+            "2024-01-08 00:30",  # Monday -> week 1
+            # u3: cohort 2024-01-08, week 0 only (two events, one row)
+            "2024-01-09 08:00", "2024-01-10 08:00",
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_user_retention_cohorts(str(tmp_path)).to_pandas()
+    got = got.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "cohort_week": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-01", "2024-01-08"]
+            ),
+            "week_offset": pd.array([0, 1, 2, 0], dtype="int64"),
+            "n_users": pd.array([2, 1, 1, 1], dtype="int64"),
+        }
+    )
+    got["cohort_week"] = pd.to_datetime(got["cohort_week"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_daily_purchase_vs_signup_outer_legs(tmp_path):
+    """The sf fixtures have both event types every day, so the FULL OUTER
+    legs are vacuous there — plant a purchase-only day and a signup-only
+    day and check both survive with zero-filled counts (a LEFT join would
+    drop the signup-only day entirely)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [
+            "2024-03-01 10:00",  # purchase only
+            "2024-03-02 10:00", "2024-03-02 11:00",  # both
+            "2024-03-03 10:00",  # signup only
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "event_type": pa.array(["purchase", "purchase", "signup", "signup"]),
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_daily_purchase_vs_signup(str(tmp_path)).to_pandas()
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.sort_values("day").reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "day": pd.to_datetime(["2024-03-01", "2024-03-02", "2024-03-03"]),
+            "n_purchases": pd.array([1, 1, 0], dtype="int64"),
+            "n_signups": pd.array([0, 1, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
