@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "basket_rules",
     "user_retention_cohorts",
     "daily_purchase_vs_signup",
+    "regional_supplier_volume",
 ]
 
 

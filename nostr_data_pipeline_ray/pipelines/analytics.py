@@ -3065,6 +3065,91 @@ def q_price_mad_outliers(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5 analog — the canonical multi-way star-join: revenue by nation
+# where the ordering customer and the line's supplier share that nation,
+# restricted to one region. Join strategy is the 100-TB playbook: the THREE
+# dimension tables (region→nation filter, supplier→nationkey) ship as
+# broadcasts — supplier is catalog-sized, bounded, never fact-sized — while
+# the two FACT tables meet in bucketed exchanges on their natural keys
+# (orders⋈customer on custkey, lineitem⋈that on orderkey). The same-nation
+# predicate is applied the moment both nationkeys coexist, shrinking the
+# stream 25× before the final aggregate; revenue sums ride as doubles whose
+# true values sit on the 4-decimal grid (2-dec price × 2-dec discount), so
+# the 4dp edge rounding has no boundary ties (cf. order_revenue).
+# ---------------------------------------------------------------------------
+
+
+def q_regional_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    import pyarrow.parquet as pq
+
+    nations = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    regions = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    rkey = regions.loc[regions["r_name"] == region, "r_regionkey"]
+    in_region = nations[nations["n_regionkey"].isin(rkey)][
+        ["n_nationkey", "n_name"]
+    ]
+    supplier = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    # prune suppliers to the region BEFORE broadcast: the inner join then
+    # drops out-of-region lineitems at the first map stage
+    supplier = supplier[supplier["s_nationkey"].isin(in_region["n_nationkey"])]
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev": rev,
+            }
+        )
+
+    li = broadcast_join(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(revenue, batch_format="pyarrow"),
+        supplier,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+
+    oc = bucketed_hash_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        input_bytes=_tbytes(sf_dir, "orders") + _tbytes(sf_dir, "customer"),
+    )
+    j = bucketed_hash_join(
+        li, oc, left_on=["l_orderkey"], right_on=["o_orderkey"],
+        input_bytes=_tbytes(sf_dir, "lineitem") + _tbytes(sf_dir, "orders"),
+    )
+
+    name_of = dict(zip(in_region["n_nationkey"], in_region["n_name"]))
+
+    def same_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["s_nationkey"].to_numpy() == batch["c_nationkey"].to_numpy()
+        out = batch.loc[keep, ["s_nationkey", "rev"]]
+        return pd.DataFrame(
+            {"n_name": out["s_nationkey"].map(name_of), "rev": out["rev"]}
+        )
+
+    return bucketed_sum_count(
+        j.map_batches(same_nation, batch_format="pandas"),
+        keys=["n_name"],
+        sums={"rev": "revenue"},
+        count_as="n_items",
+        input_bytes=_tbytes(sf_dir, "nation"),  # O(#nations) group keys
+    ).map_batches(
+        partial(_round_col, col="revenue", decimals=4), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # retention cohorts — the classic growth-analytics matrix: users grouped by
 # first-activity week, counted at each later active week offset. One
 # user-co-located exchange derives (cohort, offset) membership rows, one
@@ -3194,6 +3279,19 @@ ORACLE: dict[str, str] = {
         )
         SELECT part_a, part_b, n_orders FROM co
         ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    "regional_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY 1
     """,
     "daily_purchase_vs_signup": """
         WITH p AS (

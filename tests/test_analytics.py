@@ -356,6 +356,7 @@ _WINDOW_QUERIES = (
     # bucket
     "basket_pairs", "price_mad_outliers", "basket_rules",
     "user_retention_cohorts", "daily_purchase_vs_signup",
+    "regional_supplier_volume",
 )
 
 
