@@ -163,6 +163,10 @@ BENCH_QUERIES = [
     "user_retention_cohorts",
     "daily_purchase_vs_signup",
     "regional_supplier_volume",
+    "pricing_summary",
+    "shipping_priority",
+    "parts_above_brand_avg",
+    "peak_concurrency",
 ]
 
 

@@ -1173,6 +1173,112 @@ def q_user_sessions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# peak concurrency — interval-overlap maximum via a distributed SWEEP LINE:
+# sessions become ±1 boundary deltas, a range sort orders the sweep, and
+# the running count is the corpus_token_budget prefix-sum pattern reduced
+# further — here pass A's O(blocks) summaries (delta subtotal, local max
+# prefix, its earliest ts) already CONTAIN the answer, so there is no pass
+# B at all: the driver folds #blocks rows, never a data row. Boundary
+# order is (t ASC, d DESC): at equal instants starts precede ends, so a
+# zero-duration (single-event) session still counts itself — spelled
+# identically in the oracle's window ORDER BY.
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(sf_dir: str):
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        same_user = _same_as_prev(b["user_id"].to_numpy())
+        gap_ok = ((b["ts"] - b["ts"].shift(1)) <= _SESSION_GAP).to_numpy()
+        is_new = ~(same_user & gap_ok)
+        sid = pd.Series(is_new, index=b.index).groupby(b["user_id"]).cumsum()
+        g = b.groupby([b["user_id"], sid], sort=False)["ts"]
+        return pd.DataFrame({"t0": g.min().values, "t1": g.max().values})
+
+    sess = bucketed_map_groups(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        keys=["user_id"],
+        fn=sessions,
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+    def deltas(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t": pd.concat([batch["t0"], batch["t1"]], ignore_index=True),
+                "d": np.concatenate(
+                    [np.ones(len(batch), dtype=np.int64),
+                     -np.ones(len(batch), dtype=np.int64)]
+                ),
+            }
+        )
+
+    swept = (
+        sess.map_batches(deltas, batch_format="pandas")
+        .sort(key=["t", "d"], descending=[False, True])
+        .materialize()
+    )
+
+    def summary(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"t0": pa.array([], pa.timestamp("us")),
+             "d0": pa.array([], pa.int64()),
+             "dsum": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64()),
+             "mx_at": pa.array([], pa.timestamp("us")),
+             "starts": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        run = np.cumsum(d)
+        i = int(np.argmax(run))  # first attainment -> earliest ts in block
+        return pa.table(
+            {
+                "t0": batch["t"].slice(0, 1),
+                "d0": batch["d"].slice(0, 1),
+                "dsum": pa.array([int(d.sum())], pa.int64()),
+                "mx": pa.array([int(run[i])], pa.int64()),
+                "mx_at": batch["t"].slice(i, 1),
+                "starts": pa.array([int((d > 0).sum())], pa.int64()),
+            }
+        )
+
+    rows = swept.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # O(number of sort blocks), never O(sessions)
+    anchor = pa.table(
+        {"peak_concurrency": pa.array([], pa.int64()),
+         "peak_at": pa.array([], pa.timestamp("us")),
+         "n_sessions": pa.array([], pa.int64())}
+    )
+    if not len(rows):
+        return rd.from_arrow(anchor)
+    # ties on (t0, d0) across blocks are order-invariant for BOTH outputs:
+    # equal keys share d, so the combined max prefix and its (shared) t
+    # don't depend on which block folds first
+    rows = rows.sort_values(["t0", "d0"], ascending=[True, False],
+                            kind="mergesort").reset_index(drop=True)
+    running, peak, peak_at = 0, None, None
+    for r in rows.itertuples(index=False):
+        cand = running + int(r.mx)
+        if peak is None or cand > peak:
+            peak, peak_at = cand, r.mx_at
+        running += int(r.dsum)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "peak_concurrency": pa.array([peak], pa.int64()),
+                "peak_at": pa.array(
+                    [pd.Timestamp(peak_at)], pa.timestamp("us")
+                ),
+                "n_sessions": pa.array([int(rows["starts"].sum())], pa.int64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # approximate grouped distinct via mergeable HyperLogLog sketches — the
 # scale path for D4/D5 (exact variants stay the oracle-checked default):
 # one register vector per (group, batch) map-side, elementwise-max merge in
@@ -3065,6 +3171,196 @@ def q_price_mad_outliers(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q1 analog — the canonical pricing-summary scan-aggregate: one pass
+# over the fact table, eight aggregates per (returnflag, linestatus). All
+# sums ride the exchange as exact integers under the family contract:
+# quantity is integral, price/discount/tax are 2-decimal, so disc_price
+# (cents·(100−d)) and charge (cents·(100−d)·(100+t)) are exact in 10⁻⁴ /
+# 10⁻⁶ dollar units; every float is derived once at the O(#groups) edge by
+# the expression the oracle spells term-for-term. int64 bounds the charge
+# sum at ~10⁷ high-value rows per group per task-partial — past that the
+# group sums (6 ints per group) would move to the same Python-int edge the
+# moments family documents; the per-row hot path never needs it.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str, cutoff: str = "2000-09-02"):
+    def partial_cols(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp(cutoff)))
+        )
+        q = _int_exact(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), "l_quantity"
+        )
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d100 = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t100 = np.round(
+            batch["l_tax"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dp = cents * (100 - d100)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(q, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "d100": pa.array(d100, pa.int64()),
+                "dp": pa.array(dp, pa.int64()),
+                "ch": pa.array(dp * (100 + t100), pa.int64()),
+            }
+        )
+
+    sums = bucketed_sum_count(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        ).map_batches(partial_cols, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"qty": "sq", "cents": "sp", "d100": "sd", "dp": "sdp", "ch": "sc"},
+        count_as="count_order",
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["count_order"].to_numpy(dtype=np.float64)
+        sp = batch["sp"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["sq"].astype("int64"),
+                "sum_base_price": _round_away(sp / 100.0, 2),
+                "sum_disc_price": _round_away(
+                    batch["sdp"].to_numpy(dtype=np.float64) / 10000.0, 2
+                ),
+                "sum_charge": _round_away(
+                    batch["sc"].to_numpy(dtype=np.float64) / 1000000.0, 2
+                ),
+                "avg_qty": _round_away(
+                    batch["sq"].to_numpy(dtype=np.float64) / n, 6
+                ),
+                "avg_price": _round_away(sp / 100.0 / n, 6),
+                "avg_disc": _round_away(
+                    batch["sd"].to_numpy(dtype=np.float64) / 100.0 / n, 6
+                ),
+                "count_order": batch["count_order"].astype("int64"),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analog — shipping priority: top unshipped-revenue orders for one
+# market segment. Aggregate-FIRST plan: lineitem shrinks to per-order
+# revenue before any join (the 100-TB rule — never widen a fact before its
+# reduction), the segment filter arrives as a bucketed LEFT SEMI join
+# (customer contributes existence, not columns), and the top-10 is the
+# local-topk tournament, never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def q_shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", date: str = "1998-06-01", k: int = 10
+):
+    cut = pd.Timestamp(date)
+
+    def rev_cols(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cut)))
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(1.0, batch["l_discount"]),
+                ),
+            }
+        )
+
+    per_order = bucketed_sum_count(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(rev_cols, batch_format="pyarrow"),
+        keys=["l_orderkey"],
+        sums={"rev": "revenue"},
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    ).map_batches(partial(_round_col, col="revenue", decimals=4),
+                  batch_format="pyarrow")
+
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["c_mktsegment"], segment)
+        ).select(["c_custkey"])
+
+    def date_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cut)))
+
+    orders = bucketed_hash_join(
+        _read(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(date_filter, batch_format="pyarrow"),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(seg_filter, batch_format="pyarrow"),
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        how="left_semi",
+        input_bytes=_tbytes(sf_dir, "orders") + _tbytes(sf_dir, "customer"),
+    )
+    j = bucketed_hash_join(
+        per_order, orders, left_on=["l_orderkey"], right_on=["o_orderkey"],
+        input_bytes=_tbytes(sf_dir, "lineitem") + _tbytes(sf_dir, "orders"),
+    )
+    return local_topk(
+        j.select_columns(["l_orderkey", "revenue", "o_orderdate",
+                          "o_orderpriority"]),
+        by=["revenue", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+        k=k,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decorrelated subquery — "rows above their group's average", the textbook
+# correlated scalar subquery rewritten the distributed way: because the
+# bucketed exchange co-locates each brand, the grouped sum/count AND the
+# per-row comparison happen inside ONE bucket visit — no join-back pass.
+# The predicate is evaluated in exact integers (cents·n > Σcents), so a
+# part sitting exactly ON the average is excluded identically on both
+# engines — a float avg compare could flip it by an ulp.
+# ---------------------------------------------------------------------------
+
+
+def q_parts_above_brand_avg(sf_dir: str):
+    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            bucket["p_retailprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.Series(cents).groupby(
+            bucket["p_brand"].to_numpy(), sort=False
+        )
+        s = g.transform("sum").to_numpy()
+        n = g.transform("size").to_numpy()
+        keep = cents * n > s
+        out = bucket.loc[keep, ["p_partkey", "p_brand", "p_retailprice"]]
+        out = out.reset_index(drop=True)
+        out["brand_avg"] = _round_away(s[keep] / 100.0 / n[keep], 6)
+        return out
+
+    return bucketed_map_groups(
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"]),
+        keys=["p_brand"],
+        fn=fn,
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q5 analog — the canonical multi-way star-join: revenue by nation
 # where the ordering customer and the line's supplier share that nation,
 # restricted to one region. Join strategy is the 100-TB playbook: the THREE
@@ -3279,6 +3575,93 @@ ORACLE: dict[str, str] = {
         )
         SELECT part_a, part_b, n_orders FROM co
         ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    "peak_concurrency": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM e
+        ), sess AS (
+            SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+            FROM s GROUP BY 1, 2
+        ), d AS (
+            SELECT t0 AS t, 1 AS d FROM sess
+            UNION ALL
+            SELECT t1 AS t, -1 AS d FROM sess
+        ), r AS (
+            SELECT t, sum(d) OVER (ORDER BY t, d DESC
+                                   ROWS UNBOUNDED PRECEDING) AS run
+            FROM d
+        )
+        SELECT CAST(max(run) AS BIGINT) AS peak_concurrency,
+               min(t) FILTER (WHERE run = (SELECT max(run) FROM r))
+                   AS peak_at,
+               (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions
+        FROM r
+    """,
+    "shipping_priority": """
+        WITH r AS (
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem WHERE l_shipdate > DATE '1998-06-01' GROUP BY 1
+        )
+        SELECT r.l_orderkey, r.revenue, o.o_orderdate, o.o_orderpriority
+        FROM r JOIN orders o ON r.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < DATE '1998-06-01'
+          AND o.o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+    "parts_above_brand_avg": """
+        WITH c AS (
+            SELECT p_partkey, p_brand, p_retailprice,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+            FROM part
+        ), b AS (
+            SELECT p_brand, sum(cents) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1
+        )
+        SELECT p_partkey, c.p_brand, p_retailprice,
+               round(CAST(s AS DOUBLE) / 100.0 / n, 6) AS brand_avg
+        FROM c JOIN b ON c.p_brand = b.p_brand
+        WHERE c.cents * b.n > b.s
+    """,
+    "pricing_summary": """
+        WITH b AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   sum(CAST(l_quantity AS BIGINT)) AS sq,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+                   sum(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS sdp,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sc
+            FROM lineitem
+            WHERE l_shipdate <= DATE '2000-09-02'
+            GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(sq AS BIGINT) AS sum_qty,
+               round(CAST(sp AS DOUBLE) / 100.0, 2) AS sum_base_price,
+               round(CAST(sdp AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+               round(CAST(sc AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+               round(CAST(sq AS DOUBLE) / count_order, 6) AS avg_qty,
+               round(CAST(sp AS DOUBLE) / 100.0 / count_order, 6) AS avg_price,
+               round(CAST(sd AS DOUBLE) / 100.0 / count_order, 6) AS avg_disc,
+               count_order
+        FROM b
     """,
     "regional_supplier_volume": """
         SELECT n_name,

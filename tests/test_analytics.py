@@ -356,7 +356,8 @@ _WINDOW_QUERIES = (
     # bucket
     "basket_pairs", "price_mad_outliers", "basket_rules",
     "user_retention_cohorts", "daily_purchase_vs_signup",
-    "regional_supplier_volume",
+    "regional_supplier_volume", "pricing_summary",
+    "shipping_priority", "parts_above_brand_avg", "peak_concurrency",
 )
 
 
@@ -765,3 +766,32 @@ def test_daily_purchase_vs_signup_outer_legs(tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_peak_concurrency_point_session_boundary(tmp_path):
+    """Sweep-line boundary order is (t ASC, start-before-end): a point
+    session beginning exactly when another session ends still overlaps it
+    for that instant — ends-first ordering would report 1, not 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 09:00", "2024-01-01 09:20", "2024-01-01 09:40",  # u1
+            "2024-01-01 09:40",  # u2: point session AT u1's session end
+            "2024-01-01 11:00",  # u3: isolated point session
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = an.q_peak_concurrency(str(tmp_path)).to_pandas()
+    assert got["peak_concurrency"].tolist() == [2]
+    assert pd.Timestamp(got["peak_at"][0]) == pd.Timestamp("2024-01-01 09:40")
+    assert got["n_sessions"].tolist() == [3]
