@@ -3071,13 +3071,25 @@ def q_basket_rules(sf_dir: str, k: int = 50):
     def order_count_fn(bucket: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [int(bucket["l_orderkey"].nunique())]})
 
-    # N: one int on the driver (the only thing collected)
+    # N: one int on the driver (the only thing collected); `or 0` because
+    # Dataset.sum of an empty dataset is None
     n_baskets = int(
         bucketed_map_groups(
             li, ["l_orderkey"], order_count_fn,
             input_bytes=_tbytes(sf_dir, "lineitem"),
         ).sum("n")
+        or 0
     )
+    if n_baskets == 0:
+        # Typed empty table returned directly: Ray drops column metadata on
+        # 0-row from_arrow blocks, and the registry contract allows pa.Table.
+        return pa.table(
+            {"antecedent": pa.array([], pa.int64()),
+             "consequent": pa.array([], pa.int64()),
+             "support": pa.array([], pa.float64()),
+             "confidence": pa.array([], pa.float64()),
+             "lift": pa.array([], pa.float64())}
+        )
     pc = bucketed_map_groups(
         li, ["l_partkey"], part_count_fn,
         input_bytes=_tbytes(sf_dir, "lineitem"),

@@ -795,3 +795,22 @@ def test_peak_concurrency_point_session_boundary(tmp_path):
     assert got["peak_concurrency"].tolist() == [2]
     assert pd.Timestamp(got["peak_at"][0]) == pd.Timestamp("2024-01-01 09:40")
     assert got["n_sessions"].tolist() == [3]
+
+
+def test_basket_rules_empty_input(tmp_path):
+    """Zero baskets: typed empty result, no division by the collected N."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_partkey": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = an.q_basket_rules(str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "antecedent", "consequent", "support", "confidence", "lift"
+    ]
