@@ -3550,6 +3550,314 @@ def q_daily_purchase_vs_signup(sf_dir: str):
     return j.map_batches(finish, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier — "cheapest part at every size". The classic
+# distributed-skyline decomposition: dominance is transitive, so a point
+# dominated INSIDE a block is dominated globally and every block can prune
+# to its local skyline independently (no shuffle); the union of local
+# skylines — O(distinct-prices-on-the-frontier) per block, ~O(log n) points
+# in expectation on non-adversarial data — then takes one final single-task
+# pass. Degenerate anti-chain inputs (everything on the frontier) are the
+# documented premise break, as for any skyline algorithm.
+# ---------------------------------------------------------------------------
+
+
+def _pareto_block(df: pd.DataFrame) -> pd.DataFrame:
+    """2D skyline of one block: minimize p_retailprice, maximize p_size.
+    A point survives iff its size is the max within its price group AND
+    strictly above the best size at any cheaper price (ties on BOTH axes
+    are mutual non-dominance — duplicates of a frontier point all stay,
+    matching the NOT EXISTS oracle's strict-in-one clause)."""
+    if not len(df):
+        return df
+    gmax = df.groupby("p_retailprice", sort=True)["p_size"].max()
+    before = gmax.cummax().shift(1)  # best size strictly cheaper
+    at = df["p_retailprice"].map(gmax)
+    mb = df["p_retailprice"].map(before)
+    keep = df["p_size"].eq(at) & (mb.isna() | (df["p_size"] > mb))
+    return df[keep.to_numpy()]
+
+
+def q_part_skyline(sf_dir: str):
+    """Pareto-undominated parts under (price ↓, size ↑)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    pruned = ds.map_batches(_pareto_block, batch_format="pandas")
+    # the candidate set is the union of per-block frontiers — small by the
+    # premise above — so the global pass is a single task over few rows
+    return pruned.repartition(1).map_batches(
+        _pareto_block, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences — the "what do
+# users do next" model table. One bucketed exchange co-locates each user's
+# events; consecutive-pair extraction is a vectorized shift inside the
+# bucket; the (from, to) count table is O(#event-types²) rows, so the
+# probability normalization runs in one trivial final task.
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_transitions(sf_dir: str):
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "to_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+        })
+        if not len(b):
+            return empty
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy()
+        et = b["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]  # consecutive rows of the SAME user
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        return (pairs.groupby(["from_type", "to_type"], sort=False)
+                .size().reset_index(name="n"))
+
+    t = bucketed_map_groups(
+        ev, keys=["user_id"], fn=per_bucket,
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["from_type", "to_type"], sort=False)["n"]
+             .sum().reset_index())
+        tot = g.groupby("from_type")["n"].transform("sum")
+        g["n"] = g["n"].astype("int64")
+        g["prob"] = _round_away(g["n"].to_numpy() / tot.to_numpy(), 6)
+        return g
+
+    # O(#types² × #buckets) partial rows → one tiny normalization task
+    return t.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + global clustering coefficient over the co-purchase
+# graph (nodes = parts, edges = the shared basket-pair table). Wedge
+# enumeration uses DEGREE-ORDERED orientation — each edge points from its
+# lower-(degree, id) endpoint to the higher — which bounds total wedge
+# fan-out by O(m^1.5) regardless of skew (the standard node-iterator++
+# bound); each triangle is enumerated exactly once, at its minimum-order
+# apex. Closure testing is a bucketed semi-join of wedges against the
+# oriented edge list: edges-only exchanges, nothing node-quadratic.
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_triangles(sf_dir: str):
+    from ..functions.pairs import within_group_pair_indices
+
+    edges = (_basket_pair_counts(sf_dir)
+             .map_batches(lambda b: b[["part_a", "part_b"]],
+                          batch_format="pandas")
+             .materialize())
+    ebytes = edges.size_bytes() or _tbytes(sf_dir, "lineitem")
+    n_edges = edges.count()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": np.concatenate(
+            [b["part_a"].to_numpy(), b["part_b"].to_numpy()])})
+
+    deg = bucketed_sum_count(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        keys=["v"], sums={}, count_as="deg", input_bytes=ebytes,
+    ).materialize()
+
+    # unoriented wedge count = Σ deg·(deg−1)/2 — one scalar off the degree
+    # table, no enumeration
+    n_wedges = int(deg.map_batches(
+        lambda b: pd.DataFrame(
+            {"w": b["deg"].to_numpy() * (b["deg"].to_numpy() - 1) // 2}),
+        batch_format="pandas",
+    ).sum("w") or 0)
+
+    dega = deg.map_batches(
+        lambda b: b.rename(columns={"v": "va", "deg": "deg_a"}),
+        batch_format="pandas")
+    degb = deg.map_batches(
+        lambda b: b.rename(columns={"v": "vb", "deg": "deg_b"}),
+        batch_format="pandas")
+    j = bucketed_hash_join(edges, dega, left_on=["part_a"],
+                           right_on=["va"], input_bytes=2 * ebytes)
+    j = bucketed_hash_join(j, degb, left_on=["part_b"],
+                           right_on=["vb"], input_bytes=2 * ebytes)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["part_a"].to_numpy()
+        c = b["part_b"].to_numpy()
+        da = b["deg_a"].to_numpy()
+        dc = b["deg_b"].to_numpy()
+        fwd = (da < dc) | ((da == dc) & (a < c))
+        return pd.DataFrame({
+            "src": np.where(fwd, a, c),
+            "dst": np.where(fwd, c, a),
+            "ddst": np.where(fwd, dc, da),
+        })
+
+    oe = j.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges_of(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                              "w": pd.Series([], dtype="int64")})
+        if not len(b):
+            return empty
+        codes, _ = pd.factorize(b["src"].to_numpy(), sort=False)
+        # sort each out-neighborhood by (deg, id) so pair (i<j) is already
+        # oriented the same way the closing edge is
+        order = np.lexsort(
+            (b["dst"].to_numpy(), b["ddst"].to_numpy(), codes))
+        dst = b["dst"].to_numpy()[order]
+        i, k = within_group_pair_indices(codes[order])
+        if not len(i):
+            return empty
+        return pd.DataFrame({"v": dst[i], "w": dst[k]})
+
+    wedges = bucketed_map_groups(
+        oe, keys=["src"], fn=wedges_of,
+        input_bytes=oe.size_bytes() or ebytes, allow_local=False,
+    )
+    closed = bucketed_hash_join(
+        wedges, oe.map_batches(lambda b: b[["src", "dst"]],
+                               batch_format="pandas"),
+        left_on=["v", "w"], right_on=["src", "dst"], how="left_semi",
+        input_bytes=2 * (oe.size_bytes() or ebytes),
+    )
+    n_tri = closed.count()
+    cc = 0.0 if n_wedges == 0 else float(
+        _round_away(3.0 * n_tri / n_wedges, 6))
+    return pd.DataFrame({
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_wedges": pd.Series([n_wedges], dtype="int64"),
+        "n_triangles": pd.Series([n_tri], dtype="int64"),
+        "global_clustering": [cc],
+    })
+
+
+# ---------------------------------------------------------------------------
+# table profiling — the "describe this table" operator every data-quality
+# sweep starts with. Two legs: (1) per-block partials (rows / nulls /
+# min / max) — O(blocks × columns) tiny rows combined in one final task,
+# values carried as dtype-tagged strings (shortest-roundtrip repr is
+# injective per dtype, re-parsed for the cross-block compare); (2) an exact
+# per-column distinct count as ONE bucketed exchange over (column, value)
+# pairs with map-side dedup. At 100 TB leg 2 swaps to the HLL sketch
+# (stages/sketches.py) — the exact form is the oracle anchor.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _profile_fmt(s: pd.Series) -> pd.Series:
+    """DuckDB CAST(x AS VARCHAR)-compatible string form (int/str exact;
+    float shortest-roundtrip; timestamp 'YYYY-MM-DD HH:MM:SS[.ffffff]')."""
+    return s.dropna().astype(str)
+
+
+def q_table_profile(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=_PROFILE_COLS)
+    kinds = {c: str(t) for c, t in zip(
+        ds.schema().names, ds.schema().types)}
+
+    def _fmt(v, kind: str) -> str:
+        # a null-bearing int column surfaces as float64 in pandas — DuckDB
+        # prints its min/max as an integer, so cast back before str()
+        if "int" in kind:
+            return str(int(v))
+        return str(v)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in _PROFILE_COLS:
+            nn = b[c].dropna()
+            rows.append({
+                "col_name": c,
+                "n_rows": len(b[c]),
+                "n_nulls": int(b[c].isna().sum()),
+                "min_s": _fmt(nn.min(), kinds[c]) if len(nn) else None,
+                "max_s": _fmt(nn.max(), kinds[c]) if len(nn) else None,
+            })
+        return pd.DataFrame(rows)
+
+    def _parse(v: str, kind: str):
+        if v is None:
+            return None
+        if "int" in kind:
+            return int(v)
+        if "double" in kind or "float" in kind:
+            return float(v)
+        if "timestamp" in kind:
+            return pd.Timestamp(v)
+        return v
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c, g in df.groupby("col_name", sort=True):
+            mins = [_parse(v, kinds[c]) for v in g["min_s"] if v is not None]
+            maxs = [_parse(v, kinds[c]) for v in g["max_s"] if v is not None]
+            out.append({
+                "col_name": c,
+                "n_rows": int(g["n_rows"].sum()),
+                "n_nulls": int(g["n_nulls"].sum()),
+                "min_val": str(min(mins)) if mins else None,
+                "max_val": str(max(maxs)) if maxs else None,
+            })
+        o = pd.DataFrame(out)
+        o["n_rows"] = o["n_rows"].astype("int64")
+        o["n_nulls"] = o["n_nulls"].astype("int64")
+        return o
+
+    leg1 = (ds.map_batches(partials, batch_format="pandas")
+            .repartition(1)
+            .map_batches(combine, batch_format="pandas", batch_size=None))
+
+    def explode_vals(b: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in _PROFILE_COLS:
+            sv = _profile_fmt(b[c]).drop_duplicates()  # map-side dedup
+            parts.append(pd.DataFrame({"col_name": c, "sval": sv}))
+        return pd.concat(parts, ignore_index=True)
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col_name", "sval"])
+        out = d.groupby("col_name", sort=False).size().reset_index(
+            name="n_distinct")
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    leg2 = (bucketed_map_groups(
+        ds.map_batches(explode_vals, batch_format="pandas"),
+        keys=["col_name", "sval"], fn=bucket_distinct,
+        input_bytes=2 * _tbytes(sf_dir, "events"))
+        .repartition(1)
+        .map_batches(
+            lambda df: (df.groupby("col_name", sort=True)["n_distinct"]
+                        .sum().astype("int64").reset_index()),
+            batch_format="pandas", batch_size=None))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # an all-null column has no (col, value) pairs at all — LEFT join
+        # hole, but count(DISTINCT) of an all-null column is 0, not absent
+        b["n_distinct"] = b["n_distinct"].fillna(0).astype("int64")
+        return b[["col_name", "n_rows", "n_nulls", "n_distinct",
+                  "min_val", "max_val"]].sort_values("col_name")
+
+    return bucketed_hash_join(
+        leg1, leg2.map_batches(
+            lambda b: b.rename(columns={"col_name": "col2"}),
+            batch_format="pandas"),
+        left_on=["col_name"], right_on=["col2"], how="left", input_bytes=1,
+    ).map_batches(finish, batch_format="pandas")
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -3575,6 +3883,102 @@ QUALITY_SQL_THRESHOLD = """(
 )"""
 
 ORACLE: dict[str, str] = {
+    "part_skyline": """
+        SELECT p_partkey, p_size, p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+    """,
+    "event_type_transitions": """
+        WITH s AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), t AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+        FROM t
+    """,
+    "copurchase_triangles": """
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), d AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY 1
+        ), tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM d)
+                   AS n_wedges,
+               (SELECT n FROM tri) AS n_triangles,
+               (SELECT CASE WHEN sum(deg * (deg - 1)) = 0 THEN 0.0
+                       ELSE round(6.0 * (SELECT n FROM tri)
+                                  / sum(deg * (deg - 1)), 6) END
+                FROM d) AS global_clustering
+    """,
+    "table_profile": """
+        SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+        FROM (
+            SELECT 'event_id' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(min(event_id) AS VARCHAR) AS min_val,
+                   CAST(max(event_id) AS VARCHAR) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(ts) AS BIGINT),
+                   CAST(count(DISTINCT ts) AS BIGINT),
+                   CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(event_type) AS BIGINT),
+                   CAST(count(DISTINCT event_type) AS BIGINT),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(value) AS BIGINT),
+                   CAST(count(DISTINCT value) AS BIGINT),
+                   CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(props) AS BIGINT),
+                   CAST(count(DISTINCT props) AS BIGINT),
+                   min(props), max(props)
+            FROM events
+        ) ORDER BY col_name
+    """,
     "basket_pairs": """
         WITH lp AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -814,3 +814,147 @@ def test_basket_rules_empty_input(tmp_path):
     assert list(got.columns) == [
         "antecedent", "consequent", "support", "confidence", "lift"
     ]
+
+
+def test_part_skyline_tie_semantics(tmp_path):
+    """Dominance is strict-in-one: duplicates of a frontier point are
+    mutually non-dominating and ALL survive; a same-price smaller size is
+    dominated; a cheaper-and-equal-size point dominates across blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "p_size": pa.array([10, 10, 9, 10, 12], pa.int32()),
+            "p_retailprice": [5.0, 5.0, 5.0, 7.0, 8.0],
+        }
+    )
+    # parts 1,2: duplicate frontier point (both stay); part 3: same price,
+    # smaller size (dominated); part 4: pricier, same size as 1/2
+    # (dominated); part 5: pricier but strictly bigger (frontier)
+    pq.write_table(t, tmp_path / "part.parquet")
+    got = an.q_part_skyline(str(tmp_path)).to_pandas()
+    assert sorted(got["p_partkey"]) == [1, 2, 5]
+
+
+def test_part_skyline_block_prune_is_safe():
+    """A locally-dominated point is globally dominated (transitivity): the
+    two-pass plan equals the one-pass skyline on the same rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(400, dtype="int64"),
+            "p_size": rng.integers(1, 50, 400).astype("int32"),
+            "p_retailprice": rng.integers(100, 999, 400) / 10.0,
+        }
+    )
+    whole = an._pareto_block(df)
+    blocks = [an._pareto_block(df.iloc[i: i + 50]) for i in range(0, 400, 50)]
+    merged = an._pareto_block(pd.concat(blocks, ignore_index=True))
+    pd.testing.assert_frame_equal(
+        whole.sort_values("p_partkey").reset_index(drop=True),
+        merged.sort_values("p_partkey").reset_index(drop=True),
+    )
+
+
+def test_event_type_transitions_planted(tmp_path):
+    """Tie timestamps order by event_id; a single-event user emits no
+    transition; probs normalize per from_type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+            "2024-01-01 00:00:01",  # tie with row 2 → event_id order
+            "2024-01-01 00:00:00",  # user 2, single event
+            "2024-01-02 00:00:00", "2024-01-02 00:00:05",
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "event_type": ["a", "b", "c", "a", "a", "b"],
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (an.q_event_type_transitions(str(tmp_path)).to_pandas()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    # u1: a→b (ids 1→2), b→c (ids 2→3, tie broken by event_id); u3: a→b
+    want = pd.DataFrame(
+        {
+            "from_type": ["a", "b"],
+            "to_type": ["b", "c"],
+            "n": pd.array([2, 1], dtype="int64"),
+            "prob": [1.0, 1.0],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_copurchase_triangles_planted_hub(tmp_path):
+    """Star hub + one closing edge: 1 triangle, wedges = C(5,2)+1+1 = 12,
+    clustering 3·1/12 = 0.25. The skewed hub exercises the degree-ordered
+    orientation (wedges enumerate at the LOW-degree apexes, not the hub)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one 2-part order per edge: hub 100 — spokes 1..5, plus edge 1–2
+    edges = [(100, v) for v in (1, 2, 3, 4, 5)] + [(1, 2)]
+    ok, pk = [], []
+    for i, (a, b) in enumerate(edges):
+        ok += [i, i]
+        pk += [a, b]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = an.q_copurchase_triangles(str(tmp_path))
+    assert got.iloc[0]["n_edges"] == 6
+    assert got.iloc[0]["n_wedges"] == 12
+    assert got.iloc[0]["n_triangles"] == 1
+    assert got.iloc[0]["global_clustering"] == 0.25
+
+
+def test_table_profile_nulls_and_all_null_column(tmp_path):
+    """count(DISTINCT) excludes nulls; an all-null column still reports a
+    row (n_distinct 0, NULL min/max) despite having no value pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-02 03:04:05"]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([2, 1], pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([7, None], pa.int64()),
+            "event_type": ["x", "x"],
+            "value": [1.5, 1.5],
+            "props": pa.array([None, None], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (an.q_table_profile(str(tmp_path)).to_pandas()
+           .set_index("col_name"))
+    assert got.loc["event_id", "n_distinct"] == 2
+    assert got.loc["event_id", "min_val"] == "1"
+    assert got.loc["user_id", "n_nulls"] == 1
+    assert got.loc["user_id", "n_distinct"] == 1  # null excluded
+    assert got.loc["user_id", "min_val"] == "7"  # int form, not "7.0"
+    assert got.loc["props", "n_distinct"] == 0
+    assert got.loc["props", "min_val"] is None or pd.isna(
+        got.loc["props", "min_val"])
+    assert got.loc["value", "n_distinct"] == 1
+    assert got.loc["ts", "max_val"] == "2024-01-02 03:04:05"
+    assert (got["n_rows"] == 2).all()
