@@ -33,6 +33,7 @@ from ..stages.shuffle import (
     id_hash,
     local_topk,
     table_bytes,
+    table_rows,
 )
 
 
@@ -3858,6 +3859,126 @@ def q_table_profile(sf_dir: str):
     ).map_batches(finish, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# rolling 7-day DISTINCT users — the windowed-distinct class (rolling COUNT
+# is a prefix trick; rolling DISTINCT is not, because distinct doesn't
+# subtract). Plan: exact (day, user) dedup, then REPLICATE each active-day
+# row to the ≤7 trailing window-days it serves — the replication factor is
+# the window/step ratio, the honest cost of exact windowed distinct at any
+# scale — then a second bucketed distinct-count. Day spine = observed days
+# only (tiny, broadcast).
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_distinct_users(sf_dir: str, window_days: int = 7):
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ebytes = _tbytes(sf_dir, "events")
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "user_id": batch["user_id"],
+        })
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["day", "user_id"])
+
+    du = bucketed_map_groups(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        keys=["day", "user_id"], fn=dedup, pre=dedup, input_bytes=ebytes,
+    ).materialize()
+
+    # the observed-day spine is O(#days) — broadcast it as a filter set
+    days = set(
+        pd.concat([b["day"] for b in
+                   du.map_batches(lambda b: b[["day"]].drop_duplicates(),
+                                  batch_format="pandas")
+                   .iter_batches(batch_format="pandas")], ignore_index=True)
+        .drop_duplicates()
+    )
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for k in range(window_days):
+            w = b["day"] + pd.Timedelta(days=k)
+            m = w.isin(days).to_numpy()  # don't serve never-observed days
+            if m.any():
+                parts.append(pd.DataFrame(
+                    {"day": w[m], "user_id": b["user_id"][m]}))
+        if not parts:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "user_id": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(parts, ignore_index=True)
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["day", "user_id"])
+        out = d.groupby("day", sort=False).size().reset_index(
+            name="n_users_7d")
+        out["n_users_7d"] = out["n_users_7d"].astype("int64")
+        return out
+
+    partial = bucketed_map_groups(
+        du.map_batches(replicate, batch_format="pandas"),
+        keys=["day", "user_id"], fn=count_in_bucket, pre=dedup,
+        input_bytes=window_days * (du.size_bytes() or ebytes),
+    )
+    return bucketed_sum_count(
+        partial, keys=["day"], sums={"n_users_7d": "n_users_7d"},
+        input_bytes=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreign-key integrity audit — the referential-quality operator every
+# ingest pipeline runs before trusting a join: per relationship, how many
+# child rows point at a missing parent and how many distinct keys are
+# missing. Child keys pre-aggregate to (key, cnt) map-side, the orphan set
+# is a bucketed LEFT ANTI join of key tables (never row tables), and the
+# final fold is O(#relationships).
+# ---------------------------------------------------------------------------
+
+_FK_RELS = [
+    # (name, child table, child key, parent table, parent key)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+]
+
+
+def q_fk_integrity(sf_dir: str):
+    rows = []
+    for name, child, ckey, parent, pkey in _FK_RELS:
+        ckeys = bucketed_sum_count(
+            _read(sf_dir, child, columns=[ckey]),
+            keys=[ckey], sums={}, count_as="cnt",
+            input_bytes=_tbytes(sf_dir, child),
+        )
+        orphans = bucketed_hash_join(
+            ckeys,
+            _read(sf_dir, parent, columns=[pkey]),
+            left_on=[ckey], right_on=[pkey], how="left_anti",
+            input_bytes=_tbytes(sf_dir, child) + _tbytes(sf_dir, parent),
+        ).materialize()  # tiny: one row per MISSING key
+        n_orphans = int(orphans.sum("cnt") or 0)
+        rows.append({
+            "relationship": name,
+            "n_child_rows": table_rows(_t(sf_dir, child)),
+            "n_orphans": n_orphans,
+            "n_missing_keys": orphans.count(),
+        })
+    out = pd.DataFrame(rows)
+    for c in ("n_child_rows", "n_orphans", "n_missing_keys"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -3882,7 +4003,35 @@ QUALITY_SQL_THRESHOLD = """(
     WHERE rn - 1 = least(CAST(floor(n * 0.75) AS BIGINT), n - 1)
 )"""
 
+def _fk_oracle_block(name, child, ckey, parent, pkey):
+    return f"""
+        SELECT '{name}' AS relationship,
+               CAST(count(*) AS BIGINT) AS n_child_rows,
+               CAST(coalesce(sum(CASE WHEN c.{ckey} IS NOT NULL
+                    AND p.{pkey} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_orphans,
+               CAST(count(DISTINCT CASE WHEN p.{pkey} IS NULL
+                    THEN c.{ckey} END) AS BIGINT) AS n_missing_keys
+        FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+    """
+
+
 ORACLE: dict[str, str] = {
+    "rolling_distinct_users": """
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events
+        )
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+                   AS n_users_7d
+        FROM (SELECT DISTINCT day FROM du) d
+        JOIN du u
+          ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY 1
+    """,
+    "fk_integrity": " UNION ALL ".join(
+        _fk_oracle_block(*rel) for rel in _FK_RELS
+    ),
     "part_skyline": """
         SELECT p_partkey, p_size, p_retailprice
         FROM part p

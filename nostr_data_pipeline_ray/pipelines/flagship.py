@@ -163,6 +163,103 @@ def cdc_changes_oracle_sql(sf_dir: str) -> str:
     """
 
 
+def q_cdc_history(sf_dir: str):
+    return cdc_history(binlog_dir_for(sf_dir))
+
+
+def cdc_history(binlog: str):
+    """SCD2 version history straight off the binlog — the warehouse
+    "slowly-changing-dimension type 2" build: every non-delete change
+    event is a version row valid over [valid_from_lsn, valid_to_lsn),
+    closed by the NEXT change of the same key (upsert OR delete),
+    open-ended (``is_current``) otherwise; ``version_seq`` numbers the
+    surviving versions per key. ONE bucketed exchange on the CDC
+    partitioning key (conv_id, turn_idx) co-locates each key's chain;
+    the chain walk is a vectorized shift, columns pruned at the scan.
+    Per-key chains are short by construction, so no bucket is hot."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.binlog import read_changelog
+    from ..stages.shuffle import bucketed_map_groups
+    from .cdc import list_segments
+
+    nbytes = sum(os.path.getsize(p) for p in list_segments(binlog))
+    ds = read_changelog(binlog, columns=["conv_id", "turn_idx", "op", "lsn"])
+
+    def chains(b: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "version_seq",
+                "valid_from_lsn", "valid_to_lsn", "is_current"]
+        if not len(b):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="int64"),
+                "turn_idx": pd.Series([], dtype="int64"),
+                "version_seq": pd.Series([], dtype="int64"),
+                "valid_from_lsn": pd.Series([], dtype="int64"),
+                "valid_to_lsn": pd.Series([], dtype="Int64"),
+                "is_current": pd.Series([], dtype=bool),
+            })[cols]
+        # at-least-once delivery: the stream carries exact retry
+        # duplicates (same key, same lsn) — a version can't change twice
+        # at one LSN, so collapse them before chaining; op joins the sort
+        # key so an (ill-formed) same-lsn op conflict still orders
+        # deterministically on both engines
+        b = b.drop_duplicates().sort_values(
+            ["conv_id", "turn_idx", "lsn", "op"], kind="mergesort")
+        conv = b["conv_id"].to_numpy()
+        turn = b["turn_idx"].to_numpy()
+        lsn = b["lsn"].to_numpy()
+        same_next = np.zeros(len(b), dtype=bool)  # row i, i+1 share a key
+        same_next[:-1] = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        nxt = pd.array(np.roll(lsn, -1), dtype="Int64")
+        nxt[~same_next] = pd.NA
+        b = b.assign(valid_to_lsn=nxt)
+        kept = b[(b["op"] != "delete").to_numpy()].copy()
+        kept["version_seq"] = (
+            kept.groupby(["conv_id", "turn_idx"], sort=False).cumcount() + 1
+        ).astype("int64")
+        kept["is_current"] = kept["valid_to_lsn"].isna()
+        kept = kept.rename(columns={"lsn": "valid_from_lsn"})
+        return kept[cols]
+
+    return bucketed_map_groups(
+        ds, keys=["conv_id", "turn_idx"], fn=chains, input_bytes=nbytes
+    )
+
+
+def cdc_history_oracle_sql(sf_dir: str) -> str:
+    from .cdc import list_segments
+
+    return history_sql_for_files(list_segments(binlog_dir_for(sf_dir)))
+
+
+def history_sql_for_files(segs: list) -> str:
+    """lead() closes each version with the next event of the key (deletes
+    close but don't version); row_number AFTER the delete filter numbers
+    surviving versions — mirrored by the engine's post-filter cumcount."""
+    file_list = ", ".join(f"'{p}'" for p in segs)
+    return f"""
+        WITH ev AS (
+            -- DISTINCT collapses at-least-once retry duplicates
+            SELECT DISTINCT conv_id, turn_idx, op, lsn
+            FROM read_parquet([{file_list}], union_by_name=true)
+        ), v AS (
+            SELECT conv_id, turn_idx, op, lsn,
+                   lead(lsn) OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn, op
+                   ) AS valid_to_lsn
+            FROM ev
+        )
+        SELECT conv_id, turn_idx,
+               CAST(row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY lsn, op
+               ) AS BIGINT) AS version_seq,
+               lsn AS valid_from_lsn, valid_to_lsn,
+               (valid_to_lsn IS NULL) AS is_current
+        FROM v WHERE op != 'delete'
+    """
+
+
 def q_cdc_apply_delta(sf_dir: str):
     """The SAME replay through ``merge_policy='delta'`` (merge-on-read) +
     compaction — and the SAME DuckDB LWW oracle: driver-level bit-for-bit

@@ -958,3 +958,70 @@ def test_table_profile_nulls_and_all_null_column(tmp_path):
     assert got.loc["value", "n_distinct"] == 1
     assert got.loc["ts", "max_val"] == "2024-01-02 03:04:05"
     assert (got["n_rows"] == 2).all()
+
+
+def test_rolling_distinct_users_window_semantics(tmp_path):
+    """Trailing 7-day window: a user active on two days inside one window
+    counts once; only OBSERVED days appear in the spine; a day outside the
+    window doesn't leak in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 05:00:00",  # u1 day 0
+            "2024-01-03 06:00:00",  # u1 day 2 (same user, same window)
+            "2024-01-03 07:00:00",  # u2 day 2
+            "2024-01-20 08:00:00",  # u1 far later: own window only
+        ]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (an.q_rolling_distinct_users(str(tmp_path)).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    assert list(got["day"].dt.strftime("%Y-%m-%d")) == [
+        "2024-01-01", "2024-01-03", "2024-01-20"
+    ]
+    assert list(got["n_users_7d"]) == [1, 2, 1]
+
+
+def test_fk_integrity_planted_orphans(tmp_path):
+    """Orphan child rows counted per ROW and per distinct MISSING key; a
+    NULL child key is not a violation (SQL FK semantics) but still counts
+    in n_child_rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 99, 99, 98, None], pa.int64()),
+        "l_partkey": pa.array([10, 10, 10, 10, 10, 10], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([5], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10], pa.int64()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([5], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int32()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32()),
+    }), tmp_path / "nation.parquet")
+
+    got = an.q_fk_integrity(str(tmp_path)).set_index("relationship")
+    li = got.loc["lineitem.l_orderkey->orders"]
+    assert li["n_child_rows"] == 6
+    assert li["n_orphans"] == 3       # two rows key 99 + one row key 98
+    assert li["n_missing_keys"] == 2  # {98, 99}; NULL not a violation
+    assert got.loc["lineitem.l_partkey->part", "n_orphans"] == 0
+    assert got.loc["orders.o_custkey->customer", "n_orphans"] == 0
+    assert got.loc["customer.c_nationkey->nation", "n_orphans"] == 0
