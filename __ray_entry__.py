@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     qs["cdc_time_travel"] = _flag.q_cdc_time_travel  # as-of manifest read
     qs["cdc_changes"] = _flag.q_cdc_changes  # change data feed (CDF)
     qs["cdc_history"] = _flag.q_cdc_history  # SCD2 version history
+    qs["conv_transcript"] = _flag.q_conv_transcript  # ordered rebuild
     qs["conv_turn_counts"] = _flag.q_conv_turn_counts
     # incrementally maintained view, same aggregate + same oracle
     qs["conv_turn_counts_ivm"] = _flag.q_conv_turn_counts_ivm
@@ -139,7 +140,7 @@ def _oracle_keys() -> set:
         "cdc_apply", "cdc_apply_delta", "cdc_ordered_head",
         "changelog_filter", "conv_turn_counts", "conv_turn_counts_ivm",
         "ann_topk_ivf_index", "cdc_time_travel", "cdc_changes",
-        "cdc_history",
+        "cdc_history", "conv_transcript",
     }
     for mod in ("dedup", "curate", "textops", "shards", "relevance", "fuzzy",
                 "graphrank"):
@@ -271,6 +272,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["cdc_changes"] = _flag.cdc_changes_oracle_sql("/root/testdata/sf0.01")
     out["cdc_history"] = _flag.cdc_history_oracle_sql("/root/testdata/sf0.01")
+    out["conv_transcript"] = _flag.conv_transcript_oracle_sql(
+        "/root/testdata/sf0.01"
+    )
     out["conv_turn_counts"] = _flag.conv_turn_counts_oracle_sql("/root/testdata/sf0.01")
     out["conv_turn_counts_ivm"] = out["conv_turn_counts"]  # IVM ≡ recompute
     try:

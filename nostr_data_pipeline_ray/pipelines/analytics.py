@@ -3979,6 +3979,136 @@ def q_fk_integrity(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# gaps-and-islands (W8): longest run of CONSECUTIVE active days per user —
+# the classic streak operator SQL solves with `day - row_number()` island
+# ids. Here the bucketed exchange co-locates each user's distinct days and
+# the island walk is one vectorized diff+cumsum per bucket; integer day
+# numbers end-to-end, so the result is exact and hash-stable.
+# ---------------------------------------------------------------------------
+
+
+def q_activity_streaks(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        # timestamp[us] → integer days since epoch (ts are post-1970, so
+        # truncating division == floor); keeps the exchange 16 bytes/row
+        return pa.table({
+            "user_id": b["user_id"],
+            "dayno": pc.divide(pc.cast(b["ts"], pa.int64()), 86_400_000_000),
+        })
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["user_id", "dayno"])
+
+    def streaks(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates(["user_id", "dayno"]).sort_values(
+            ["user_id", "dayno"]
+        )
+        if not len(b):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "longest_streak": pd.Series([], dtype="int64"),
+                "n_active_days": pd.Series([], dtype="int64"),
+            })
+        u = b["user_id"].to_numpy()
+        d = b["dayno"].to_numpy()
+        new_run = np.ones(len(b), dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        runs = pd.DataFrame({"user_id": u, "run": np.cumsum(new_run)})
+        lens = runs.groupby(["user_id", "run"], sort=False).size().reset_index(
+            name="len"
+        )
+        g = lens.groupby("user_id", sort=False)["len"]
+        return pd.DataFrame({
+            "longest_streak": g.max().astype("int64"),
+            "n_active_days": g.sum().astype("int64"),
+        }).reset_index()
+
+    return bucketed_map_groups(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        keys=["user_id"], fn=streaks, pre=pre,
+        input_bytes=_tbytes(sf_dir, "events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS min-hop labeling (I3, iterative frontier expansion): hops from a seed
+# part over the co-purchase graph — the third iterative-algorithm shape
+# after PageRank (fixed-point value iteration) and connected components
+# (pointer jumping): a FRONTIER loop whose per-round work is one bucketed
+# semi-join (edges whose src is in the frontier), one bucketed distinct
+# (candidate dedup) and one bucketed anti-join (drop already-visited) —
+# nothing corpus-sized ever collects on the driver, and the loop's K rounds
+# are the algorithm's own depth bound, not a data-size knob. The oracle is
+# a recursive CTE over the identical edge set.
+# ---------------------------------------------------------------------------
+
+
+def q_part_hop_distance(sf_dir: str, max_hops: int = 3):
+    pairs = _basket_pair_counts(sf_dir).select_columns(
+        ["part_a", "part_b"]
+    ).materialize()
+    pbytes = pairs.size_bytes() or _tbytes(sf_dir, "lineitem")
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([b["part_a"].to_numpy(), b["part_b"].to_numpy()]),
+            "dst": np.concatenate([b["part_b"].to_numpy(), b["part_a"].to_numpy()]),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pandas").materialize()
+    seed = _read(sf_dir, "lineitem", columns=["l_partkey"]).min("l_partkey")
+    if seed is None:  # empty graph: the seedless result is zero rows
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hops": pa.array([], pa.int64())})
+    seed = int(seed)
+
+    def dedup_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["node"])
+
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([seed], pa.int64()),
+        "hops": pa.array([0], pa.int64()),
+    }))
+    frontier = rd.from_arrow(pa.table({"fnode": pa.array([seed], pa.int64())}))
+    for h in range(1, max_hops + 1):
+        # edges whose src is on the frontier; the frontier rides the same
+        # bucketed exchange as the edge table (at scale it IS node-sized,
+        # so no broadcast/collect shortcut)
+        touched = bucketed_hash_join(
+            edges, frontier, left_on=["src"], right_on=["fnode"],
+            how="left_semi", input_bytes=pbytes,
+        )
+        cand = bucketed_map_groups(
+            touched.map_batches(
+                lambda b: pd.DataFrame({"node": b["dst"]}).drop_duplicates(),
+                batch_format="pandas",
+            ),
+            keys=["node"], fn=dedup_nodes, pre=dedup_nodes, input_bytes=pbytes,
+        )
+        new = bucketed_hash_join(
+            cand,
+            visited.map_batches(
+                lambda b: pd.DataFrame({"vnode": b["node"]}),
+                batch_format="pandas",
+            ),
+            left_on=["node"], right_on=["vnode"], how="left_anti",
+            input_bytes=pbytes,
+        ).materialize()
+        if new.count() == 0:
+            break
+        reached = new.map_batches(
+            lambda b, hh=h: b.assign(hops=np.int64(hh)), batch_format="pandas"
+        )
+        visited = visited.union(reached).materialize()
+        frontier = new.map_batches(
+            lambda b: pd.DataFrame({"fnode": b["node"]}), batch_format="pandas"
+        )
+    return visited
+
+
 # shared quality-cut SQL: the F5-length score table, its rank frame, and
 # the truncating-index p75 threshold — used by the quality_filter oracle
 # here and the composed curation oracle (pipelines/curate.py)
@@ -4017,6 +4147,45 @@ def _fk_oracle_block(name, child, ckey, parent, pkey):
 
 
 ORACLE: dict[str, str] = {
+    "activity_streaks": """
+        WITH du AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', TIMESTAMP '1970-01-01',
+                             date_trunc('day', ts)) AS dayno
+            FROM events
+        ), isl AS (
+            SELECT user_id, dayno,
+                   dayno - row_number() OVER (
+                       PARTITION BY user_id ORDER BY dayno) AS grp
+            FROM du
+        ), runs AS (
+            SELECT user_id, grp, count(*) AS len
+            FROM isl GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM runs GROUP BY 1
+    """,
+    "part_hop_distance": """
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), e AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL
+            SELECT pb, pa FROM pairs
+        ), bfs(node, hops) AS (
+            SELECT (SELECT min(l_partkey) FROM lineitem) AS node, 0 AS hops
+            UNION
+            SELECT e.dst, bfs.hops + 1
+            FROM bfs JOIN e ON e.src = bfs.node
+            WHERE bfs.hops < 3
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM bfs WHERE node IS NOT NULL GROUP BY node
+    """,
     "rolling_distinct_users": """
         WITH du AS (
             SELECT DISTINCT date_trunc('day', ts) AS day, user_id

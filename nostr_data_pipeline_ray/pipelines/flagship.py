@@ -380,6 +380,53 @@ def conv_turn_counts_oracle_sql(sf_dir: str) -> str:
     """
 
 
+def conv_transcript(lake_dir: str):
+    """Transcript reconstruction — the transcripts-domain flagship READ:
+    per conversation, the final applied text in turn order as one
+    '<role>: <text>' block, plus the turn count. Order INSIDE the grouped
+    aggregate is what the operator is about: the bucketed exchange
+    co-locates each conversation, `turn_idx` is the lake's primary-key
+    suffix (unique per conv after LWW), so the per-bucket sort + join is
+    deterministic. One exchange over 4 of the 7 lake columns."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = read_final(lake_dir, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["conv_id", "turn_idx"])
+        b = b.assign(line=b["role"].fillna("") + ": " + b["text"].fillna(""))
+        g = b.groupby("conv_id", sort=False)
+        return pd.DataFrame({
+            "transcript": g["line"].agg("\n".join),
+            "n_turns": g.size().astype("int64"),
+        }).reset_index()
+
+    return bucketed_map_groups(ds, keys=["conv_id"], fn=rebuild)
+
+
+def q_conv_transcript(sf_dir: str):
+    q_cdc_apply(sf_dir)  # ensure the lake exists (idempotent)
+    return conv_transcript(lake_dir_for(sf_dir))
+
+
+def conv_transcript_oracle_sql(sf_dir: str) -> str:
+    binlog = binlog_dir_for(sf_dir)
+    return f"""
+        WITH final AS (
+            SELECT * FROM read_parquet('{binlog}/*.parquet', union_by_name=true)
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) = 1
+        )
+        SELECT conv_id,
+               string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                          chr(10) ORDER BY turn_idx) AS transcript,
+               CAST(count(*) AS BIGINT) AS n_turns
+        FROM final WHERE op != 'delete' GROUP BY conv_id
+    """
+
+
 def q_lake_health(sf_dir: str):
     """F4 relay-health analog over the lake's own per-partition lineage
     (reference: metrics_calculator.py:142-179 scores relays from uptime/

@@ -1025,3 +1025,52 @@ def test_fk_integrity_planted_orphans(tmp_path):
     assert got.loc["lineitem.l_partkey->part", "n_orphans"] == 0
     assert got.loc["orders.o_custkey->customer", "n_orphans"] == 0
     assert got.loc["customer.c_nationkey->nation", "n_orphans"] == 0
+
+
+def test_activity_streaks_islands(tmp_path):
+    """Gaps-and-islands: consecutive days chain into one run, a one-day
+    gap breaks it, same-day duplicate events count once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime([
+        "2024-01-01 05:00:00",  # u1 day 0
+        "2024-01-01 23:59:59",  # u1 day 0 again (dedup)
+        "2024-01-02 00:00:01",  # u1 day 1
+        "2024-01-03 12:00:00",  # u1 day 2  -> streak of 3
+        "2024-01-05 12:00:00",  # u1 day 4  (gap: day 3 missing)
+        "2024-02-10 00:00:00",  # u2 single day
+    ]).astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts),
+    }), tmp_path / "events.parquet")
+
+    got = (an.q_activity_streaks(str(tmp_path)).to_pandas()
+           .set_index("user_id"))
+    assert got.loc[1, "longest_streak"] == 3
+    assert got.loc[1, "n_active_days"] == 4
+    assert got.loc[2, "longest_streak"] == 1
+    assert got.loc[2, "n_active_days"] == 1
+
+
+def test_part_hop_distance_planted_chain(tmp_path):
+    """BFS min-hop labels over a planted chain 1-2-3-4-5: hops cap at
+    max_hops (part 5 is 4 hops out -> excluded), a disconnected part never
+    appears, and a shortcut edge lowers the label (min, not first-path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4),
+              (4, 4), (4, 5),
+              (5, 1), (5, 3),   # shortcut: 3 is 1 hop from seed, not 2
+              (6, 100)]         # isolated part: no co-purchase edge
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([o for o, _ in orders], pa.int64()),
+        "l_partkey": pa.array([p for _, p in orders], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+
+    got = an.q_part_hop_distance(str(tmp_path), max_hops=3).to_pandas()
+    labels = dict(zip(got["node"], got["hops"]))
+    assert labels == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}

@@ -488,3 +488,37 @@ def test_read_final_ordered_delta_lake_falls_back(binlog, tmp_path):
     # ...and key-free column projection works on the fallback path too
     texts = read_final_ordered(lake_root, columns=["text"]).to_pandas()
     assert list(texts.columns) == ["text"] and len(texts) == want.num_rows
+
+
+def test_conv_transcript_ordered_rebuild(binlog, tmp_path):
+    """Transcript reconstruction off the applied lake: per conversation the
+    '<role>: <text>' lines joined in turn order — checked against DuckDB's
+    ordered string_agg over the same binlog's LWW fold."""
+    import duckdb
+    import pandas as pd
+
+    from nostr_data_pipeline_ray.pipelines.flagship import conv_transcript
+
+    lake_root = str(tmp_path / "lake")
+    apply_changelog(lake_root, binlog, CFG)
+    got = (conv_transcript(lake_root).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    segs = ", ".join(f"'{p}'" for p in list_segments(binlog))
+    want = duckdb.connect().execute(f"""
+        WITH final AS (
+            SELECT * FROM read_parquet([{segs}], union_by_name=true)
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) = 1
+        )
+        SELECT conv_id,
+               string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                          chr(10) ORDER BY turn_idx) AS transcript,
+               CAST(count(*) AS BIGINT) AS n_turns
+        FROM final WHERE op != 'delete' GROUP BY conv_id
+        ORDER BY conv_id
+    """).df()
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "transcript", "n_turns"]], want,
+        check_dtype=False, check_exact=True,
+    )
