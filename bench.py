@@ -167,6 +167,21 @@ BENCH_QUERIES = [
     "shipping_priority",
     "parts_above_brand_avg",
     "peak_concurrency",
+    # round-5 seventh session: the remaining oracle-checked additions —
+    # profiling, FK audit, SCD2 history, gaps-and-islands, graph families
+    # (triangles + BFS hop labeling), and the transcripts-domain flagship
+    # read (conv_transcript; first lake-touching query pays the one-time
+    # sf0.1 replay, best-of-2 min is the warm read)
+    "table_profile",
+    "fk_integrity",
+    "rolling_distinct_users",
+    "event_type_transitions",
+    "part_skyline",
+    "activity_streaks",
+    "copurchase_triangles",
+    "part_hop_distance",
+    "cdc_history",
+    "conv_transcript",
 ]
 
 

@@ -203,24 +203,47 @@ def cdc_history(binlog: str):
         # duplicates (same key, same lsn) — a version can't change twice
         # at one LSN, so collapse them before chaining; op joins the sort
         # key so an (ill-formed) same-lsn op conflict still orders
-        # deterministically on both engines
-        b = b.drop_duplicates().sort_values(
-            ["conv_id", "turn_idx", "lsn", "op"], kind="mergesort")
-        conv = b["conv_id"].to_numpy()
+        # deterministically on both engines. The key string is factorized
+        # so every step below runs on int codes (the chain walk only needs
+        # keys GROUPED and (lsn, op)-ordered within a key — which copy of
+        # an exact duplicate survives and the inter-key order are both
+        # immaterial, so first-seen codes are fine; op uses sort=True so
+        # code order == lexicographic order on the tie-break).
+        ccode, cuniq = pd.factorize(b["conv_id"], sort=False)
+        ocode, ouniq = pd.factorize(b["op"], sort=True)
         turn = b["turn_idx"].to_numpy()
         lsn = b["lsn"].to_numpy()
-        same_next = np.zeros(len(b), dtype=bool)  # row i, i+1 share a key
-        same_next[:-1] = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        order = np.lexsort((ocode, lsn, turn, ccode))
+        ccode, ocode, turn, lsn = (
+            ccode[order], ocode[order], turn[order], lsn[order])
+        dup = np.zeros(len(order), dtype=bool)
+        dup[1:] = ((ccode[1:] == ccode[:-1]) & (turn[1:] == turn[:-1])
+                   & (lsn[1:] == lsn[:-1]) & (ocode[1:] == ocode[:-1]))
+        ccode, ocode, turn, lsn = ccode[~dup], ocode[~dup], turn[~dup], lsn[~dup]
+        same_next = np.zeros(len(ccode), dtype=bool)  # row i, i+1 share a key
+        same_next[:-1] = (ccode[1:] == ccode[:-1]) & (turn[1:] == turn[:-1])
         nxt = pd.array(np.roll(lsn, -1), dtype="Int64")
         nxt[~same_next] = pd.NA
-        b = b.assign(valid_to_lsn=nxt)
-        kept = b[(b["op"] != "delete").to_numpy()].copy()
-        kept["version_seq"] = (
-            kept.groupby(["conv_id", "turn_idx"], sort=False).cumcount() + 1
-        ).astype("int64")
-        kept["is_current"] = kept["valid_to_lsn"].isna()
-        kept = kept.rename(columns={"lsn": "valid_from_lsn"})
-        return kept[cols]
+        del_hits = np.flatnonzero(np.asarray(ouniq) == "delete")
+        keep = (ocode != del_hits[0]) if len(del_hits) else np.ones(len(ccode), bool)
+        kc, kt = ccode[keep], turn[keep]
+        # version_seq numbers SURVIVING versions per key (deletes close the
+        # previous version's interval but never appear as rows): keys stay
+        # contiguous after the filter, so a cumcount is arange minus each
+        # group's start offset (no pandas groupby)
+        new_key = np.ones(len(kc), dtype=bool)
+        new_key[1:] = (kc[1:] != kc[:-1]) | (kt[1:] != kt[:-1])
+        idx = np.arange(len(kc), dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(new_key, idx, 0))
+        knxt = nxt[keep]
+        return pd.DataFrame({
+            "conv_id": np.asarray(cuniq)[kc],
+            "turn_idx": kt,
+            "version_seq": idx - starts + 1,
+            "valid_from_lsn": lsn[keep],
+            "valid_to_lsn": knxt,
+            "is_current": np.asarray(knxt.isna()),
+        })[cols]
 
     return bucketed_map_groups(
         ds, keys=["conv_id", "turn_idx"], fn=chains, input_bytes=nbytes
