@@ -182,6 +182,11 @@ BENCH_QUERIES = [
     "part_hop_distance",
     "cdc_history",
     "conv_transcript",
+    # round-5 final additions: grouped weighted median ((value, weight)
+    # pairs ride the exchange, not line items) and relational division
+    # (set-containment: distinct-count == |divisor domain|)
+    "weighted_median_price",
+    "priority_coverage",
 ]
 
 

@@ -4133,6 +4133,104 @@ QUALITY_SQL_THRESHOLD = """(
     WHERE rn - 1 = least(CAST(floor(n * 0.75) AS BIGINT), n - 1)
 )"""
 
+def q_weighted_median_price(sf_dir: str):
+    """Grouped WEIGHTED median — per supplier, the lower weighted median of
+    l_extendedprice weighted by l_quantity (the smallest price whose
+    cumulative quantity reaches half the supplier's total). The plain
+    grouped median (`median_price_per_brand`) needs rows; this needs
+    (value, weight) pairs — so the map-side partial collapses to one row
+    per (supplier, price) and the exchange moves distinct pairs, not line
+    items. Per bucket everything runs on int codes: factorize → lexsort →
+    segmented cumsum → first row per group with 2·cum ≥ total.
+    Quantities are integer-valued, so the ≥ compare is exact float64."""
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_suppkey", "l_extendedprice"], sort=False)
+        return g.agg(wt=("l_quantity", "sum")).reset_index()
+
+    def wmed(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "l_suppkey": pd.Series([], dtype="int64"),
+            "wmedian_price": pd.Series([], dtype="float64"),
+        })
+        if not len(bucket):
+            return empty
+        # re-collapse (pre ran per input batch, keys can repeat across them)
+        b = bucket.groupby(["l_suppkey", "l_extendedprice"], sort=False) \
+            .agg(wt=("wt", "sum")).reset_index()
+        scode, suniq = pd.factorize(b["l_suppkey"], sort=False)
+        x = b["l_extendedprice"].to_numpy()
+        wt = b["wt"].to_numpy()
+        order = np.lexsort((x, scode))
+        scode, x, wt = scode[order], x[order], wt[order]
+        new_key = np.ones(len(scode), dtype=bool)
+        new_key[1:] = scode[1:] != scode[:-1]
+        cum = np.cumsum(wt)
+        base = np.where(new_key, cum - wt, 0.0)
+        seg_base = np.maximum.accumulate(base * new_key)  # cum before group
+        seg_cum = cum - seg_base
+        # group totals: last row of each group, broadcast back
+        last = np.zeros(len(scode), dtype=bool)
+        last[:-1] = new_key[1:]
+        last[-1] = True
+        tot_per_group = seg_cum[last]  # one per group, in group order
+        gidx = np.cumsum(new_key) - 1
+        tot = tot_per_group[gidx]
+        hit = 2.0 * seg_cum >= tot
+        # first hit per group: hits are contiguous-by-group and x-sorted
+        first = hit.copy()
+        first[1:] &= ~(hit[:-1] & (gidx[1:] == gidx[:-1]))
+        return pd.DataFrame({
+            "l_suppkey": np.asarray(suniq)[scode[first]],
+            "wmedian_price": x[first],
+        })
+
+    return bucketed_map_groups(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_quantity"]),
+        keys=["l_suppkey"], fn=wmed, pre=pre,
+        input_bytes=_tbytes(sf_dir, "lineitem"),
+    )
+
+
+def q_priority_coverage(sf_dir: str):
+    """Relational DIVISION (set-containment): customers whose orders cover
+    EVERY order priority in use — dividend (custkey, priority), divisor the
+    distinct-priority domain. Division never enumerates the quotient's
+    complement: the divisor is a distributed distinct with a bounded
+    collect (the priority domain, ≤ a handful of values — same driver
+    class as domain mixing's O(#sources)), and the dividend runs as ONE
+    bucketed exchange of map-side-deduped (custkey, priority) pairs with a
+    per-customer distinct-count == |divisor| finish."""
+    ob = _tbytes(sf_dir, "orders")
+
+    k = int(
+        _read(sf_dir, "orders", columns=["o_orderpriority"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"o_orderpriority": b["o_orderpriority"].unique()}),
+            batch_format="pandas")
+        .to_pandas()["o_orderpriority"].nunique()
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["o_custkey", "o_orderpriority"]].drop_duplicates()
+
+    def cover(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()  # exact: the bucket key IS the customer
+        n = d.groupby("o_custkey", sort=False).size()
+        full = n[n == k]
+        return pd.DataFrame({
+            "o_custkey": full.index.to_numpy(),
+            "n_matched": full.to_numpy().astype("int64"),
+        })
+
+    return bucketed_map_groups(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+        keys=["o_custkey"], fn=cover, pre=pre, input_bytes=ob // 2,
+    )
+
+
 def _fk_oracle_block(name, child, ckey, parent, pkey):
     return f"""
         SELECT '{name}' AS relationship,
@@ -4147,6 +4245,26 @@ def _fk_oracle_block(name, child, ckey, parent, pkey):
 
 
 ORACLE: dict[str, str] = {
+    "weighted_median_price": """
+        WITH w AS (
+            SELECT l_suppkey, l_extendedprice AS x, SUM(l_quantity) AS wt
+            FROM lineitem GROUP BY 1, 2
+        ), c AS (
+            SELECT l_suppkey, x,
+                   SUM(wt) OVER (PARTITION BY l_suppkey ORDER BY x) AS cw,
+                   SUM(wt) OVER (PARTITION BY l_suppkey) AS tot
+            FROM w
+        )
+        SELECT l_suppkey, min(x) AS wmedian_price
+        FROM c WHERE 2 * cw >= tot GROUP BY 1
+    """,
+    "priority_coverage": """
+        WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+        co AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_matched
+        FROM co GROUP BY 1
+        HAVING count(*) = (SELECT count(*) FROM pr)
+    """,
     "activity_streaks": """
         WITH du AS (
             SELECT DISTINCT user_id,

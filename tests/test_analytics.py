@@ -1074,3 +1074,57 @@ def test_part_hop_distance_planted_chain(tmp_path):
     got = an.q_part_hop_distance(str(tmp_path), max_hops=3).to_pandas()
     labels = dict(zip(got["node"], got["hops"]))
     assert labels == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_weighted_median_price_planted(tmp_path):
+    """Weighted-median edges the sf fixtures can't isolate: an exact-half
+    boundary picks the row that REACHES half (lower weighted median), a
+    dominant weight wins regardless of order, and a repeated price's
+    weight merges before the cumsum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # supplier 1: weights 1,1,2 over prices 10,20,30 -> total 4;
+        # cum at 20 is exactly half (2) -> lower median = 20.0
+        (1, 10.0, 1.0), (1, 20.0, 1.0), (1, 30.0, 2.0),
+        # supplier 2: one heavy row dwarfs the rest -> 99.0
+        (2, 1.0, 1.0), (2, 99.0, 10.0), (2, 2.0, 1.0),
+        # supplier 3: price 5.0 split across two lines (1+3=4 of total 6)
+        # merges to reach half -> 5.0
+        (3, 5.0, 1.0), (3, 5.0, 3.0), (3, 7.0, 2.0),
+    ]
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": [r[1] for r in rows],
+        "l_quantity": [r[2] for r in rows],
+    }), tmp_path / "lineitem.parquet")
+
+    got = (an.q_weighted_median_price(str(tmp_path)).to_pandas()
+           .set_index("l_suppkey")["wmedian_price"])
+    assert got.loc[1] == 20.0
+    assert got.loc[2] == 99.0
+    assert got.loc[3] == 5.0
+
+
+def test_priority_coverage_planted(tmp_path):
+    """Relational division: only the customer holding EVERY divisor value
+    appears; a customer with a repeated priority doesn't double-count; the
+    divisor is the observed domain, not a fixed list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "HIGH"), (1, "LOW"), (1, "MED"),          # full coverage
+        (2, "HIGH"), (2, "HIGH"), (2, "LOW"),         # repeat != coverage
+        (3, "MED"),                                    # partial
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderpriority": [r[1] for r in rows],
+    }), tmp_path / "orders.parquet")
+
+    got = an.q_priority_coverage(str(tmp_path)).to_pandas()
+    assert got["o_custkey"].tolist() == [1]
+    assert got["n_matched"].tolist() == [3]
